@@ -1,0 +1,185 @@
+package graft.table
+
+import java.nio.file.{Files, Paths, Path, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+import graft.core.Envelope
+
+/** A position in the change log's total order (SURVEY.md §1.2). */
+final case class LogPos(commit: String, lsn: Long) {
+  def max(other: LogPos): LogPos =
+    if (commit > other.commit || (commit == other.commit && lsn >= other.lsn)) this
+    else other
+}
+
+final case class FileEntry(path: String, bucket: Int, schemaIdx: Int, rows: Long)
+
+final case class CommitInfo(
+    version: Long,
+    batchId: Long,
+    watermark: Map[Int, Long],         // source partition -> max applied lsn
+    fence: Option[LogPos],             // latest truncate position
+    schemas: Seq[String],              // distinct StructType jsons, append-only
+    schemaIdx: Int,                    // current table schema
+    files: Seq[FileEntry]) {
+  def schema: StructType = DataType.fromJson(schemas(schemaIdx)).asInstanceOf[StructType]
+}
+
+/** Transactional bucketed Parquet table — the in-repo Iceberg surrogate
+  * (no Iceberg jar in the sandbox; SURVEY.md §7.1 item 2).
+  *
+  * Layout:
+  * {{{
+  *   <root>/_commits/v<zero-padded>.json   // the commit log (source of truth)
+  *   <root>/data/<batch-dir>/__bucket=N/part-....parquet
+  *   <root>/_metrics/part-....parquet      // per-batch per-partition lineage
+  * }}}
+  *
+  * Properties:
+  *  - snapshot isolation: readers resolve the latest commit file and read
+  *    only the files in its manifest; concurrently-staged data is invisible;
+  *  - atomic commit: write-temp + ATOMIC_MOVE of the commit json — a crashed
+  *    writer leaves only orphan data dirs that no manifest references;
+  *  - idempotent fencing: a commit carries the microbatch id and the
+  *    per-source-partition offset watermark; re-applying an already-committed
+  *    batch is a no-op (exactly-once; the Spark analog of Debezium's
+  *    restart-skip fencing, `BinlogStreamingChangeEventSource.java:280-310`);
+  *  - schema evolution at commit boundaries: each data file remembers the
+  *    schema it was written with; reads align every file group to the
+  *    current table schema (null-fill added columns, upcast widened ones) —
+  *    the sink-side `alterTableIfNeeded` analog
+  *    (`debezium-connector-jdbc/.../JdbcChangeEventSink.java:217-219`).
+  *
+  * Scale notes: keys are hash-bucketed (`pmod(hash(repo, path), numBuckets)`)
+  * so a merge rewrites only touched buckets (copy-on-write). At 100 TB you
+  * would raise `numBuckets` so one bucket ~ a few GB; the manifest is O(files)
+  * driver-side metadata, same as an Iceberg manifest list.
+  */
+final class LakeTable(val root: String, val numBuckets: Int = 32) {
+  private def commitsDir: Path = Paths.get(root, "_commits")
+
+  /** Bucket assignment — a pure function of the key, never stored. */
+  def bucketCol: org.apache.spark.sql.Column =
+    pmod(hash(Envelope.keyCols.map(col): _*), lit(numBuckets))
+
+  def lastCommit(): Option[CommitInfo] = {
+    if (!Files.isDirectory(commitsDir)) return None
+    val latest = Files.list(commitsDir).iterator().asScala
+      .filter(_.getFileName.toString.matches("v\\d+\\.json"))
+      .toSeq.sortBy(_.getFileName.toString).lastOption
+    latest.map(p => LakeTable.fromJson(Files.readString(p)))
+  }
+
+  /** Atomically publish a commit. Single-writer (the streaming driver). */
+  def commit(ci: CommitInfo): Unit = {
+    Files.createDirectories(commitsDir)
+    val target = commitsDir.resolve(f"v${ci.version}%020d.json")
+    val tmp = commitsDir.resolve(f".v${ci.version}%020d.json.tmp")
+    Files.writeString(tmp, LakeTable.toJson(ci))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Raw state incl. tombstone rows (op='d' retained so late out-of-order
+    * events below a delete's position cannot resurrect the row).
+    */
+  def snapshotRaw(spark: SparkSession, buckets: Option[Set[Int]] = None): Option[DataFrame] =
+    lastCommit().flatMap(ci => snapshotRaw(spark, ci, buckets))
+
+  def snapshotRaw(spark: SparkSession, ci: CommitInfo, buckets: Option[Set[Int]]): Option[DataFrame] = {
+    val wanted = ci.files.filter(f => buckets.forall(_.contains(f.bucket)))
+    if (wanted.isEmpty) return None
+    val target = ci.schema
+    val bydSchema = wanted.groupBy(_.schemaIdx)
+    val parts = bydSchema.toSeq.sortBy(_._1).map { case (idx, fs) =>
+      val written = DataType.fromJson(ci.schemas(idx)).asInstanceOf[StructType]
+      val df = spark.read.schema(written).parquet(fs.map(f => s"$root/${f.path}"): _*)
+      // Align to the current table schema: null-fill added columns, upcast
+      // widened ones (Avro-style promotion; Parquet mergeSchema alone does
+      // not widen types — SURVEY.md §7.3).
+      val cols = target.fields.map { f =>
+        if (written.fieldNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+      df.select(cols.toIndexedSeq: _*)
+    }
+    Some(parts.reduce(_.unionAll(_)))
+  }
+
+  /** Live rows: tombstones filtered out, ordering/meta columns retained. */
+  def snapshot(spark: SparkSession): Option[DataFrame] =
+    snapshotRaw(spark, None).map(_.where(col("op") =!= Envelope.OpDelete))
+
+  /** Stage a DataFrame (already bucketed via `__bucket` column) under data/,
+    * returning the manifest entries. Executors write the files; only the
+    * driver publishes the manifest, so task retries/speculation leave
+    * orphans that readers never see.
+    */
+  def stage(df: DataFrame, batchId: Long, schemaIdx: Int, attempt: Long = 0L): Seq[FileEntry] = {
+    val dir = f"data/b$batchId%06d-a$attempt"
+    val abs = s"$root/$dir"
+    df.write.mode("overwrite").partitionBy("__bucket").parquet(abs)
+    val base = Paths.get(abs)
+    Files.walk(base).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val rel = Paths.get(root).relativize(p).toString
+        val bucket = p.getParent.getFileName.toString.stripPrefix("__bucket=").toInt
+        FileEntry(rel, bucket, schemaIdx, -1L)
+      }.toSeq
+  }
+}
+
+/** Explicit tree-model JSON codec for the commit log (Jackson's Scala
+  * binding erases Map key/value types; the commit file is the table's
+  * source of truth, so the codec is deliberately explicit).
+  */
+object LakeTable {
+  private val mapper = new ObjectMapper()
+
+  def toJson(ci: CommitInfo): String = {
+    val o = mapper.createObjectNode()
+    o.put("version", ci.version)
+    o.put("batchId", ci.batchId)
+    val wm = o.putObject("watermark")
+    ci.watermark.toSeq.sortBy(_._1).foreach { case (p, l) => wm.put(p.toString, l) }
+    ci.fence match {
+      case Some(f) =>
+        val fn = o.putObject("fence"); fn.put("commit", f.commit); fn.put("lsn", f.lsn)
+      case None => o.putNull("fence")
+    }
+    val ss = o.putArray("schemas")
+    ci.schemas.foreach(ss.add)
+    o.put("schemaIdx", ci.schemaIdx)
+    val fs = o.putArray("files")
+    ci.files.foreach { f =>
+      val fo = fs.addObject()
+      fo.put("path", f.path); fo.put("bucket", f.bucket)
+      fo.put("schemaIdx", f.schemaIdx); fo.put("rows", f.rows)
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
+  }
+
+  def fromJson(s: String): CommitInfo = {
+    val o = mapper.readTree(s)
+    def arr(n: JsonNode): Iterator[JsonNode] = n.asInstanceOf[ArrayNode].elements().asScala
+    val wm = o.get("watermark").asInstanceOf[ObjectNode]
+    val watermark = wm.fields().asScala.map(e => e.getKey.toInt -> e.getValue.asLong()).toMap
+    val fence = Option(o.get("fence")).filterNot(_.isNull)
+      .map(f => LogPos(f.get("commit").asText(), f.get("lsn").asLong()))
+    CommitInfo(
+      version = o.get("version").asLong(),
+      batchId = o.get("batchId").asLong(),
+      watermark = watermark,
+      fence = fence,
+      schemas = arr(o.get("schemas")).map(_.asText()).toSeq,
+      schemaIdx = o.get("schemaIdx").asInt(),
+      files = arr(o.get("files")).map { f =>
+        FileEntry(f.get("path").asText(), f.get("bucket").asInt(),
+          f.get("schemaIdx").asInt(), f.get("rows").asLong())
+      }.toSeq)
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.merge.CdcApply
+import graft.streaming.CdcPipeline
+import graft.table.{LakeTable, SchemaEvolution}
+
+/** End-to-end engine specs: replay convergence, exactly-once fencing,
+  * out-of-order arrival across partitions, schema evolution, metrics —
+  * mirroring the reference's BinlogConnectorIT / BinlogRestartIT /
+  * incremental-snapshot scenarios (SURVEY.md §5).
+  */
+class LakeTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("laketable").toString
+
+  private def foldOracle(events: Seq[FlatEvent]): Map[(String, String), FlatEvent] =
+    events.sortBy(e => (e.commit, e.lsn)).foldLeft(Map.empty[(String, String), FlatEvent]) {
+      case (state, e) => e.op match {
+        case "d" => state - ((e.repo, e.path))
+        case "t" => Map.empty
+        case _   => state + ((e.repo, e.path) -> e)
+      }
+    }
+
+  private def tableState(table: LakeTable): Map[(String, String), FlatEvent] =
+    table.snapshot(spark).map(_.as[FlatEvent].collect()).getOrElse(Array.empty)
+      .map(e => (e.repo, e.path) -> e).toMap
+
+  private def randomLog(seed: Int, n: Int, withTruncate: Boolean = false): Seq[FlatEvent] = {
+    val rnd = new scala.util.Random(seed)
+    val keys = for (r <- 0 until 4; p <- 0 until 8) yield (s"repo$r", s"p$p.txt")
+    (1 to n).map { i =>
+      val op =
+        if (withTruncate && rnd.nextInt(60) == 0) "t"
+        else Seq("c", "u", "u", "r", "d")(rnd.nextInt(5))
+      FlatEvent.mk(keys(rnd.nextInt(keys.size)), i.toLong, op)
+    }
+  }
+
+  test("replay converges to the fold oracle across microbatches") {
+    val log = randomLog(1, 400)
+    val table = new LakeTable(tmp(), numBuckets = 8)
+    val results = CdcPipeline.replay(spark, log.toDF(), table, numBatches = 5)
+    assert(results.forall(_.committed))
+    assert(tableState(table) === foldOracle(log))
+  }
+
+  test("replaying the full log again is a pure no-op (watermark + batchId fences)") {
+    val log = randomLog(2, 300)
+    val table = new LakeTable(tmp(), numBuckets = 8)
+    CdcPipeline.replay(spark, log.toDF(), table, numBatches = 3)
+    val v1 = table.lastCommit().get
+    // same batch ids replayed → batchId fence
+    val r2 = CdcPipeline.replay(spark, log.toDF(), table, numBatches = 3)
+    assert(r2.forall(r => !r.committed && r.reason == "batchId-fenced"))
+    // fresh batch ids but already-seen offsets → watermark fence (metadata-only commits)
+    val r3 = CdcPipeline.replay(spark, log.toDF(), table, numBatches = 3, startBatchId = 100)
+    assert(r3.forall(r => r.committed && r.winners == 0))
+    assert(tableState(table) === foldOracle(log))
+    assert(table.lastCommit().get.files.toSet === v1.files.toSet, "no data rewritten on replay")
+  }
+
+  test("out-of-order arrival across partitions converges (per-partition order kept)") {
+    val log = randomLog(3, 300)
+    val table = new LakeTable(tmp(), numBuckets = 8)
+    // deliver all of partitions {2,3} first, then {0,1} — cross-partition
+    // disorder with per-partition order preserved
+    val late = log.filter(e => e.part <= 1)
+    val early = log.filter(e => e.part >= 2)
+    CdcApply.applyBatch(spark, table, early.toDF(), batchId = 0)
+    CdcApply.applyBatch(spark, table, late.toDF(), batchId = 1)
+    assert(tableState(table) === foldOracle(log))
+  }
+
+  test("a delete tombstone fences older late events from other partitions") {
+    val k = ("repoX", "a.txt")
+    val create = FlatEvent.mk(k, 10, "c").copy(part = 0)
+    val delete = FlatEvent.mk(k, 50, "d").copy(part = 0)
+    val staleUpdate = FlatEvent.mk(k, 20, "u").copy(part = 1) // older than the delete
+    val table = new LakeTable(tmp(), numBuckets = 4)
+    CdcApply.applyBatch(spark, table, Seq(create, delete).toDF(), batchId = 0)
+    CdcApply.applyBatch(spark, table, Seq(staleUpdate).toDF(), batchId = 1)
+    assert(tableState(table) === Map.empty, "late stale update must not resurrect a deleted key")
+  }
+
+  test("truncate is table-scoped and fences later-arriving older events") {
+    val log = randomLog(4, 300, withTruncate = true)
+    val table = new LakeTable(tmp(), numBuckets = 8)
+    CdcPipeline.replay(spark, log.toDF(), table, numBatches = 4)
+    assert(tableState(table) === foldOracle(log))
+  }
+
+  test("schema evolution: column add then type widen across batches") {
+    val table = new LakeTable(tmp(), numBuckets = 4)
+    val b0 = Seq(FlatEvent.mk(("r", "a"), 1, "c"), FlatEvent.mk(("r", "b"), 2, "c")).toDF()
+    CdcApply.applyBatch(spark, table, b0, batchId = 0)
+    // batch 1 adds stars:int
+    val b1 = Seq(FlatEvent.mk(("r", "c"), 3, "c")).toDF().withColumn("stars", lit(7))
+    CdcApply.applyBatch(spark, table, b1, batchId = 1)
+    // batch 2 widens stars to long
+    val b2 = Seq(FlatEvent.mk(("r", "a"), 4, "u")).toDF().withColumn("stars", lit(5000000000L))
+    CdcApply.applyBatch(spark, table, b2, batchId = 2)
+    val snap = table.snapshot(spark).get
+    assert(snap.schema("stars").dataType === LongType)
+    val rows = snap.select("path", "stars").collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(rows === Map("a" -> 5000000000L, "b" -> null, "c" -> 7L))
+  }
+
+  test("incompatible type change is rejected") {
+    assertThrows[IllegalArgumentException] {
+      SchemaEvolution.reconcile(
+        StructType(Seq(StructField("x", LongType))),
+        StructType(Seq(StructField("x", BooleanType))))
+    }
+  }
+
+  test("metrics table records per-partition lineage") {
+    val log = randomLog(5, 200)
+    val table = new LakeTable(tmp(), numBuckets = 8)
+    CdcPipeline.replay(spark, log.toDF(), table, numBatches = 2)
+    val m = spark.read.parquet(s"${table.root}/_metrics")
+    assert(m.columns.toSet === Set("batchId", "commitVersion", "part", "freshEvents",
+      "applied", "dedupDropped", "commitLagMs", "batchWallMs"))
+    val freshTotal = m.agg(sum("freshEvents")).collect().head.getLong(0)
+    assert(freshTotal === log.size)
+    assert(m.select("part").distinct().count() === log.map(_.part).distinct.size)
+  }
+
+  test("structured streaming with checkpoint: two waves + restart, exactly-once") {
+    val inDir = tmp(); val ckpt = tmp()
+    val table = new LakeTable(tmp(), numBuckets = 8)
+    val log = randomLog(6, 300)
+    val (w1, w2) = log.splitAt(150)
+    // wave 1
+    graft.core.Envelope.wrap(w1.toDF()).write.mode("append").parquet(inDir)
+    val q1 = CdcPipeline.start(spark, inDir, ckpt, table, maxFilesPerTrigger = 2)
+    q1.awaitTermination()
+    assert(tableState(table) === foldOracle(w1))
+    // wave 2 + restart from checkpoint
+    graft.core.Envelope.wrap(w2.toDF()).write.mode("append").parquet(inDir)
+    val q2 = CdcPipeline.start(spark, inDir, ckpt, table, maxFilesPerTrigger = 2)
+    q2.awaitTermination()
+    assert(tableState(table) === foldOracle(log))
+    // third run with nothing new: state unchanged, no data files rewritten
+    val files = table.lastCommit().get.files.toSet
+    val q3 = CdcPipeline.start(spark, inDir, ckpt, table, maxFilesPerTrigger = 2)
+    q3.awaitTermination()
+    assert(table.lastCommit().get.files.toSet === files)
+    assert(tableState(table) === foldOracle(log))
+  }
+}
