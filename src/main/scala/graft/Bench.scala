@@ -1,24 +1,87 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.sources.SyntheticLog
+import graft.streaming.CdcPipeline
+import graft.table.LakeTable
+
+/** Per-round benchmark (driver-run; see BASELINE.md).
+  *
+  * Emits ONE JSON line: per-query wall times over SPARK_GRAFT_SF_DIR, plus
+  * the north-rule headline — end-to-end change-events/sec applied on a
+  * deterministic synthetic log (replay → LakeTable convergence) — and the
+  * two-parallelism scaling evidence (local[8] vs local[32] on the same
+  * input; sandbox stand-in for N vs 4N executors; efficiency =
+  * (thr_4N / thr_N) / 4).
+  *
+  * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
+  * SPARK_GRAFT_BENCH_EVENTS (default 2,000,000),
+  * SPARK_GRAFT_SCALING=0 to skip the scaling pass.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** One full replay of `numEvents` synthetic events into a fresh
+    * LakeTable; returns (wallSec, eventsPerSec).
+    */
+  private def replayThroughput(spark: SparkSession, numEvents: Long, cpus: Int): (Double, Double) = {
+    val root = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val table = new LakeTable(root, numBuckets = cpus)
+    val log = SyntheticLog.generate(spark, numEvents, numKeys = numEvents / 20, parts = cpus)
+    val t0 = System.nanoTime()
+    CdcPipeline.replay(spark, log, table, numBatches = 4, salt = 8, writeMetrics = false)
+    table.snapshot(spark).foreach(_.count()) // force a converged read
+    val sec = (System.nanoTime() - t0) / 1e9
+    (sec, numEvents / sec)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "2000000").toLong
+    val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
+
+    var spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val (replaySec, eps) = replayThroughput(spark, benchEvents, cpus)
+
+    // Scaling: same job, fresh sessions at parallelism 8 then 32.
+    val scaling: Option[(Double, Double, Double)] =
+      if (!doScaling) None
+      else {
+        spark.stop()
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        val s8 = session(8)
+        val (_, thr8) = replayThroughput(s8, benchEvents, 8)
+        s8.stop()
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        val s32 = session(32)
+        val (_, thr32) = replayThroughput(s32, benchEvents, 32)
+        spark = s32
+        Some((thr8, thr32, (thr32 / thr8) / 4.0))
+      }
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum + replaySec
+    val scalingJson = scaling.map { case (a, b, e) =>
+      f""","scaling":{"events":$benchEvents,"thr_local8":$a%.0f,"thr_local32":$b%.0f,"efficiency":$e%.3f}"""
+    }.getOrElse("")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc_replay":{"events":$benchEvents,"sec":$replaySec%.3f,"events_per_sec":$eps%.0f}$scalingJson}""")
     spark.stop()
   }
 }

@@ -1,13 +1,23 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.sources.ChangeLog
-import graft.operators.Lww
+import graft.core.Envelope
+import graft.sources.{ChangeLog, Snapshot}
+import graft.operators.{Lww, Transforms}
 import graft.streaming.CdcPipeline
 import graft.table.LakeTable
+import graft.tdp.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from SURVEY.md §2 (CDC engine) or
+  * the training-data-pipeline suite (dedup / similarity / text analysis /
+  * multimodal); `oracleSql` holds the ANSI-SQL twin DuckDB runs on the
+  * same parquet. Column names AND types are kept aligned between both
+  * sides (the driver sorts columns by name and hashes values).
+  */
 object SparkEntry {
   private val cte = ChangeLog.Sql.cte
 
@@ -15,7 +25,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q03_cdc_apply_state")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  private def payload: Seq[Column] =
+    Seq(col("repo"), col("path"), col("commit"), col("lang"), col("content"))
+
+  private def withSha(df: DataFrame): DataFrame =
+    df.select(payload :+ sha2(col("content"), 256).as("content_sha"): _*)
+
+  private def maxLsn(df: DataFrame): Long =
+    df.agg(max(col("lsn"))).collect()(0).getLong(0)
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ tdp suite). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 source: synthetic change-log derivation (envelope payload, flat)
     "q01_cdc_changelog" -> ((s, dir) => ChangeLog.flat(s, dir)),
@@ -23,9 +42,7 @@ object SparkEntry {
     "q02_cdc_lww_reduce" -> ((s, dir) => Lww.reduce(ChangeLog.flat(s, dir))),
     // §2.4 apply: final table state after upsert/delete fold + sha256 invariant
     "q03_cdc_apply_state" -> ((s, dir) =>
-      Lww.applyState(ChangeLog.flat(s, dir))
-        .select(col("repo"), col("path"), col("commit"), col("lang"), col("content"),
-          sha2(col("content"), 256).as("content_sha"))),
+      withSha(Lww.applyState(ChangeLog.flat(s, dir)))),
     // §3/§7 full engine: microbatched replay into the transactional
     // LakeTable (idempotent commits, tombstone retention, salted merge),
     // then read the converged snapshot back. Same oracle as q03 — proves
@@ -34,13 +51,9 @@ object SparkEntry {
       val root = java.nio.file.Files.createTempDirectory("graft-e2e").toString
       val table = new LakeTable(root, numBuckets = 16)
       CdcPipeline.replay(s, ChangeLog.flat(s, dir), table, numBatches = 6, salt = 4)
-      table.snapshot(s).get
-        .select(col("repo"), col("path"), col("commit"), col("lang"), col("content"),
-          sha2(col("content"), 256).as("content_sha"))
+      withSha(table.snapshot(s).get)
     }),
-    // §7.0 item 9: per-partition lineage metrics of a replay (wall-clock
-    // columns excluded; dedup/applied counts are deterministic for the
-    // single-batch replay used here).
+    // §7.0 item 9: per-partition lineage metrics of a replay.
     "q05_cdc_metrics" -> ((s, dir) => {
       val root = java.nio.file.Files.createTempDirectory("graft-metrics").toString
       val table = new LakeTable(root, numBuckets = 16)
@@ -48,7 +61,213 @@ object SparkEntry {
       s.read.parquet(s"$root/_metrics")
         .select(col("part"), col("freshEvents"), col("applied"), col("dedupDropped"))
     }),
+
+    // §2.2 ExtractNewRecordState: envelope → flat row + __deleted rewrite.
+    "q06_smt_unwrap" -> ((s, dir) =>
+      Envelope.unwrap(ChangeLog.envelopes(s, dir))),
+    // §2.2 column mapping SMTs: salted hash-mask, truncation, constant mask.
+    "q07_smt_mask" -> ((s, dir) => {
+      val base = ChangeLog.flat(s, dir).where(col("op") =!= Envelope.OpDelete)
+      val hashed = Transforms.hashColumn(base, "lang", salt = "s1")
+      val trunc = Transforms.truncateColumn(
+        hashed.withColumn("content_trunc", col("content")), "content_trunc", 40)
+      Transforms.maskColumn(trunc.withColumn("content_masked", col("content")), "content_masked")
+        .select(col("repo"), col("path"), col("lsn"), col("lang").as("lang_hash"),
+          col("content_trunc"), col("content_masked"))
+    }),
+    // §2.2 routing SMTs: skipped-ops filter + content-based router +
+    // by-logical-table router (shard collapse + discriminator).
+    "q08_smt_route" -> ((s, dir) => {
+      val noDel = Transforms.skipOperations(ChangeLog.flat(s, dir), Seq(Envelope.OpDelete))
+      val routed = Transforms.contentBasedRouter(noDel, "concat('sink_', lang)", "route")
+      Transforms.byLogicalTableRouter(routed, col("repo"), "[0-9]+", "", "logical_table", "shard")
+        .select(col("repo"), col("path"), col("lsn"), col("op"),
+          col("route"), col("logical_table"), col("shard"))
+    }),
+    // §2.2 ExtractChangedRecordState: changed-field list per update, from
+    // before-images built with a lag window over the per-key history.
+    "q09_smt_changed_fields" -> ((s, dir) => {
+      val log = ChangeLog.base(s, dir)
+      val w = Window.partitionBy(col("repo"), col("path")).orderBy(col("commit"), col("lsn"))
+      val fields = Envelope.baseRowSchema.fieldNames.toSeq
+      val env = log.select(
+        col("repo"), col("path"), col("lsn"), col("op"),
+        struct(fields.map(f => lag(col(f), 1).over(w).as(f)): _*).as("before"),
+        struct(fields.map(col): _*).as("after"))
+      env.where(col("op") === Envelope.OpUpdate)
+        .select(col("repo"), col("path"), col("lsn"),
+          Transforms.changedFields(env).as("changed_fields"))
+    }),
+    // §2.1 initial snapshot ∪ stream: consistent snapshot at offset S
+    // emitted as op='r' events, streamed tail unioned, LWW-converged —
+    // equals the full-log fold (snapshot-then-stream correctness,
+    // `shouldConsumeAllEventsFromDatabaseUsingSnapshot`).
+    "q10_cdc_snapshot_stream" -> ((s, dir) => {
+      val log = ChangeLog.base(s, dir)
+      val snapAt = maxLsn(log) / 2
+      val state = Lww.applyState(log.where(col("lsn") <= snapAt))
+        .select(payload: _*)
+      val snap = Snapshot.initial(state, snapAt)
+      withSha(Lww.applyState(snap.unionByName(log.where(col("lsn") > snapAt))))
+    }),
+    // §2.1 incremental snapshot (DBLog): chunked re-read with
+    // watermark-window dedup — streamed events inside a chunk's window
+    // evict the chunk's stale rows.
+    "q11_cdc_incremental_snapshot" -> ((s, dir) => {
+      val log = ChangeLog.base(s, dir)
+      val mx = maxLsn(log)
+      val rows = Lww.applyState(log).select(payload: _*)
+      val chunkCol = pmod(regexp_extract(col("path"), "f([0-9]+)", 1).cast("long"), lit(4))
+      Snapshot.incremental(rows, log, numChunks = 4,
+        windowFor = i => (mx * i / 8, mx * (i + 1) / 8),
+        chunkExpr = Some(chunkCol))
+        .select(payload :+ col("lsn"): _*)
+    }),
+    // §2.2 outbox EventRouter: unpack outbox rows, route by aggregate type.
+    "q12_smt_outbox" -> ((s, dir) => {
+      val outbox = Corpus.documents(s, dir).select(
+        col("lang").as("aggregatetype"),
+        col("doc_id").cast("string").as("aggregateid"),
+        lit("DocUpdated").as("event_type"),
+        col("text").as("payload"),
+        lit(Envelope.OpCreate).as("op"),
+        col("doc_id").as("lsn"),
+        (lit(1700000000000L) + col("doc_id")).as("ts_ms"))
+      Transforms.outboxRouter(outbox)
+    }),
+    // §2.4/§7.0-7: schema evolution at batch boundaries — second batch adds
+    // an int column; first-batch rows null-fill it on read.
+    "q13_cdc_schema_evolution" -> ((s, dir) => {
+      val log = ChangeLog.base(s, dir)
+      val half = maxLsn(log) / 2
+      val root = java.nio.file.Files.createTempDirectory("graft-evo").toString
+      val table = new LakeTable(root, numBuckets = 16)
+      merge.CdcApply.applyBatch(s, table, log.where(col("lsn") <= half), 0L, writeMetrics = false)
+      merge.CdcApply.applyBatch(s, table,
+        log.where(col("lsn") > half).withColumn("n_chars", length(col("content"))),
+        1L, writeMetrics = false)
+      table.snapshot(s).get
+        .select(payload :+ col("n_chars").cast("long").as("n_chars"): _*)
+    }),
+    // §2.2 PartitionRouting: stable key→partition routing (engine-portable
+    // md5 variant; production path is Murmur3 `Transforms.partitionRouting`).
+    "q14_smt_partition_route" -> ((s, dir) =>
+      ChangeLog.flat(s, dir)
+        .select(col("repo"), col("path")).distinct()
+        .withColumn("route", Transforms.stableRoute(concat(col("repo"), lit("|"), col("path")), 16))),
+    // §2.2 tombstone emission: delete → trailing null-payload marker.
+    "q15_cdc_tombstones" -> ((s, dir) =>
+      Transforms.emitTombstones(ChangeLog.flat(s, dir))
+        .select(col("repo"), col("path"), col("commit"), col("op"), col("lsn"))),
+
+    // ---- training-data pipeline over documents/embeddings ----
+    // Exact dedup: content-sha groups, canonical id, copy counts.
+    "q20_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(Corpus.docsWithDups(s, dir))),
+    // MinHash + LSH banding near-dup candidate pairs with Jaccard estimate.
+    "q21_dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(Corpus.docsWithDups(s, dir), bands = 4, rowsPerBand = 4, threshold = 0.7)),
+    // SimHash fingerprints (16-bit, md5-projection).
+    "q22_dedup_simhash" -> ((s, dir) =>
+      Corpus.docsWithDups(s, dir)
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))),
+    // Exact n-gram Jaccard over block-keyed candidate pairs.
+    "q23_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Corpus.docsWithDups(s, dir), threshold = 0.6)),
+    // Embedding-cosine near-dup pairs, LSH-blocked, exact-verified.
+    "q24_dedup_embedding_cosine" -> ((s, dir) =>
+      Dedup.embeddingCosinePairs(Corpus.embsWithDups(s, dir), threshold = 0.98, planes = 6)),
+    // ANN brute-force cosine top-k (exact baseline).
+    "q25_ann_bruteforce" -> ((s, dir) => {
+      val emb = Corpus.embsWithDups(s, dir)
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+        .select(col("qid"), col("nid"), col("cos"))
+    }),
+    // ANN LSH-bucketed top-k (scale path: per-bucket candidates).
+    "q26_ann_lsh" -> ((s, dir) => {
+      val emb = Corpus.embsWithDups(s, dir)
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), k = 5, planes = 4)
+        .select(col("qid"), col("nid"), col("cos"))
+    }),
+    // Language ID (stopword/char heuristic).
+    "q27_text_langid" -> ((s, dir) =>
+      Corpus.documents(s, dir)
+        .select(col("doc_id"), col("lang"), TextAnalysis.langId(col("text")).as("pred_lang"))),
+    // Quality features + composite score.
+    "q28_text_quality" -> ((s, dir) => {
+      val d = Corpus.documents(s, dir)
+      val feats = TextAnalysis.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }
+      d.select(col("doc_id") +: feats :+ TextAnalysis.qualityScore(col("text")).as("score"): _*)
+    }),
+    // Token counting: whitespace, BPE-ish pre-tokenizer, byte estimate.
+    "q29_text_tokens" -> ((s, dir) =>
+      Corpus.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextAnalysis.bpeIshTokenCount(col("text")).cast("long").as("bpe_tokens"),
+        TextAnalysis.byteTokenEstimate(col("text")).as("byte_tokens"))),
+    // Document fingerprints: Rabin-Karp rolling hash + min-k-gram winnow.
+    "q30_text_fingerprint" -> ((s, dir) =>
+      Corpus.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.rollingHash(col("text")).as("roll_hash"),
+        TextAnalysis.minKgramFingerprint(col("text"), 16).as("min_kgram"))),
+    // Multimodal: opaque binary payload + typed metadata; batched
+    // per-partition decode (deterministic fake codec, real plumbing).
+    "q31_multimodal_decode" -> ((s, dir) =>
+      Multimodal.decode(Multimodal.mediaTable(s, dir)).toDF()
+        .select(col("doc_id"), col("media_type"), col("byte_len"),
+          col("payload_sha"), col("width"), col("height"), col("frames"))),
   )
+
+  // ------------------------------------------------------------- oracles
+
+  private val winners =
+    """SELECT * FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+      |  FROM ev) t
+      |WHERE rn = 1""".stripMargin
+
+  private val applyStateSql =
+    s"""SELECT repo, path, commit, lang, content, sha256(content) AS content_sha FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+       |  FROM ev) t
+       |WHERE rn = 1 AND op <> 'd'""".stripMargin
+
+  private val applyState0Sql = // same, over ev0 (no replays)
+    applyStateSql.replace("FROM ev)", "FROM ev0)")
+
+  /** Shingle/words helpers shared by the dedup oracles (DuckDB list
+    * comprehensions; lock-step with [[Dedup.shingles]]/[[TextAnalysis.words]]).
+    */
+  private val shingled =
+    """shingled AS (
+      |  SELECT doc_id, list_distinct(
+      |    [array_to_string(words[i:i+2], ' ') for i in generate_series(1, greatest(len(words)-2, 1))]) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS words FROM corpus))""".stripMargin
+
+  private val embDot = // left-fold double dot product, lock-step with Similarity.dot
+    "list_reduce([va[i] * vb[i] for i in generate_series(1, len(va))], (x, y) -> x + y)"
+  private def embNorm(v: String) =
+    s"sqrt(list_reduce([$v[i] * $v[i] for i in generate_series(1, len($v))], (x, y) -> x + y))"
+  private val embCos = s"round(($embDot) / (${embNorm("va")} * ${embNorm("vb")}), 4)"
+
+  /** LSH bucket sign pattern, lock-step with [[Similarity.lshBucket]]. */
+  private def lshBucketSql(v: String, planes: Int): String =
+    "concat(" + (0 until planes).map { p =>
+      s"""CASE WHEN list_reduce([(CASE WHEN substr(md5(concat('$p', '_', CAST(i - 1 AS VARCHAR))), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END) * $v[i] for i in generate_series(1, len($v))], (x, y) -> x + y) > 0 THEN '1' ELSE '0' END"""
+    }.mkString(", ") + ")"
+
+  private val simhashSql = {
+    val bits = (0 until 16).map { j =>
+      s"CASE WHEN 2 * len([h for h in hs if substr(h, ${j + 1}, 1) >= '8']) > len(hs) THEN '1' ELSE '0' END"
+    }
+    s"concat(${bits.mkString(", ")})"
+  }
+
+  private val stableRouteSql =
+    """CAST(list_sum([CAST(ascii(substr(md5(concat(repo, '|', path)), i, 1)) AS BIGINT)
+      |  for i in generate_series(1, 32)]) % 16 AS BIGINT)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -58,25 +277,12 @@ object SparkEntry {
          |SELECT repo, path, commit, lang, content, op, part, lsn, ts_ms FROM ev""".stripMargin,
     "q02_cdc_lww_reduce" ->
       s"""$cte
-         |SELECT repo, path, commit, lang, content, op, part, lsn, ts_ms FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
-         |  FROM ev) t
-         |WHERE rn = 1""".stripMargin,
-    "q03_cdc_apply_state" ->
-      s"""$cte
-         |SELECT repo, path, commit, lang, content, sha256(content) AS content_sha FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
-         |  FROM ev) t
-         |WHERE rn = 1 AND op <> 'd'""".stripMargin,
-    "q04_cdc_replay_e2e" ->
-      s"""$cte
-         |SELECT repo, path, commit, lang, content, sha256(content) AS content_sha FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
-         |  FROM ev) t
-         |WHERE rn = 1 AND op <> 'd'""".stripMargin,
+         |SELECT repo, path, commit, lang, content, op, part, lsn, ts_ms FROM ($winners) w""".stripMargin,
+    "q03_cdc_apply_state" -> s"$cte\n$applyStateSql",
+    "q04_cdc_replay_e2e" -> s"$cte\n$applyStateSql",
     "q05_cdc_metrics" ->
       s"""$cte
-         |, winners AS (
+         |, win AS (
          |  SELECT part FROM (
          |    SELECT part, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
          |    FROM ev) t
@@ -85,7 +291,223 @@ object SparkEntry {
          |       coalesce(w.applied, 0) AS applied,
          |       f.freshEvents - coalesce(w.applied, 0) AS dedupDropped
          |FROM (SELECT part, count(*) AS freshEvents FROM ev GROUP BY part) f
-         |LEFT JOIN (SELECT part, count(*) AS applied FROM winners GROUP BY part) w
+         |LEFT JOIN (SELECT part, count(*) AS applied FROM win GROUP BY part) w
          |  ON f.part = w.part""".stripMargin,
+
+    "q06_smt_unwrap" ->
+      s"""$cte
+         |SELECT repo, path, commit, lang, content, op, part, lsn, ts_ms,
+         |       CASE WHEN op = 'd' THEN 'true' ELSE 'false' END AS __deleted
+         |FROM ev""".stripMargin,
+    "q07_smt_mask" ->
+      s"""$cte
+         |SELECT repo, path, lsn,
+         |       sha256(concat('s1', lang)) AS lang_hash,
+         |       substr(content, 1, 40) AS content_trunc,
+         |       CASE WHEN content IS NOT NULL THEN '***' END AS content_masked
+         |FROM ev WHERE op <> 'd'""".stripMargin,
+    "q08_smt_route" ->
+      s"""$cte
+         |SELECT repo, path, lsn, op,
+         |       concat('sink_', lang) AS route,
+         |       regexp_replace(repo, '[0-9]+', '', 'g') AS logical_table,
+         |       repo AS shard
+         |FROM ev WHERE op <> 'd'""".stripMargin,
+    "q09_smt_changed_fields" ->
+      s"""$cte
+         |, lagged AS (
+         |  SELECT repo, path, lsn, op, commit, lang, content,
+         |         lag(repo)    OVER w AS b_repo,
+         |         lag(path)    OVER w AS b_path,
+         |         lag(commit)  OVER w AS b_commit,
+         |         lag(lang)    OVER w AS b_lang,
+         |         lag(content) OVER w AS b_content
+         |  FROM ev0 WINDOW w AS (PARTITION BY repo, path ORDER BY commit, lsn))
+         |SELECT repo, path, lsn,
+         |  concat_ws(',',
+         |    CASE WHEN b_commit  IS DISTINCT FROM commit  THEN 'commit'  END,
+         |    CASE WHEN b_content IS DISTINCT FROM content THEN 'content' END,
+         |    CASE WHEN b_lang    IS DISTINCT FROM lang    THEN 'lang'    END,
+         |    CASE WHEN b_path    IS DISTINCT FROM path    THEN 'path'    END,
+         |    CASE WHEN b_repo    IS DISTINCT FROM repo    THEN 'repo'    END) AS changed_fields
+         |FROM lagged WHERE op = 'u'""".stripMargin,
+    "q10_cdc_snapshot_stream" ->
+      s"$cte\n$applyState0Sql",
+    "q11_cdc_incremental_snapshot" ->
+      s"""$cte
+         |, state AS (
+         |  SELECT repo, path, commit, lang, content,
+         |         CAST(regexp_extract(path, 'f([0-9]+)', 1) AS BIGINT) % 4 AS chunk
+         |  FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |    FROM ev0) t
+         |  WHERE rn = 1 AND op <> 'd')
+         |SELECT s.repo, s.path, s.commit, s.lang, s.content,
+         |       ((SELECT max(lsn) FROM ev0) * s.chunk) // 8 AS lsn
+         |FROM state s
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM ev0 e
+         |  WHERE e.repo = s.repo AND e.path = s.path
+         |    AND e.lsn > ((SELECT max(lsn) FROM ev0) * s.chunk) // 8
+         |    AND e.lsn <= ((SELECT max(lsn) FROM ev0) * (s.chunk + 1)) // 8)""".stripMargin,
+    "q12_smt_outbox" ->
+      """SELECT lang AS route,
+        |       CAST(doc_id AS VARCHAR) AS key,
+        |       'DocUpdated' AS event_type,
+        |       text AS payload,
+        |       doc_id AS lsn,
+        |       1700000000000 + doc_id AS ts_ms
+        |FROM documents""".stripMargin,
+    "q13_cdc_schema_evolution" ->
+      s"""$cte
+         |SELECT repo, path, commit, lang, content,
+         |       CASE WHEN lsn > (SELECT max(lsn) // 2 FROM ev0) THEN CAST(length(content) AS BIGINT) END AS n_chars
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |  FROM ev0) t
+         |WHERE rn = 1 AND op <> 'd'""".stripMargin,
+    "q14_smt_partition_route" ->
+      s"""$cte
+         |SELECT DISTINCT repo, path, $stableRouteSql AS route FROM ev""".stripMargin,
+    "q15_cdc_tombstones" ->
+      s"""$cte
+         |SELECT repo, path, commit, op, lsn FROM ev
+         |UNION ALL
+         |SELECT repo, path, commit, 'tombstone' AS op, lsn FROM ev WHERE op = 'd'""".stripMargin,
+
+    "q20_dedup_exact" ->
+      s"""WITH ${Corpus.Sql.corpus}
+         |SELECT sha256(text) AS content_sha,
+         |       count(*) AS copies,
+         |       min(doc_id) AS canonical_id
+         |FROM corpus GROUP BY sha256(text)""".stripMargin,
+    "q21_dedup_minhash_lsh" ->
+      s"""WITH ${Corpus.Sql.corpus}
+         |, $shingled
+         |, sigs AS (
+         |  SELECT doc_id,
+         |         [list_aggregate([md5(concat(CAST(h AS VARCHAR), '|', s)) for s in sh], 'min')
+         |          for h in generate_series(0, 15)] AS sig
+         |  FROM shingled)
+         |, banded AS (
+         |  SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bkey
+         |  FROM sigs, (VALUES (0),(1),(2),(3)) bs(b))
+         |, cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM banded l JOIN banded r ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
+         |SELECT a, b, est_jaccard FROM (
+         |  SELECT c.a, c.b,
+         |         round(len([i for i in generate_series(1, 16) if sa.sig[i] = sb.sig[i]]) / 16.0, 4) AS est_jaccard
+         |  FROM cand c
+         |  JOIN sigs sa ON sa.doc_id = c.a
+         |  JOIN sigs sb ON sb.doc_id = c.b) t
+         |WHERE est_jaccard >= 0.7""".stripMargin,
+    "q22_dedup_simhash" ->
+      s"""WITH ${Corpus.Sql.corpus}
+         |SELECT doc_id, $simhashSql AS fp
+         |FROM (SELECT doc_id, [md5(w) for w in string_split_regex(lower(text), '\\s+')] AS hs FROM corpus)""".stripMargin,
+    "q23_dedup_ngram_jaccard" ->
+      s"""WITH ${Corpus.Sql.corpus}
+         |, base AS (
+         |  SELECT doc_id, substr(text, 1, 24) AS blk, list_distinct(
+         |    [array_to_string(words[i:i+2], ' ') for i in generate_series(1, greatest(len(words)-2, 1))]) AS sh
+         |  FROM (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS words FROM corpus))
+         |SELECT a, b, jaccard FROM (
+         |  SELECT l.doc_id AS a, r.doc_id AS b,
+         |         round(len(list_intersect(l.sh, r.sh)) / CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE), 4) AS jaccard
+         |  FROM base l JOIN base r ON l.blk = r.blk AND l.doc_id < r.doc_id) t
+         |WHERE jaccard >= 0.6""".stripMargin,
+    "q24_dedup_embedding_cosine" ->
+      s"""WITH ${Corpus.Sql.emb}
+         |, base AS (SELECT vec_id, embedding AS v, ${lshBucketSql("embedding", 6)} AS bkt FROM emb)
+         |SELECT a, b, cos FROM (
+         |  SELECT l.vec_id AS a, r.vec_id AS b, l.v AS va, r.v AS vb, $embCos AS cos
+         |  FROM base l JOIN base r ON l.bkt = r.bkt AND l.vec_id < r.vec_id) t
+         |WHERE cos >= 0.98""".stripMargin,
+    "q25_ann_bruteforce" ->
+      s"""WITH ${Corpus.Sql.emb}
+         |, scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid, q.embedding AS va, c.embedding AS vb,
+         |         $embCos AS cos
+         |  FROM emb c, (SELECT * FROM emb WHERE vec_id < 10) q
+         |  WHERE q.vec_id <> c.vec_id)
+         |SELECT qid, nid, cos FROM (
+         |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM scored) t
+         |WHERE rk <= 5""".stripMargin,
+    "q26_ann_lsh" ->
+      s"""WITH ${Corpus.Sql.emb}
+         |, base AS (SELECT vec_id, embedding, ${lshBucketSql("embedding", 4)} AS bkt FROM emb)
+         |, scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid, q.embedding AS va, c.embedding AS vb,
+         |         $embCos AS cos
+         |  FROM base c JOIN (SELECT * FROM base WHERE vec_id < 10) q ON c.bkt = q.bkt
+         |  WHERE q.vec_id <> c.vec_id)
+         |SELECT qid, nid, cos FROM (
+         |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM scored) t
+         |WHERE rk <= 5""".stripMargin,
+    "q27_text_langid" -> {
+      val langs = Seq("en" -> 4, "de" -> 3, "fr" -> 2, "es" -> 1)
+      val scores = langs.map { case (l, prio) =>
+        val sw = TextAnalysis.Stopwords(l).map(w => s"'$w'").mkString(", ")
+        s"len([w for w in words if w IN ($sw)]) * 8 + $prio"
+      }
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text, string_split_regex(lower(text), '\\s+') AS words
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+         |       WHEN greatest(${scores.mkString(", ")}) % 8 = 4 THEN 'en'
+         |       WHEN greatest(${scores.mkString(", ")}) % 8 = 3 THEN 'de'
+         |       WHEN greatest(${scores.mkString(", ")}) % 8 = 2 THEN 'fr'
+         |       ELSE 'es' END AS pred_lang
+         |FROM t""".stripMargin
+    },
+    "q28_text_quality" -> {
+      val sw = TextAnalysis.Stopwords("en").map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |         CAST(length(text) AS DOUBLE) AS n,
+         |         CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE) AS nw,
+         |         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+         |         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+         |         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS uppr,
+         |         CAST(len([w for w in string_split_regex(lower(text), '\\s+') if w IN ($sw)]) AS DOUBLE) AS stop
+         |  FROM documents)
+         |SELECT doc_id,
+         |       n AS n_chars, nw AS n_words,
+         |       round((n - nw + 1.0) / nw, 4) AS avg_word_len,
+         |       round(punct / n, 4) AS punct_ratio,
+         |       round(digits / n, 4) AS digit_ratio,
+         |       round(uppr / n, 4) AS upper_ratio,
+         |       round(stop / nw, 4) AS stopword_ratio,
+         |       round(greatest(least(n / 200.0, 1.0) * 0.4 + least(stop / nw * 5.0, 1.0) * 0.3
+         |             - least((punct + digits) / n * 5.0, 1.0) * 0.3, 0.0), 4) AS score
+         |FROM t""".stripMargin
+    },
+    "q29_text_tokens" ->
+      s"""SELECT doc_id,
+         |       CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS ws_tokens,
+         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+         |       CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) AS byte_tokens
+         |FROM documents""".stripMargin,
+    "q30_text_fingerprint" ->
+      s"""SELECT doc_id,
+         |       list_reduce([CAST(ascii(substr(text, i, 1)) AS BIGINT) for i in generate_series(1, length(text))],
+         |                   (a, c) -> (a * 31 + c) % 1000000007) AS roll_hash,
+         |       list_aggregate([md5(substr(text, i, 16)) for i in generate_series(1, greatest(length(text) - 15, 1))],
+         |                      'min') AS min_kgram
+         |FROM documents""".stripMargin,
+    "q31_multimodal_decode" ->
+      s"""WITH t AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS len FROM documents)
+         |SELECT doc_id,
+         |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         |       len AS byte_len,
+         |       sha256(text) AS payload_sha,
+         |       CAST(64 + len % 576 AS INT) AS width,
+         |       CAST(64 + len % 320 AS INT) AS height,
+         |       CAST(CASE WHEN doc_id % 3 = 2 THEN len % 30 + 1 ELSE 1 END AS INT) AS frames
+         |FROM t""".stripMargin,
   )
 }

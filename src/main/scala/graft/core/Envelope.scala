@@ -26,6 +26,12 @@ object Envelope {
   val OpTruncate = "t"
   val OpMessage = "m"
 
+  /** Our flat-log encoding of a Kafka tombstone (same key, null value,
+    * emitted after a delete when `emitTombstonesOnDelete` is on;
+    * `EventDispatcher.java:546-559`). Dropped by the reducer before apply.
+    */
+  val OpTombstone = "tombstone"
+
   /** Upsert-like ops: the row exists after the event. */
   val UpsertOps: Seq[String] = Seq(OpRead, OpCreate, OpUpdate)
 

@@ -67,7 +67,12 @@ object CdcApply {
 
     val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val eventsIn = cached.count()
+      // One pass: per-partition event count + max lsn (events-in metric +
+      // the watermark advance vector; all seen events keep it monotone).
+      val stats = cached.groupBy(col("part"))
+        .agg(count(lit(1)).as("n"), max(col("lsn")).as("mx")).collect()
+      val eventsIn = stats.map(_.getAs[Long]("n")).sum
+      val wmAdvance = stats.map(r => r.getInt(0) -> r.getAs[Long]("mx")).toMap
       // Watermark vector for fence 2 (tiny; broadcast joined).
       val wm = last.map(_.watermark).getOrElse(Map.empty[Int, Long])
       val fenced2 =
@@ -83,12 +88,12 @@ object CdcApply {
       val oldFence = last.flatMap(_.fence)
       val fresh0 = oldFence.fold(fenced2)(f => fenced2.where(posCol > posLit(f)))
       val fresh = fresh0.persist(StorageLevel.MEMORY_AND_DISK)
-      val freshCount = fresh.count()
-
-      // New truncate fence from this batch (at most a handful of rows).
-      val batchFence = fresh.where(col("op") === Envelope.OpTruncate)
-        .agg(max(posCol).as("p")).collect().headOption
-        .flatMap(r => Option(r.getStruct(0)))
+      // One pass: surviving-event count + the batch's truncate fence.
+      val fr = fresh.agg(
+        count(lit(1)).as("n"),
+        max(when(col("op") === Envelope.OpTruncate, posCol)).as("p")).collect().head
+      val freshCount = fr.getAs[Long]("n")
+      val batchFence = Option(fr.getStruct(1))
         .map(r => LogPos(r.getString(0), r.getLong(1)))
       val newFence = (oldFence.toSeq ++ batchFence.toSeq)
         .reduceOption((a, b) => a.max(b))
@@ -105,15 +110,14 @@ object CdcApply {
       }
 
       // LWW winners of the batch (salted for hot keys), truncate applied.
-      val dataEvents = fresh.where(col("op") =!= Envelope.OpTruncate)
+      // Tombstone markers carry no state — dropped before reduction.
+      val dataEvents = fresh.where(
+        col("op") =!= Envelope.OpTruncate && col("op") =!= Envelope.OpTombstone)
       val winners0 = Lww.reduce(SchemaEvolution.align(dataEvents, evolved), salt = salt)
       val winners1 = batchFence.fold(winners0)(f => winners0.where(posCol > posLit(f)))
       val winners = winners1.persist(StorageLevel.MEMORY_AND_DISK)
       val winnersCount = winners.count()
 
-      // Watermark advance uses ALL seen events (even fenced ones keep it monotone).
-      val wmAdvance = cached.groupBy(col("part")).agg(max(col("lsn")).as("mx"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       val newWm = (wm.keySet ++ wmAdvance.keySet).map { p =>
         p -> math.max(wm.getOrElse(p, Long.MinValue), wmAdvance.getOrElse(p, Long.MinValue))
       }.toMap
@@ -138,9 +142,14 @@ object CdcApply {
       val state = last.flatMap(ci => table.snapshotRaw(spark, ci, Some(touched)))
         .map(s => SchemaEvolution.align(s, evolved))
         .map(s => batchFence.fold(s)(f => s.where(posCol > posLit(f))))
+      // One shuffle (with map-side partial combine) reduces state ∪ batch;
+      // a second, cheap exchange lays the winners out one-file-per-bucket
+      // so reads prune by bucket and the next merge touches only changed
+      // buckets' files.
       val mergedInput = state.fold(winners)(s => s.unionAll(winners))
       val merged = Lww.reduce(mergedInput)
         .withColumn("__bucket", table.bucketCol)
+        .repartition(table.numBuckets, col("__bucket"))
 
       val staged = table.stage(merged, batchId, schemaIdx)
       val untouchedFiles = last.map(_.files.filterNot(f => touched.contains(f.bucket))).getOrElse(Nil)

@@ -1,37 +1,56 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Envelope
 
 /** Last-writer-wins reduction: keep only the latest event per key, ordered
-  * by (commit DESC, lsn DESC).
+  * by (commit, lsn).
   *
   * Reference semantics: `ReducedRecordBuffer.add` keeps the latest record
   * per key Struct (`debezium-connector-jdbc/.../ReducedRecordBuffer.java:48-115`);
   * the position total order is `BinlogHistoryRecordComparator.java:109-137`.
   *
-  * Spark-first design: one hash-shuffle on the key + an in-partition sort
-  * (window row_number). For skewed keys (hot repos at 10^10 scale, north
-  * rule) the reduction is salted: a first pass reduces per (key, salt) —
-  * map-side-narrowing the hot key's rows by the salt factor — then a second
-  * pass reduces the per-salt winners. Both passes are whole-stage-codegen
-  * window aggregates; no custom physical operator is needed.
+  * Spark-first design — two physical strategies, same semantics:
+  *
+  *  - [[reduce]] (default): `groupBy(key).agg(max_by(row, (commit, lsn)))`.
+  *    This is the scale path: Catalyst plans a partial aggregate BEFORE the
+  *    shuffle (map-side combine), so with duplication factor d the shuffle
+  *    moves ~1/d of the events — a hot key's events collapse inside each
+  *    map task first, which is the built-in answer to skew. With salt > 1
+  *    the aggregate runs in two levels, (key, lsn%salt) then key — useful
+  *    when single hot keys dominate entire input partitions.
+  *  - [[reduceWindow]]: `row_number() OVER (PARTITION BY key ORDER BY
+  *    commit DESC, lsn DESC) = 1`, with optional salted pre-pass. Shuffles
+  *    every event, then sorts. Kept for comparison and for consumers that
+  *    want rank > 1 (history), but the agg path wins at scale.
+  *
+  * Both are deterministic: the (commit, lsn) struct order is total per
+  * key, and ties can only be exact duplicate replays (identical rows).
   */
 object Lww {
 
-  private def ordering = Seq(col("commit").desc, col("lsn").desc)
+  private def pos: Column = struct(col("commit"), col("lsn"))
 
   /** Reduce a flat change log (key cols + commit/lsn + payload) to the
-    * winning event per key.
-    *
-    * @param salt number of salt buckets for the pre-reduction; <= 1 disables
-    *             salting. Use > 1 when the key distribution is hot (a few
-    *             repos owning most events).
+    * winning event per key. Aggregate-based: map-side partial combine.
     */
   def reduce(df: DataFrame, keyCols: Seq[String] = Envelope.keyCols, salt: Int = 1): DataFrame = {
+    def winnerOf(d: DataFrame): Column = max_by(struct(d.columns.map(col): _*), pos).as("__w")
+    val pre =
+      if (salt > 1)
+        df.groupBy(keyCols.map(col) :+ pmod(col("lsn"), lit(salt.toLong)).as("__salt"): _*)
+          .agg(winnerOf(df))
+          .select(col("__w.*"))
+      else df
+    pre.groupBy(keyCols.map(col): _*).agg(winnerOf(pre)).select(col("__w.*"))
+  }
+
+  /** Window/row_number variant (the literal ReducedRecordBuffer shape). */
+  def reduceWindow(df: DataFrame, keyCols: Seq[String] = Envelope.keyCols, salt: Int = 1): DataFrame = {
     val keys = keyCols.map(col)
+    val ordering = Seq(col("commit").desc, col("lsn").desc)
     val pre =
       if (salt > 1) {
         // Salt on lsn: uniform, deterministic, independent of the key.
@@ -55,16 +74,18 @@ object Lww {
     * Truncate ('t') is table-scoped, not key-scoped: it deletes every key
     * whose winning event is ordered before the latest truncate position
     * (SURVEY.md §7.3). Handled by filtering winners below the truncate
-    * fence; a key re-created after the truncate survives.
+    * fence; a key re-created after the truncate survives. Tombstones
+    * (null-value markers trailing a delete) carry no state and are
+    * dropped before reduction, as the reference's sink does.
     */
   def applyState(log: DataFrame, keyCols: Seq[String] = Envelope.keyCols, salt: Int = 1): DataFrame = {
-    val hasTruncate = log.columns.contains("op")
-    require(hasTruncate, "applyState expects an 'op' column")
+    require(log.columns.contains("op"), "applyState expects an 'op' column")
+    val log0 = log.where(col("op") =!= Envelope.OpTombstone)
     // Fence: max (commit, lsn) among truncate events, as a 1-row DF
     // cross-joined (broadcast, tiny) — avoids a driver collect.
-    val fence = log.where(col("op") === Envelope.OpTruncate)
+    val fence = log0.where(col("op") === Envelope.OpTruncate)
       .agg(max(struct(col("commit"), col("lsn"))).as("__fence"))
-    val winners = reduce(log.where(col("op") =!= Envelope.OpTruncate), keyCols, salt)
+    val winners = reduce(log0.where(col("op") =!= Envelope.OpTruncate), keyCols, salt)
     winners
       .crossJoin(broadcast(fence))
       .where(col("__fence").isNull || struct(col("commit"), col("lsn")) > col("__fence"))

@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Envelope
+
+/** Single-message transforms (SMTs) re-expressed as Catalyst column
+  * pipelines — Debezium's Kafka Connect `Transformation<R>` chain
+  * (SURVEY.md §2.2) without the per-record interpreter: each transform is
+  * a declarative `DataFrame => DataFrame` so Catalyst fuses the whole SMT
+  * chain into one whole-stage-codegen projection. At 100 TB this matters:
+  * the reference applies SMTs record-at-a-time on a poll thread
+  * (`AsyncEmbeddedEngine.java:581-594`); here the chain is a single pass
+  * over columnar batches with predicate pushdown through it.
+  *
+  * All transforms operate on either the flat change log
+  * (repo/path/commit/lang/content/op/part/lsn/ts_ms) or the envelope form
+  * (before/after/source/op/...); each Scaladoc cites the reference
+  * behavior it mirrors.
+  */
+object Transforms {
+
+  // ---------------------------------------------------------------- filters
+
+  /** Table include/exclude regex filter over the source table name.
+    * Reference: `RelationalTableFilters` / `Selectors`
+    * (`debezium-connector-common/.../relational/RelationalTableFilters.java`,
+    * `Selectors.java:335`): include wins over exclude; both optional.
+    */
+  def tableFilter(
+      env: DataFrame,
+      include: Option[String] = None,
+      exclude: Option[String] = None,
+      tableCol: Column = col("source.table")): DataFrame = {
+    val inc = include.map(r => tableCol.rlike(r)).getOrElse(lit(true))
+    val exc = exclude.map(r => !tableCol.rlike(r)).getOrElse(lit(true))
+    env.where(if (include.isDefined) inc else inc && exc)
+  }
+
+  /** Drop operations listed in `skipped.operations` — never emit them.
+    * Reference: `EventDispatcher.java:91-92,278-340`
+    * (`shouldEmitNoEventsForSkippedCreateOperations`, BinlogConnectorIT:2380).
+    */
+  def skipOperations(df: DataFrame, skipped: Seq[String]): DataFrame =
+    if (skipped.isEmpty) df else df.where(!col("op").isin(skipped: _*))
+
+  /** Record-size guardrail: drop (or fail on) rows whose payload exceeds
+    * `maxBytes`. Reference: `transforms/EnforceRecordSize.java`.
+    */
+  def enforceRecordSize(df: DataFrame, payload: Column, maxBytes: Int, fail: Boolean = false): DataFrame = {
+    val size = octet_length(payload)
+    if (fail) {
+      // raise_error inside a filter keeps the check distributed.
+      df.withColumn("__sz", size)
+        .withColumn("__chk",
+          when(col("__sz") > maxBytes,
+            raise_error(concat(lit(s"record exceeds $maxBytes bytes: "), col("__sz"))))
+            .otherwise(lit(null)))
+        .drop("__sz", "__chk")
+    } else df.where(size.isNull || size <= maxBytes)
+  }
+
+  /** Scripting-filter analog: arbitrary SQL predicate replaces the
+    * JSR-223/Graal expression. Reference: `debezium-scripting/.../Filter.java`.
+    */
+  def filterExpr(df: DataFrame, predicate: String): DataFrame =
+    df.where(expr(predicate))
+
+  // ----------------------------------------------- column-level projections
+
+  /** Column masking: replace a payload column with a constant mask.
+    * Reference: `relational/mapping/MaskStrings.java` wired through
+    * `ColumnMappers.java:56-74`
+    * (`shouldConsumeEventsWithMaskedAndExcludedColumns`, BinlogConnectorIT:1314).
+    */
+  def maskColumn(df: DataFrame, column: String, mask: String = "***"): DataFrame =
+    df.withColumn(column, when(col(column).isNotNull, lit(mask)).otherwise(lit(null).cast("string")))
+
+  /** Column hash-masking: salted SHA-256 of the value, hex-encoded.
+    * Reference: `MaskStrings.HashValueConverter`
+    * (`shouldConsumeEventsWithMaskedHashedColumns`, BinlogConnectorIT:1370).
+    */
+  def hashColumn(df: DataFrame, column: String, salt: String): DataFrame =
+    df.withColumn(column, sha2(concat(lit(salt), col(column)), 256))
+
+  /** Column truncation to n characters.
+    * Reference: `relational/mapping/TruncateColumn.java`.
+    */
+  def truncateColumn(df: DataFrame, column: String, n: Int): DataFrame =
+    df.withColumn(column, substring(col(column), 1, n))
+
+  /** Column include/exclude projection on the payload columns of a flat
+    * log (meta columns op/part/lsn/ts_ms always survive). Reference:
+    * column filters in `TableSchemaBuilder.create` (`TableSchemaBuilder.java:155-203`).
+    */
+  val MetaCols: Seq[String] = Seq("op", "part", "lsn", "ts_ms")
+
+  def projectColumns(
+      df: DataFrame,
+      include: Option[Seq[String]] = None,
+      exclude: Seq[String] = Nil): DataFrame = {
+    val payload = df.columns.filterNot(MetaCols.contains)
+    val kept = payload
+      .filter(c => include.forall(_.contains(c)))
+      .filterNot(exclude.contains)
+    df.select((kept ++ MetaCols.filter(df.columns.contains)).map(col).toIndexedSeq: _*)
+  }
+
+  // ------------------------------------------------------- record reshaping
+
+  /** ExtractChangedRecordState: list the payload fields whose value changed
+    * between `before` and `after` (null-safe), as a sorted comma-joined
+    * string (stable across engines). Reference:
+    * `transforms/ExtractChangedRecordState.java` — emits changed/unchanged
+    * field-name headers for updates.
+    */
+  def changedFields(env: DataFrame, fields: Seq[String] = Envelope.baseRowSchema.fieldNames.toSeq): Column = {
+    val changed = fields.sorted.map { f =>
+      when(!(col(s"before.$f") <=> col(s"after.$f")), lit(f))
+    }
+    array_join(filter(array(changed: _*), c => c.isNotNull), ",")
+  }
+
+  /** Rewrite snapshot reads as inserts (`op: r -> c`) for consumers that
+    * do not understand 'r'. Reference:
+    * `debezium-connector-mysql/.../transforms/ReadToInsertEvent.java`.
+    */
+  def readToInsert(df: DataFrame): DataFrame =
+    df.withColumn("op", when(col("op") === Envelope.OpRead, Envelope.OpCreate).otherwise(col("op")))
+
+  /** Content-based router: compute the sink route from an SQL expression
+    * over the record. Reference: `debezium-scripting/.../ContentBasedRouter.java`
+    * (expression language → Spark SQL).
+    */
+  def contentBasedRouter(df: DataFrame, routeExpr: String, routeCol: String = "__route"): DataFrame =
+    df.withColumn(routeCol, expr(routeExpr))
+
+  /** ByLogicalTableRouter: collapse physical shard names onto one logical
+    * name by regex, keeping the original as a key discriminator column so
+    * merged keys stay unique. Reference: `transforms/ByLogicalTableRouter.java:462`.
+    */
+  def byLogicalTableRouter(
+      df: DataFrame,
+      nameCol: Column,
+      pattern: String,
+      replacement: String,
+      logicalCol: String = "__logical_table",
+      discriminatorCol: String = "__shard"): DataFrame =
+    df.withColumn(logicalCol, regexp_replace(nameCol, pattern, replacement))
+      .withColumn(discriminatorCol, nameCol)
+
+  /** PartitionRouting / ComputePartition: stable partition from the hash of
+    * chosen payload fields. Reference semantics `abs(hash(fields)) % n`
+    * (`transforms/partitions/PartitionRouting.java:243-251`); we use
+    * Murmur3 (Spark's `hash`) — same contract: deterministic key→partition.
+    */
+  def partitionRouting(df: DataFrame, fields: Seq[String], numPartitions: Int, out: String = "__partition"): DataFrame =
+    df.withColumn(out, pmod(hash(fields.map(col): _*), lit(numPartitions)))
+
+  /** Outbox EventRouter: unpack outbox-table rows — route by aggregate
+    * type, key by aggregate id, payload expansion, passthrough extras.
+    * Reference: `transforms/outbox/EventRouter.java` + `EventRouterDelegate`.
+    * Input: flat log whose payload has (aggregatetype, aggregateid,
+    * event_type, payload) columns.
+    */
+  def outboxRouter(df: DataFrame): DataFrame =
+    df.where(col("op").isin(Envelope.OpCreate, Envelope.OpRead)) // outbox rows are INSERT-only
+      .select(
+        col("aggregatetype").as("route"),
+        col("aggregateid").as("key"),
+        col("event_type"),
+        col("payload"),
+        col("lsn"),
+        col("ts_ms"))
+
+  /** TimezoneConverter: re-render an epoch-millis column as a timestamp in
+    * a target zone. Reference: `transforms/TimezoneConverter.java:582`.
+    */
+  def convertTimezone(df: DataFrame, column: String, tz: String, out: String): DataFrame =
+    df.withColumn(out, from_utc_timestamp(timestamp_millis(col(column)), tz))
+
+  /** Tombstone emission: after every delete, a marker record with the same
+    * key, position, and a null payload — so log-compacted downstream stores
+    * drop the key. Reference: `EventDispatcher.java:546-559`
+    * (`emitTombstonesOnDelete`; `shouldEmitTombstoneOnDeleteByDefault`,
+    * BinlogConnectorIT:1474). The reducer drops tombstones before apply.
+    */
+  def emitTombstones(df: DataFrame, keyCols: Seq[String] = Envelope.keyCols): DataFrame = {
+    val keep = (keyCols ++ MetaCols ++ Seq("commit")).toSet
+    val tombs = df.where(col("op") === Envelope.OpDelete)
+      .select(df.columns.map { c =>
+        if (keep.contains(c)) col(c) else lit(null).cast(df.schema(c).dataType).as(c)
+      }.toIndexedSeq: _*)
+      .withColumn("op", lit(Envelope.OpTombstone))
+    df.unionByName(tombs)
+  }
+
+  /** Engine-portable stable routing hash: sum of the ascii codes of the
+    * md5 hex digest, mod n. Same contract as [[partitionRouting]]
+    * (deterministic key→partition, `PartitionRouting.java:243-251`) but
+    * reproducible in any engine that has md5 — used where a cross-engine
+    * oracle must recompute the route. Production path stays Murmur3.
+    */
+  def stableRoute(key: Column, n: Int): Column = {
+    val h = md5(key)
+    pmod(
+      aggregate(
+        transform(sequence(lit(1), lit(32)), i => ascii(h.substr(i, lit(1))).cast("long")),
+        lit(0L), (acc, c) => acc + c),
+      lit(n.toLong))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Control-plane signals (SURVEY.md §2.1 "Signal channels").
+  *
+  * Reference: `pipeline/signal/SignalProcessor.java` polls registered
+  * channels (source table, file, Kafka, JMX, in-process) for
+  * `SignalRecord{id, type, data}` (`pipeline/signal/SignalRecord.java:29-37`)
+  * and dispatches to actions (execute-snapshot, stop-snapshot, pause,
+  * resume, log).
+  *
+  * Spark-first: the channel is a tiny JSON-lines file read at each
+  * microbatch boundary inside `foreachBatch` — driver-side, O(signals)
+  * bytes, never a cluster job. Processed signal ids are recorded next to
+  * the channel so redelivery is idempotent (the reference dedupes via the
+  * signal table's PK).
+  */
+object Signals {
+
+  final case class SignalRecord(id: String, `type`: String, data: String)
+
+  val ExecuteSnapshot = "execute-snapshot"
+  val StopSnapshot = "stop-snapshot"
+  val PauseSnapshot = "pause-snapshot"
+  val ResumeSnapshot = "resume-snapshot"
+  val Log = "log"
+
+  val schema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("type", StringType, nullable = false),
+    StructField("data", StringType, nullable = true)))
+
+  /** Append a signal to a file channel (test/ops helper). */
+  def send(channel: String, s: SignalRecord): Unit = {
+    val p = Paths.get(channel)
+    Files.createDirectories(p.getParent)
+    val line = LineCodec.toJson(s) + "\n"
+    Files.writeString(p, line, StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  /** Read all signals currently in the file channel (driver-side). */
+  def read(channel: String): Seq[SignalRecord] = {
+    val p = Paths.get(channel)
+    if (!Files.exists(p)) Nil
+    else Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map(LineCodec.fromJson)
+  }
+
+  /** Signals not yet marked processed; marking is an append to
+    * `<channel>.done`. Idempotent redelivery: already-done ids are skipped.
+    */
+  def pending(channel: String): Seq[SignalRecord] = {
+    val done = {
+      val p = Paths.get(channel + ".done")
+      if (Files.exists(p)) Files.readAllLines(p).asScala.toSet else Set.empty[String]
+    }
+    read(channel).filterNot(s => done.contains(s.id))
+  }
+
+  def markProcessed(channel: String, ids: Seq[String]): Unit = {
+    if (ids.isEmpty) return
+    val p = Paths.get(channel + ".done")
+    Files.writeString(p, ids.mkString("", "\n", "\n"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  /** Minimal explicit JSON codec (flat 3-field record; avoids dragging a
+    * JSON mapper into executors — this never leaves the driver anyway).
+    */
+  private object LineCodec {
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c => c.toString
+    }
+    def toJson(s: SignalRecord): String =
+      s"""{"id":"${esc(s.id)}","type":"${esc(s.`type`)}","data":"${esc(Option(s.data).getOrElse(""))}"}"""
+    private val R = """\{"id":"(.*?)","type":"(.*?)","data":"(.*)"\}""".r
+    def fromJson(line: String): SignalRecord = line.trim match {
+      case R(i, t, d) => SignalRecord(unesc(i), unesc(t), unesc(d))
+      case other => throw new IllegalArgumentException(s"bad signal line: $other")
+    }
+    private def unesc(s: String): String =
+      s.replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\")
+  }
+}

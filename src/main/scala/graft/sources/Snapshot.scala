@@ -1,0 +1,105 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Envelope
+
+/** Snapshotting — the batch side of CDC (SURVEY.md §2.1).
+  *
+  * Reference phase sequence (`RelationalSnapshotChangeEventSource.java:132-198`):
+  * lock → determine snapshot offset → read structure → release locks → emit
+  * `op='r'` for every row. In Spark the "lock + consistent read" collapses
+  * into reading one immutable snapshot of the base table (a parquet dir /
+  * lake-table commit IS a consistent snapshot), and parallel snapshotting
+  * (`snapshot.max.threads`, `:574,837-860`) is the partitioned scan itself.
+  */
+object Snapshot {
+
+  /** Initial consistent snapshot: every current row becomes an `op='r'`
+    * change event positioned AT the snapshot offset (so streamed events
+    * after that offset win LWW, and replays at-or-below it lose).
+    * Reference: `createDataEvents`,
+    * `RelationalSnapshotChangeEventSource.java:520-660`; snapshot records
+    * are marked in the source block (`snapshot=true`).
+    *
+    * @param rows        current base-table rows (repo, path, commit, lang, content)
+    * @param snapshotLsn the consistent offset the snapshot was taken at
+    * @param parts       number of source partitions to tag rows with
+    */
+  def initial(rows: DataFrame, snapshotLsn: Long, parts: Int = 8): DataFrame =
+    rows.select(
+      col("repo"), col("path"), col("commit"), col("lang"), col("content"),
+      lit(Envelope.OpRead).as("op"),
+      pmod(hash(col("repo"), col("path")), lit(parts)).as("part"),
+      lit(snapshotLsn).as("lsn"),
+      (lit(1700000000000L) + lit(snapshotLsn) * 1000L).as("ts_ms"))
+
+  /** Chunked snapshot of one large table: split the scan into key-range
+    * chunks. Reference computes PK-range boundaries with min/max +
+    * row-count then issues per-chunk `WHERE pk BETWEEN` queries
+    * (`ChunkBoundaryCalculator.java:48-126`, `SnapshotChunkQueryBuilder.java:37-129`);
+    * Spark's `repartitionByRange` does exactly this — it range-samples the
+    * keys (reservoir sample, the min/max+count analog) and produces
+    * `numChunks` contiguous, disjoint key ranges, scanned in parallel.
+    */
+  def chunked(rows: DataFrame, numChunks: Int, keys: Seq[Column]): DataFrame =
+    rows.repartitionByRange(numChunks, keys: _*)
+
+  /** Incremental-snapshot window dedup (the DBLog watermark algorithm).
+    *
+    * Reference (`AbstractIncrementalSnapshotChangeEventSource.java`):
+    * open low watermark → read a chunk into a PK-keyed buffer (`:87`) →
+    * close high watermark; every streamed event inside the window REMOVES
+    * its key from the buffer (`deduplicateWindow`, `:197-206`) — the
+    * streamed (fresher) image wins; the surviving buffer flushes on window
+    * close (`sendWindowEvents`, `:170-177`).
+    *
+    * Spark-first: the buffer is the chunk DataFrame; the window dedup is a
+    * broadcast `left_anti` join of the chunk against the in-window stream
+    * keys (stream slice of one chunk window is small by construction —
+    * `incremental.snapshot.chunk.size` bounds it). No state store needed:
+    * the watermark pair delimits the join input.
+    *
+    * @param chunk        chunk of the base table being backfilled
+    * @param stream       the flat change log
+    * @param lowWatermark  offset when the chunk read opened
+    * @param highWatermark offset when the chunk read closed
+    * @return the chunk rows that survive (to be emitted as `op='r'` at
+    *         `lowWatermark` position, losing LWW against any fresher event)
+    */
+  def dedupWindow(
+      chunk: DataFrame,
+      stream: DataFrame,
+      lowWatermark: Long,
+      highWatermark: Long,
+      keyCols: Seq[String] = Envelope.keyCols): DataFrame = {
+    val inWindow = stream
+      .where(col("lsn") > lowWatermark && col("lsn") <= highWatermark)
+      .select(keyCols.map(col): _*)
+    chunk.join(broadcast(inWindow.dropDuplicates(keyCols)), keyCols, "left_anti")
+  }
+
+  /** Full incremental snapshot of a table while the stream is live: every
+    * chunk window-deduped then re-emitted as `op='r'` AT the low watermark,
+    * unioned with the stream. LWW at apply time resolves the rest: a
+    * streamed event with lsn > lowWatermark beats the snapshot row.
+    * Chunking over `numChunks` uses a deterministic key split so chunk
+    * membership is reproducible (default: key hash; overridable for
+    * range-based chunking or an SQL-twin-able function).
+    */
+  def incremental(
+      rows: DataFrame,
+      stream: DataFrame,
+      numChunks: Int,
+      windowFor: Int => (Long, Long),
+      parts: Int = 8,
+      chunkExpr: Option[Column] = None): DataFrame = {
+    val chunkCol = chunkExpr.getOrElse(pmod(hash(Envelope.keyCols.map(col): _*), lit(numChunks)))
+    val chunks = (0 until numChunks).map { i =>
+      val (lo, hi) = windowFor(i)
+      val chunk = rows.where(chunkCol === i)
+      initial(dedupWindow(chunk, stream, lo, hi), snapshotLsn = lo, parts = parts)
+    }
+    chunks.reduce(_.unionAll(_))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.tdp
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the exact baseline, and a sign-random-
+  * projection LSH bucketing as the scale path (per-bucket candidate
+  * generation instead of the full cross product).
+  *
+  * Determinism: the random hyperplanes are ±1 weights derived from
+  * md5("p_d") (no RNG), so Spark, a re-run, and the DuckDB oracle all
+  * compute identical buckets; dot products fold left-to-right in double
+  * precision in both engines, so even the float math is bit-identical.
+  *
+  * Scale: brute-force is a broadcast of the (small) query set against the
+  * corpus — one narrow pass, no shuffle of the corpus. The LSH variant
+  * shuffles only (bucket, id, vec) once; at 1000 executors each bucket's
+  * candidates co-locate. An IVF refinement would replace the hash bucket
+  * with a learned-centroid assignment — same join shape.
+  */
+object Similarity {
+
+  /** Left-to-right double-precision dot product. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  // -------------------------------------------------------------- LSH bucket
+
+  /** ±1 weight for hyperplane p, dimension d (0-based): +1 iff the first
+    * hex digit of md5("p_d") is '8'..'f'. Shared contract with the SQL
+    * oracle.
+    */
+  def planeWeight(p: Int, d: Int): Double = {
+    val md = MessageDigest.getInstance("MD5")
+      .digest(s"${p}_$d".getBytes(StandardCharsets.UTF_8))
+    if (((md(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
+  }
+
+  /** Bucket key: the sign pattern of `planes` deterministic ±1-weight
+    * projections, as a bit-string ("101…"). Weights are inlined as array
+    * literals (driver-computed, tiny) so the projection is pure codegen.
+    */
+  def lshBucket(vec: Column, planes: Int, dims: Int = 64): Column =
+    concat((0 until planes).map { p =>
+      val w = typedlit((0 until dims).map(d => planeWeight(p, d)))
+      val proj = aggregate(
+        zip_with(vec, w, (x, wd) => x.cast("double") * wd),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, "1").otherwise("0")
+    }: _*)
+
+  // ----------------------------------------------------------- brute force
+
+  /** Exact top-k cosine neighbors for each query vector. The query set is
+    * broadcast (small by contract); ranking is per-query with a
+    * deterministic tie-break (cos DESC, neighbor id ASC).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), round(cosine(col("qv"), col("nv")), 4).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** LSH-bucketed ANN: candidates = corpus vectors in the query's bucket;
+    * exact cosine re-ranks within the bucket. Recall trades off with
+    * bucket count (`planes`); a multi-probe variant would also search
+    * neighboring buckets (hamming-1 keys) — same join, more keys.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      planes: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), planes).as("bkt"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      lshBucket(col(vecCol), planes).as("bkt"))
+    val scored = c.join(broadcast(q), "bkt")
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), round(cosine(col("qv"), col("nv")), 4).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+}

@@ -78,6 +78,17 @@ class LwwSpec extends SparkSpec {
     }
   }
 
+  test("aggregate reduce (max_by) and window reduce (row_number) are equivalent") {
+    for (seed <- 25 to 27) {
+      val log = randomLog(seed, 300, withTruncate = false)
+      val agg = Lww.reduce(log.toDF()).as[FlatEvent].collect().sortBy(_.lsn)
+      val win = Lww.reduceWindow(log.toDF()).as[FlatEvent].collect().sortBy(_.lsn)
+      val winSalted = Lww.reduceWindow(log.toDF(), salt = 4).as[FlatEvent].collect().sortBy(_.lsn)
+      assert(agg.toSeq === win.toSeq, s"seed=$seed")
+      assert(agg.toSeq === winSalted.toSeq, s"seed=$seed")
+    }
+  }
+
   test("reduction is idempotent and merge-associative: reduce(a ++ b) == reduce(reduce(a) ++ reduce(b))") {
     val log = randomLog(30, 400, withTruncate = false)
     val (a, b) = log.splitAt(log.size / 2)

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Envelope
+import graft.operators.Lww
+import graft.sources.{ChangeLog, Signals, Snapshot}
+
+/** Snapshot semantics (SURVEY.md §2.1): initial snapshot ∪ stream
+  * convergence, chunked scan, DBLog watermark-window dedup, signal channel.
+  */
+class SnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("initial snapshot ∪ stream tail converges to the full-log fold (shouldConsumeAllEventsFromDatabaseUsingSnapshot)") {
+    val log = ChangeLog.base(spark, sf)
+    val mx = log.agg(max("lsn")).as[Long].head()
+    val snapAt = mx / 2
+    val state = Lww.applyState(log.where(col("lsn") <= snapAt))
+      .select("repo", "path", "commit", "lang", "content")
+    val snap = Snapshot.initial(state, snapAt)
+    // snapshot rows are marked op='r' and positioned at the snapshot offset
+    assert(snap.select("op").distinct().as[String].collect().toSeq === Seq(Envelope.OpRead))
+    assert(snap.select("lsn").distinct().as[Long].collect().toSeq === Seq(snapAt))
+    val merged = Lww.applyState(snap.unionByName(log.where(col("lsn") > snapAt)))
+    val full = Lww.applyState(log)
+    val cols = Seq("repo", "path", "commit", "lang", "content")
+    assert(merged.select(cols.map(col): _*).exceptAll(full.select(cols.map(col): _*)).count() === 0)
+    assert(full.select(cols.map(col): _*).exceptAll(merged.select(cols.map(col): _*)).count() === 0)
+  }
+
+  test("chunked snapshot: disjoint contiguous key ranges, all rows covered") {
+    val rows = spark.range(0, 1000).select(
+      concat(lit("k"), lpad(col("id").cast("string"), 4, "0")).as("repo"),
+      lit("p").as("path"))
+    val chunked = Snapshot.chunked(rows, 8, Seq(col("repo")))
+    val byPart = chunked
+      .select(spark_partition_id().as("pid"), col("repo"))
+      .groupBy("pid").agg(min("repo").as("lo"), max("repo").as("hi"), count(lit(1)).as("n"))
+      .orderBy("lo").collect()
+    assert(byPart.map(_.getAs[Long]("n")).sum === 1000L)
+    // ranges are disjoint and ordered: each chunk's lo > previous chunk's hi
+    val pairs = byPart.sliding(2).toSeq
+    assert(pairs.forall { case Array(a, b) => a.getAs[String]("hi") < b.getAs[String]("lo"); case _ => true })
+  }
+
+  test("DBLog watermark-window dedup evicts chunk rows shadowed by in-window stream events") {
+    val chunk = Seq(("r1", "a", "c1", "en", "v0"), ("r1", "b", "c1", "en", "v0"), ("r1", "c", "c1", "en", "v0"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    val stream = Seq(
+      ("r1", "a", "c9", "en", "v9", "u", 0, 15L, 0L), // inside window -> evicts chunk row a
+      ("r1", "b", "c9", "en", "v9", "u", 0, 25L, 0L), // outside window -> chunk row b survives
+      ("r1", "z", "c9", "en", "v9", "c", 0, 12L, 0L)  // unrelated key
+    ).toDF("repo", "path", "commit", "lang", "content", "op", "part", "lsn", "ts_ms")
+    val surviving = Snapshot.dedupWindow(chunk, stream, lowWatermark = 10L, highWatermark = 20L)
+    assert(surviving.select("path").as[String].collect().toSet === Set("b", "c"))
+  }
+
+  test("incremental snapshot ∪ stream converges to the full fold") {
+    val log = ChangeLog.base(spark, sf)
+    val mx = log.agg(max("lsn")).as[Long].head()
+    val rows = Lww.applyState(log).select("repo", "path", "commit", "lang", "content")
+    val snap = Snapshot.incremental(rows, log, numChunks = 4,
+      windowFor = i => (mx * i / 8, mx * (i + 1) / 8))
+    // every surviving snapshot row keyed uniquely; union with stream re-converges
+    val merged = Lww.applyState(snap.unionByName(log))
+    val full = Lww.applyState(log)
+    val cols = Seq("repo", "path", "content")
+    assert(merged.select(cols.map(col): _*).exceptAll(full.select(cols.map(col): _*)).count() === 0)
+    assert(full.select(cols.map(col): _*).exceptAll(merged.select(cols.map(col): _*)).count() === 0)
+  }
+
+  test("signal channel: append, read, idempotent processing marks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-signals")
+    val ch = s"$dir/signals.jsonl"
+    Signals.send(ch, Signals.SignalRecord("s1", Signals.ExecuteSnapshot, """{"table":"repo_files"}"""))
+    Signals.send(ch, Signals.SignalRecord("s2", Signals.Log, "hello"))
+    assert(Signals.read(ch).map(_.id) === Seq("s1", "s2"))
+    assert(Signals.pending(ch).map(_.id) === Seq("s1", "s2"))
+    Signals.markProcessed(ch, Seq("s1"))
+    assert(Signals.pending(ch).map(_.id) === Seq("s2"))
+    // redelivery of a processed id stays filtered
+    Signals.markProcessed(ch, Seq("s2"))
+    assert(Signals.pending(ch).isEmpty)
+    val s1 = Signals.read(ch).head
+    assert(s1.`type` === Signals.ExecuteSnapshot && s1.data.contains("repo_files"))
+  }
+}

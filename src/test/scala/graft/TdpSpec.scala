@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.tdp.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators: dedup family, similarity search,
+  * text analysis, multimodal plumbing. Uses the sf0.001 corpus with
+  * planted exact dups (doc_id%7 → +2000000) and near dups
+  * (doc_id%5 → +1000000, tail appended); see [[Corpus]].
+  */
+class TdpSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val corpus = Corpus.docsWithDups(spark, sf).cache()
+  private lazy val embs = Corpus.embsWithDups(spark, sf).cache()
+
+  test("exact dedup: planted exact copies collapse onto the lowest doc_id") {
+    val groups = Dedup.exactGroups(corpus)
+    val dupGroups = groups.where(col("copies") >= 2)
+    // every doc_id%7 plant produces a >=2 group canonicalized to the original id
+    val planted = corpus.where(col("doc_id") >= 2000000L).count()
+    assert(dupGroups.count() >= planted)
+    assert(dupGroups.where(col("canonical_id") >= 2000000L).count() === 0)
+    val kept = Dedup.exact(corpus)
+    assert(kept.count() === groups.count()) // one survivor per sha group
+    assert(kept.where(col("doc_id") >= 2000000L).count() === 0)
+  }
+
+  test("minhash LSH: finds planted exact and near dup pairs, no self-pairs") {
+    val pairs = Dedup.minhashLsh(corpus, bands = 4, rowsPerBand = 4, threshold = 0.7).cache()
+    val asSet = pairs.select("a", "b").as[(Long, Long)].collect().toSet
+    // exact dups must collide in every band (est_jaccard = 1.0)
+    val exactPlants = corpus.where(col("doc_id") >= 2000000L)
+      .select((col("doc_id") - 2000000L).as("a"), col("doc_id").as("b")).as[(Long, Long)].collect()
+    exactPlants.foreach { p => assert(asSet.contains(p), s"missing exact pair $p") }
+    // near dups (tail append) keep high jaccard; expect most to be found
+    val nearPlants = corpus.where(col("doc_id") >= 1000000L && col("doc_id") < 2000000L).count()
+    val nearFound = pairs.where(col("b") >= 1000000L && col("b") < 2000000L && col("a") === col("b") - 1000000L).count()
+    assert(nearFound >= nearPlants * 8 / 10, s"found $nearFound of $nearPlants near pairs")
+    assert(pairs.where(col("a") === col("b")).count() === 0)
+    assert(pairs.where(col("est_jaccard") < 0.7).count() === 0)
+  }
+
+  test("simhash: identical fingerprints for exact dups; 16-bit bitstring") {
+    val fp = corpus.select(col("doc_id"), Dedup.simhash(col("text")).as("fp")).cache()
+    assert(fp.where(length(col("fp")) =!= 16).count() === 0)
+    val joined = fp.where(col("doc_id") >= 2000000L).select((col("doc_id") - 2000000L).as("doc_id"), col("fp").as("fp2"))
+      .join(fp, "doc_id")
+    assert(joined.where(col("fp") =!= col("fp2")).count() === 0)
+    val pairs = Dedup.simhashPairs(corpus)
+    assert(pairs.where(col("a") === col("b")).count() === 0)
+  }
+
+  test("n-gram jaccard: exact dup pairs at 1.0; near dups above threshold") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, threshold = 0.6).cache()
+    val exact = pairs.where(col("b") - col("a") === 2000000L)
+    assert(exact.where(col("jaccard") =!= 1.0).count() === 0)
+    val exactPlants = corpus.where(col("doc_id") >= 2000000L).count()
+    assert(exact.count() === exactPlants)
+    val near = pairs.where(col("b") - col("a") === 1000000L)
+    assert(near.count() > 0)
+    assert(near.agg(min("jaccard")).as[Double].head() >= 0.6)
+  }
+
+  test("embedding cosine near-dup: scaled plants detected at cos≈1 in same LSH bucket") {
+    val pairs = Dedup.embeddingCosinePairs(embs, threshold = 0.98, planes = 6).cache()
+    val plants = embs.where(col("vec_id") >= 1000000L).count()
+    val found = pairs.where(col("b") - col("a") === 1000000L && col("cos") >= 0.9999).count()
+    assert(found === plants, s"found $found of $plants scaled plants")
+  }
+
+  test("ANN brute force: top-1 of a planted query is its scaled copy; k and ordering respected") {
+    val queries = embs.where(col("vec_id") === 0L) // 0 % 5 == 0 → has a scaled copy
+    val top = Similarity.bruteForceTopK(embs, queries, k = 5).cache()
+    assert(top.count() === 5)
+    val first = top.where(col("rk") === 1).select("nid", "cos").as[(Long, Double)].head()
+    assert(first._1 === 1000000L && first._2 >= 0.9999)
+    // scores non-increasing in rank
+    val ordered = top.orderBy("rk").select("cos").as[Double].collect().toSeq
+    assert(ordered.sliding(2).forall { case Seq(x, y) => x >= y; case _ => true })
+  }
+
+  test("ANN LSH: bucketed search still finds the scaled copy; candidates only from same bucket") {
+    val queries = embs.where(col("vec_id") === 0L)
+    val top = Similarity.lshTopK(embs, queries, k = 5, planes = 4)
+    val first = top.where(col("rk") === 1).select("nid").as[Long].head()
+    assert(first === 1000000L)
+    // recall vs brute force at same k (bucket restriction may lose some)
+    val bf = Similarity.bruteForceTopK(embs, queries, k = 5).select("nid").as[Long].collect().toSet
+    val lsh = top.select("nid").as[Long].collect().toSet
+    assert(lsh.subsetOf(bf) || lsh.intersect(bf).nonEmpty)
+  }
+
+  test("language ID: deterministic, known languages, zh short-circuit") {
+    val pred = Corpus.documents(spark, sf)
+      .select(TextAnalysis.langId(col("text")).as("p")).distinct().as[String].collect().toSet
+    assert(pred.subsetOf(Set("en", "de", "fr", "es", "zh")))
+    val zh = Seq("你好 世界").toDF("text").select(TextAnalysis.langId(col("text"))).as[String].head()
+    assert(zh === "zh")
+    val en = Seq("the cat and the dog of a house is in it").toDF("text")
+      .select(TextAnalysis.langId(col("text"))).as[String].head()
+    assert(en === "en")
+  }
+
+  test("quality score in [0,1]; degenerate docs score low") {
+    val scored = Corpus.documents(spark, sf).select(TextAnalysis.qualityScore(col("text")).as("s"))
+    assert(scored.where(col("s") < 0 || col("s") > 1).count() === 0)
+    val junk = Seq("!!!! #### 1234 %%%%").toDF("text")
+      .select(TextAnalysis.qualityScore(col("text"))).as[Double].head()
+    val good = Seq("the quick brown fox jumps over the lazy dog and runs to the house of a friend in town every day").toDF("text")
+      .select(TextAnalysis.qualityScore(col("text"))).as[Double].head()
+    assert(good > junk)
+  }
+
+  test("token counts: ws/bpe-ish/byte-estimate consistency") {
+    val t = Seq("Hello world, 42 times!").toDF("text").select(
+      TextAnalysis.wsTokenCount(col("text")).as("ws"),
+      TextAnalysis.bpeIshTokenCount(col("text")).as("bpe"),
+      TextAnalysis.byteTokenEstimate(col("text")).as("bt"))
+      .as[(Int, Int, Long)].head()
+    assert(t._1 === 4)      // Hello / world, / 42 / times!
+    assert(t._2 === 6)      // Hello world , 42 times !
+    assert(t._3 === math.ceil(22 / 4.0).toLong)
+  }
+
+  test("fingerprints: rolling hash matches a driver-side fold; min-kgram stable under distant edits") {
+    val s = "abcdef"
+    val expected = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    val got = Seq(s).toDF("text").select(TextAnalysis.rollingHash(col("text"))).as[Long].head()
+    assert(got === expected)
+    val base = ("x" * 40) + "unique minimal window text" + ("y" * 40)
+    def md5hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expectedMin = (0 to base.length - 16).map(i => md5hex(base.substring(i, i + 16))).min
+    val fp = Seq(base).toDF("text")
+      .select(TextAnalysis.minKgramFingerprint(col("text"), 16)).as[String].head()
+    assert(fp === expectedMin)
+  }
+
+  test("multimodal: typed plumbing roundtrip — decode features match payload bytes") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val feats = Multimodal.decode(media, batchSize = 32).cache()
+    assert(feats.count() === media.count())
+    // features are a pure function of the payload: check one row end-to-end
+    val row = media.filter(_.doc_id == 1L).head()
+    val f = feats.filter(_.doc_id == 1L).head()
+    assert(f.byte_len === row.payload.length.toLong)
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(row.payload).map("%02x".format(_)).mkString
+    assert(f.payload_sha === sha)
+    assert(f.width === (64 + f.byte_len % 576).toInt && f.height === (64 + f.byte_len % 320).toInt)
+    // frame sampling: every-10th frame for videos, single frame otherwise
+    val sampled = Multimodal.sampleFrames(feats.toDF(), everyN = 10)
+    val v = feats.filter(_.media_type == "video").head()
+    val idx = sampled.where(col("doc_id") === v.doc_id).select("frame_idx").as[Int].collect().sorted
+    assert(idx.toSeq === (0 until v.frames by 10).toSeq)
+    val img = feats.filter(_.media_type == "image").head()
+    assert(sampled.where(col("doc_id") === img.doc_id).count() === 1)
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Envelope
+import graft.operators.{Lww, Transforms}
+
+/** SMT semantics (SURVEY.md §2.2), mirroring the reference's
+  * BinlogConnectorIT scenario names where applicable.
+  */
+class TransformsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def log = Seq(
+    // (repo, path, commit, lang, content, op, part, lsn, ts_ms)
+    ("r1", "a", "c01", "en", "v1", "c", 0, 1L, 1000L),
+    ("r1", "a", "c02", "en", "v2", "u", 0, 2L, 2000L),
+    ("r1", "b", "c03", "fr", "w1", "c", 1, 3L, 3000L),
+    ("r1", "b", "c04", "fr", null, "d", 1, 4L, 4000L),
+    ("r2", "a", "c05", "de", "x1", "r", 0, 5L, 5000L)
+  ).toDF("repo", "path", "commit", "lang", "content", "op", "part", "lsn", "ts_ms")
+
+  test("skipOperations drops configured ops (shouldEmitNoEventsForSkippedCreateOperations)") {
+    val out = Transforms.skipOperations(log, Seq("c")).select("op").as[String].collect()
+    assert(!out.contains("c") && out.length === 3)
+  }
+
+  test("mask/hash/truncate column mappers") {
+    val masked = Transforms.maskColumn(log, "content").select("content").as[String].collect()
+    assert(masked.toSet === Set("***", null))
+    val hashed = Transforms.hashColumn(log, "lang", "s1")
+      .select("lang").as[String].collect()
+    assert(hashed.forall(h => h.length === 64))
+    // deterministic + salted
+    val again = Transforms.hashColumn(log, "lang", "s1").select("lang").as[String].collect()
+    assert(hashed.sameElements(again))
+    val trunc = Transforms.truncateColumn(log, "content", 1).select("content").as[String].collect()
+    assert(trunc.filter(_ != null).forall(_.length === 1))
+  }
+
+  test("projectColumns keeps meta cols, applies include/exclude") {
+    val out = Transforms.projectColumns(log, exclude = Seq("content"))
+    assert(out.columns.toSet === Set("repo", "path", "commit", "lang", "op", "part", "lsn", "ts_ms"))
+    val only = Transforms.projectColumns(log, include = Some(Seq("repo", "path")))
+    assert(only.columns.toSet === Set("repo", "path", "op", "part", "lsn", "ts_ms"))
+  }
+
+  test("readToInsert rewrites r to c only") {
+    val ops = Transforms.readToInsert(log).select("op").as[String].collect().sorted
+    assert(ops.count(_ == "c") === 3 && !ops.contains("r"))
+  }
+
+  test("enforceRecordSize drops oversized payloads") {
+    val out = Transforms.enforceRecordSize(log, col("content"), maxBytes = 1)
+    // "v1","v2","w1","x1" are 2 bytes -> dropped; null passes the guard
+    assert(out.count() === 1)
+  }
+
+  test("partitionRouting is stable and in range") {
+    val a = Transforms.partitionRouting(log, Seq("repo", "path"), 4).select("__partition").as[Int].collect()
+    val b = Transforms.partitionRouting(log, Seq("repo", "path"), 4).select("__partition").as[Int].collect()
+    assert(a.sameElements(b) && a.forall(p => p >= 0 && p < 4))
+    // same key -> same partition
+    val byKey = Transforms.partitionRouting(log, Seq("repo", "path"), 4)
+      .groupBy("repo", "path").agg(countDistinct("__partition").as("n"))
+      .select("n").as[Long].collect()
+    assert(byKey.forall(_ === 1L))
+  }
+
+  test("stableRoute matches a hand-computed md5 char-sum") {
+    val route = log.limit(1)
+      .select(Transforms.stableRoute(lit("k1"), 16).as("r")).as[Long].head()
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("k1".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(route === md5hex.map(_.toLong).sum % 16)
+  }
+
+  test("emitTombstones: delete followed by null-payload marker; reducer drops it (shouldEmitTombstoneOnDeleteByDefault)") {
+    val out = Transforms.emitTombstones(log)
+    assert(out.count() === 6)
+    val tomb = out.where(col("op") === Envelope.OpTombstone).collect()
+    assert(tomb.length === 1)
+    val t = tomb.head
+    assert(t.getAs[String]("repo") === "r1" && t.getAs[String]("path") === "b")
+    assert(t.getAs[String]("content") == null && t.getAs[String]("lang") == null)
+    // LWW apply ignores tombstones: r1/b stays deleted, nothing resurrected
+    val state = Lww.applyState(out)
+    assert(state.where(col("repo") === "r1" && col("path") === "b").count() === 0)
+    assert(state.count() === 2)
+  }
+
+  test("byLogicalTableRouter collapses shards and keeps discriminator") {
+    val out = Transforms.byLogicalTableRouter(log, col("repo"), "[0-9]+", "")
+    val rows = out.select("__logical_table", "__shard").distinct().as[(String, String)].collect().toSet
+    assert(rows === Set(("r", "r1"), ("r", "r2")))
+  }
+
+  test("changedFields lists null-safe differing fields, sorted") {
+    val env2 = Seq(
+      ("c01", "en", "v1", "c02", "en", "v2"),
+      ("c03", "fr", null, "c03", "fr", null)
+    ).toDF("bc", "bl", "bv", "ac", "al", "av")
+      .select(
+        struct(lit("r1").as("repo"), lit("a").as("path"), col("bc").as("commit"), col("bl").as("lang"), col("bv").as("content")).as("before"),
+        struct(lit("r1").as("repo"), lit("a").as("path"), col("ac").as("commit"), col("al").as("lang"), col("av").as("content")).as("after"))
+    val out = env2.select(Transforms.changedFields(env2).as("ch")).as[String].collect()
+    assert(out.toSet === Set("commit,content", ""))
+  }
+
+  test("contentBasedRouter + filterExpr (scripting SMT analogs)") {
+    val routed = Transforms.contentBasedRouter(log, "concat('sink_', lang)", "route")
+    assert(routed.where(col("route") === "sink_en").count() === 2)
+    assert(Transforms.filterExpr(log, "lsn > 3").count() === 2)
+  }
+
+  test("tableFilter include/exclude on envelope source.table") {
+    val env = core.Envelope.wrap(log)
+    assert(Transforms.tableFilter(env, include = Some("repo_.*")).count() === 5)
+    assert(Transforms.tableFilter(env, exclude = Some("repo_.*")).count() === 0)
+  }
+}
