@@ -14,6 +14,10 @@ import graft.table.LakeTable
   * input; sandbox stand-in for N vs 4N executors; efficiency =
   * (thr_4N / thr_N) / 4).
   *
+  * Each replay measurement runs in a FRESH SparkSession with an untimed
+  * warm-up replay first, so the headline measures the engine, not JIT /
+  * codegen warm-up or state left over from the query sweep.
+  *
   * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
   * SPARK_GRAFT_BENCH_EVENTS (default 2,000,000),
   * SPARK_GRAFT_SCALING=0 to skip the scaling pass.
@@ -21,6 +25,7 @@ import graft.table.LakeTable
 object Bench {
 
   private def session(cpus: Int): SparkSession = {
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -45,43 +50,48 @@ object Bench {
     (sec, numEvents / sec)
   }
 
+  /** Fresh session at `cpus`: untimed warm-up replay, then the measurement. */
+  private def measuredReplay(numEvents: Long, cpus: Int): (Double, Double) = {
+    val s = session(cpus)
+    try {
+      replayThroughput(s, math.min(200000L, numEvents), cpus) // warm-up
+      replayThroughput(s, numEvents, cpus)
+    } finally s.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "2000000").toLong
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
 
-    var spark = session(cpus)
+    val qSession = session(cpus)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(qSession, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val (replaySec, eps) = replayThroughput(spark, benchEvents, cpus)
+    qSession.stop()
 
-    // Scaling: same job, fresh sessions at parallelism 8 then 32.
-    val scaling: Option[(Double, Double, Double)] =
-      if (!doScaling) None
-      else {
-        spark.stop()
-        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-        val s8 = session(8)
-        val (_, thr8) = replayThroughput(s8, benchEvents, 8)
-        s8.stop()
-        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-        val s32 = session(32)
-        val (_, thr32) = replayThroughput(s32, benchEvents, 32)
-        spark = s32
-        Some((thr8, thr32, (thr32 / thr8) / 4.0))
+    // Headline + scaling: same job at parallelism 8 and `cpus` (stands in
+    // for N vs 4N executors), each in a fresh warmed session.
+    val (thr8, replaySec, eps) =
+      if (doScaling) {
+        val (_, t8) = measuredReplay(benchEvents, 8)
+        val (sec, t32) = measuredReplay(benchEvents, cpus)
+        (Some(t8), sec, t32)
+      } else {
+        val (sec, t) = measuredReplay(benchEvents, cpus)
+        (None, sec, t)
       }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + replaySec
-    val scalingJson = scaling.map { case (a, b, e) =>
-      f""","scaling":{"events":$benchEvents,"thr_local8":$a%.0f,"thr_local32":$b%.0f,"efficiency":$e%.3f}"""
+    val scalingJson = thr8.map { t8 =>
+      val eff = (eps / t8) / (cpus / 8.0)
+      f""","scaling":{"events":$benchEvents,"thr_local8":$t8%.0f,"thr_local$cpus":$eps%.0f,"efficiency":$eff%.3f}"""
     }.getOrElse("")
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc_replay":{"events":$benchEvents,"sec":$replaySec%.3f,"events_per_sec":$eps%.0f}$scalingJson}""")
-    spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.merge
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.core.Envelope
@@ -27,6 +27,25 @@ import graft.table.{CommitInfo, LakeTable, LogPos, SchemaEvolution}
   * so a late cross-partition event *older* than the delete cannot resurrect
   * the key. Reads filter them; compaction can drop tombstones once all
   * source partitions' watermarks pass them.
+  *
+  * Physical shape (tuned for the 10^10-event north rule — minimum Spark
+  * jobs and shuffles per microbatch):
+  *
+  *  - Job 1 (stats): ONE pass over the batch computes, per source
+  *    partition, the event count, max lsn (watermark advance), post-fence
+  *    fresh count / max ts, the batch's truncate fence, and the set of
+  *    touched buckets — all as conditional aggregates of a single
+  *    `groupBy(part)`. The fences themselves are driver-known literals
+  *    (`element_at(<watermark map literal>, part)`), so no join is needed.
+  *  - Job 2 (merge+stage): LWW over (state of touched buckets ∪ fresh
+  *    batch events) in ONE shuffle — `repartition(numBuckets, key)` whose
+  *    HashPartitioning both satisfies the aggregate's distribution (no
+  *    second exchange) and equals the bucket function, so each reduce task
+  *    writes exactly its own bucket file. Optional salted pre-reduce of
+  *    the batch side (hot-key level 1) adds one batch-side-only shuffle.
+  *  - Job 3 (metrics, optional): per-partition applied counts from the
+  *    merged winners (batch rows carry a `__src=1` tag that rides through
+  *    `max_by`), joined driver-side with the stats vector.
   */
 object CdcApply {
 
@@ -36,7 +55,7 @@ object CdcApply {
       batchId: Long,
       eventsIn: Long,
       fresh: Long,
-      winners: Long,
+      winners: Long, // applied batch winners; -1 when not computed (writeMetrics=false)
       reason: String)
 
   private def posCol: Column = struct(col("commit"), col("lsn"))
@@ -67,41 +86,44 @@ object CdcApply {
 
     val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // One pass: per-partition event count + max lsn (events-in metric +
-      // the watermark advance vector; all seen events keep it monotone).
-      val stats = cached.groupBy(col("part"))
-        .agg(count(lit(1)).as("n"), max(col("lsn")).as("mx")).collect()
-      val eventsIn = stats.map(_.getAs[Long]("n")).sum
-      val wmAdvance = stats.map(r => r.getInt(0) -> r.getAs[Long]("mx")).toMap
-      // Watermark vector for fence 2 (tiny; broadcast joined).
       val wm = last.map(_.watermark).getOrElse(Map.empty[Int, Long])
-      val fenced2 =
-        if (wm.isEmpty || !fenceByWatermark) cached
-        else {
-          import spark.implicits._
-          val wmDf = wm.toSeq.toDF("part", "__wm")
-          cached.join(broadcast(wmDf), Seq("part"), "left")
-            .where(col("__wm").isNull || col("lsn") > col("__wm"))
-            .drop("__wm")
-        }
-      // Fence 3: previously committed truncate.
       val oldFence = last.flatMap(_.fence)
-      val fresh0 = oldFence.fold(fenced2)(f => fenced2.where(posCol > posLit(f)))
-      val fresh = fresh0.persist(StorageLevel.MEMORY_AND_DISK)
-      // One pass: surviving-event count + the batch's truncate fence.
-      val fr = fresh.agg(
+      // Fence 2 as a literal map lookup (watermark vector is driver-known
+      // and tiny — no broadcast join needed); fence 3 as a literal struct.
+      val wmPred: Column =
+        if (wm.isEmpty || !fenceByWatermark) lit(true)
+        else {
+          val w = element_at(typedlit(wm), col("part"))
+          w.isNull || col("lsn") > w
+        }
+      val freshPred = oldFence.fold(wmPred)(f => wmPred && posCol > posLit(f))
+      val isData = col("op") =!= Envelope.OpTruncate && col("op") =!= Envelope.OpTombstone
+
+      // Job 1: single-pass per-source-partition stats + fences + buckets.
+      val stats = cached.groupBy(col("part")).agg(
         count(lit(1)).as("n"),
-        max(when(col("op") === Envelope.OpTruncate, posCol)).as("p")).collect().head
-      val freshCount = fr.getAs[Long]("n")
-      val batchFence = Option(fr.getStruct(1))
+        max(col("lsn")).as("mx"),
+        count(when(freshPred, 1)).as("freshN"),
+        max(when(freshPred, col("ts_ms"))).as("maxTs"),
+        max(when(freshPred && col("op") === Envelope.OpTruncate, posCol)).as("tf"),
+        collect_set(when(freshPred && isData, table.bucketCol)).as("bks")).collect()
+
+      val eventsIn = stats.map(_.getAs[Long]("n")).sum
+      val freshCount = stats.map(_.getAs[Long]("freshN")).sum
+      val wmAdvance = stats.map(r => r.getAs[Int]("part") -> r.getAs[Long]("mx")).toMap
+      val batchFence = stats.flatMap(r => Option(r.getAs[Row]("tf")))
         .map(r => LogPos(r.getString(0), r.getLong(1)))
+        .reduceOption((a, b) => a.max(b))
       val newFence = (oldFence.toSeq ++ batchFence.toSeq)
         .reduceOption((a, b) => a.max(b))
+      val newWm = (wm.keySet ++ wmAdvance.keySet).map { p =>
+        p -> math.max(wm.getOrElse(p, Long.MinValue), wmAdvance.getOrElse(p, Long.MinValue))
+      }.toMap
 
       // Schema reconciliation at the batch boundary (flush-on-schema-change,
       // ReducedRecordBuffer.java:57-62 → our microbatch boundary).
       val tableSchema = last.map(_.schema)
-      val evolved = tableSchema.fold(fresh.schema)(t => SchemaEvolution.reconcile(t, fresh.schema))
+      val evolved = tableSchema.fold(cached.schema)(t => SchemaEvolution.reconcile(t, cached.schema))
       val evolvedJson = evolved.json
       val oldSchemas = last.map(_.schemas).getOrElse(Nil)
       val (schemas, schemaIdx) = oldSchemas.indexOf(evolvedJson) match {
@@ -109,54 +131,52 @@ object CdcApply {
         case i  => (oldSchemas, i)
       }
 
-      // LWW winners of the batch (salted for hot keys), truncate applied.
-      // Tombstone markers carry no state — dropped before reduction.
-      val dataEvents = fresh.where(
-        col("op") =!= Envelope.OpTruncate && col("op") =!= Envelope.OpTombstone)
-      val winners0 = Lww.reduce(SchemaEvolution.align(dataEvents, evolved), salt = salt)
-      val winners1 = batchFence.fold(winners0)(f => winners0.where(posCol > posLit(f)))
-      val winners = winners1.persist(StorageLevel.MEMORY_AND_DISK)
-      val winnersCount = winners.count()
-
-      val newWm = (wm.keySet ++ wmAdvance.keySet).map { p =>
-        p -> math.max(wm.getOrElse(p, Long.MinValue), wmAdvance.getOrElse(p, Long.MinValue))
-      }.toMap
-
       val version = last.map(_.version).getOrElse(0L) + 1
-      if (winnersCount == 0 && batchFence.isEmpty) {
+      if (freshCount == 0 && batchFence.isEmpty) {
         // Metadata-only commit: advance the batchId + watermark fences.
         table.commit(CommitInfo(version, batchId, newWm, newFence, schemas, schemaIdx,
           last.map(_.files).getOrElse(Nil)))
-        if (writeMetrics) appendMetrics(spark, table, batchId, version, fresh, winners, t0)
-        fresh.unpersist(); winners.unpersist()
-        return BatchResult(committed = true, version, batchId, eventsIn, freshCount, 0, "metadata-only")
+        if (writeMetrics) appendMetrics(spark, table, batchId, version, stats, Map.empty, t0)
+        return BatchResult(committed = true, version, batchId, eventsIn, 0, 0, "metadata-only")
       }
 
-      // Touched buckets (truncate touches every bucket).
+      // Touched buckets (truncate touches every bucket — the fence must be
+      // applied to, i.e. rewrite, all of them).
       val touched: Set[Int] =
         if (batchFence.isDefined) (0 until table.numBuckets).toSet
-        else winners.select(table.bucketCol.as("b")).distinct()
-          .collect().map(_.getInt(0)).toSet
+        else stats.flatMap(_.getSeq[Int](stats.head.fieldIndex("bks"))).toSet
 
-      // Merge = LWW over (current state of touched buckets ∪ batch winners).
+      // Job 2: merge = LWW over (current state of touched buckets ∪ fresh
+      // batch events) in one key-shuffle laid out one-partition-per-bucket.
+      // Batch rows are tagged __src=1 so the applied-winner metric falls
+      // out of the merged result (the tag rides inside max_by).
+      val dataEvents = cached.where(freshPred && isData)
+      val aligned = SchemaEvolution.align(dataEvents, evolved).withColumn("__src", lit(1))
+      val batchSide = if (salt > 1) Lww.saltedPartial(aligned, salt = salt) else aligned
       val state = last.flatMap(ci => table.snapshotRaw(spark, ci, Some(touched)))
-        .map(s => SchemaEvolution.align(s, evolved))
-        .map(s => batchFence.fold(s)(f => s.where(posCol > posLit(f))))
-      // One shuffle (with map-side partial combine) reduces state ∪ batch;
-      // a second, cheap exchange lays the winners out one-file-per-bucket
-      // so reads prune by bucket and the next merge touches only changed
-      // buckets' files.
-      val mergedInput = state.fold(winners)(s => s.unionAll(winners))
-      val merged = Lww.reduce(mergedInput)
+        .map(s => SchemaEvolution.align(s, evolved).withColumn("__src", lit(0)))
+      val unioned = state.fold(batchSide)(_.unionAll(batchSide))
+      val fenced = batchFence.fold(unioned)(f => unioned.where(posCol > posLit(f)))
+      val merged0 = Lww.reducePartitioned(fenced, numPartitions = table.numBuckets)
         .withColumn("__bucket", table.bucketCol)
-        .repartition(table.numBuckets, col("__bucket"))
+      val merged = if (writeMetrics) merged0.persist(StorageLevel.MEMORY_AND_DISK) else merged0
 
-      val staged = table.stage(merged, batchId, schemaIdx)
+      val staged = table.stage(merged.drop("__src"), batchId, schemaIdx)
       val untouchedFiles = last.map(_.files.filterNot(f => touched.contains(f.bucket))).getOrElse(Nil)
       table.commit(CommitInfo(version, batchId, newWm, newFence, schemas, schemaIdx,
         untouchedFiles ++ staged))
-      if (writeMetrics) appendMetrics(spark, table, batchId, version, fresh, winners, t0)
-      fresh.unpersist(); winners.unpersist()
+
+      var winnersCount = -1L
+      if (writeMetrics) {
+        // Job 3: applied batch winners per source partition, off the cached
+        // merged result (one row per touched key — small).
+        val applied = merged.where(col("__src") === 1)
+          .groupBy(col("part")).agg(count(lit(1)).as("c")).collect()
+          .map(r => r.getAs[Int]("part") -> r.getAs[Long]("c")).toMap
+        winnersCount = applied.values.sum
+        appendMetrics(spark, table, batchId, version, stats, applied, t0)
+        merged.unpersist()
+      }
       BatchResult(committed = true, version, batchId, eventsIn, freshCount, winnersCount, "merged")
     } finally {
       cached.unpersist()
@@ -164,26 +184,25 @@ object CdcApply {
   }
 
   /** Per-partition lineage: events seen, fresh after fencing, winners
-    * applied, dedup drops, commit lag (SURVEY.md §7.0 item 9).
+    * applied, dedup drops, commit lag (SURVEY.md §7.0 item 9). Built from
+    * the driver-side stats vector — no extra pass over the data.
     */
   private def appendMetrics(
       spark: SparkSession, table: LakeTable, batchId: Long, version: Long,
-      fresh: DataFrame, winners: DataFrame, t0: Long): Unit = {
+      stats: Array[Row], applied: Map[Int, Long], t0: Long): Unit = {
+    import spark.implicits._
     val now = System.currentTimeMillis()
-    val f = fresh.groupBy(col("part")).agg(
-      count(lit(1)).as("freshEvents"),
-      max(col("ts_ms")).as("maxTsMs"))
-    val w = winners.groupBy(col("part")).agg(count(lit(1)).as("applied"))
-    val m = f.join(w, Seq("part"), "left")
-      .select(
-        lit(batchId).as("batchId"),
-        lit(version).as("commitVersion"),
-        col("part"),
-        col("freshEvents"),
-        coalesce(col("applied"), lit(0L)).as("applied"),
-        (col("freshEvents") - coalesce(col("applied"), lit(0L))).as("dedupDropped"),
-        (lit(now) - col("maxTsMs")).as("commitLagMs"),
-        lit(now - t0).as("batchWallMs"))
-    m.write.mode("append").parquet(s"${table.root}/_metrics")
+    val rows = stats.toSeq.map { r =>
+      val part = r.getAs[Int]("part")
+      val freshN = r.getAs[Long]("freshN")
+      val a = applied.getOrElse(part, 0L)
+      val maxTs = Option(r.getAs[java.lang.Long]("maxTs")).map(_.toLong)
+      (batchId, version, part, freshN, a, freshN - a,
+        maxTs.map(now - _).getOrElse(0L), now - t0)
+    }
+    rows.toDF("batchId", "commitVersion", "part", "freshEvents",
+      "applied", "dedupDropped", "commitLagMs", "batchWallMs")
+      .coalesce(1)
+      .write.mode("append").parquet(s"${table.root}/_metrics")
   }
 }

@@ -47,6 +47,31 @@ object Lww {
     pre.groupBy(keyCols.map(col): _*).agg(winnerOf(pre)).select(col("__w.*"))
   }
 
+  /** Level-1 of the salted two-level reduce alone: winners per
+    * (key, lsn % salt). The caller completes the reduction with a final
+    * per-key aggregate — lets the merge path fuse level 2 into its own
+    * key-partitioned aggregate, paying the salt with ONE extra shuffle
+    * total instead of two.
+    */
+  def saltedPartial(df: DataFrame, keyCols: Seq[String] = Envelope.keyCols, salt: Int): DataFrame =
+    df.groupBy(keyCols.map(col) :+ pmod(col("lsn"), lit(salt.toLong)).as("__salt"): _*)
+      .agg(max_by(struct(df.columns.map(col): _*), pos).as("__w"))
+      .select(col("__w.*"))
+
+  /** Reduce with the output laid out as exactly `numPartitions` hash-by-key
+    * partitions: an explicit `repartition(n, key)` whose HashPartitioning
+    * already satisfies the aggregate's required distribution, so Catalyst
+    * plans NO second exchange — partition id == pmod(hash(key), n), i.e.
+    * the LakeTable bucket. One shuffle for reduce + bucket layout combined
+    * (vs reduce-shuffle + repartition-shuffle when done separately).
+    */
+  def reducePartitioned(df: DataFrame, keyCols: Seq[String] = Envelope.keyCols, numPartitions: Int): DataFrame = {
+    val pre = df.repartition(numPartitions, keyCols.map(col): _*)
+    pre.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(pre.columns.map(col): _*), pos).as("__w"))
+      .select(col("__w.*"))
+  }
+
   /** Window/row_number variant (the literal ReducedRecordBuffer shape). */
   def reduceWindow(df: DataFrame, keyCols: Seq[String] = Envelope.keyCols, salt: Int = 1): DataFrame = {
     val keys = keyCols.map(col)

@@ -58,14 +58,19 @@ object CdcPipeline {
       salt: Int = 1,
       startBatchId: Long = 0L,
       writeMetrics: Boolean = true): Seq[BatchResult] = {
-    val bounds = log.agg(min(col("lsn")), max(col("lsn"))).collect().head
-    if (bounds.isNullAt(0)) return Nil
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val width = math.max(1L, (hi - lo) / numBatches + 1)
-    (0 until numBatches).map { i =>
-      val (a, b) = (lo + i * width, lo + (i + 1) * width)
-      val slice = log.where(col("lsn") >= a && col("lsn") < b)
-      CdcApply.applyBatch(spark, table, slice, startBatchId + i, salt, writeMetrics)
-    }
+    // Materialize the log once; every batch slice then reads the cache
+    // instead of recomputing the source derivation per slice.
+    val cachedLog = log.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bounds = cachedLog.agg(min(col("lsn")), max(col("lsn"))).collect().head
+      if (bounds.isNullAt(0)) return Nil
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val width = math.max(1L, (hi - lo) / numBatches + 1)
+      (0 until numBatches).map { i =>
+        val (a, b) = (lo + i * width, lo + (i + 1) * width)
+        val slice = cachedLog.where(col("lsn") >= a && col("lsn") < b)
+        CdcApply.applyBatch(spark, table, slice, startBatchId + i, salt, writeMetrics)
+      }
+    } finally cachedLog.unpersist()
   }
 }

@@ -89,8 +89,11 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val h = bands * rowsPerBand
+    // Persist: the self-join below otherwise recomputes the full signature
+    // derivation (O(docs × shingles × H) md5s) once PER JOIN SIDE.
     val sigs = docs
       .select(col(idCol).as("id"), minhashSignature(col(textCol), h).as("sig"))
+      .persist()
     // band key = md5 of the band's joined minhashes
     val banded = sigs.select(
       col("id"), col("sig"),
@@ -154,6 +157,7 @@ object Dedup {
       col(idCol).as("id"),
       substring(col(textCol), 1, blockPrefix).as("blk"),
       array_distinct(shingles(col(textCol), shingleK)).as("sh"))
+      .persist() // shingle sets are recomputed per self-join side otherwise
     val l = base.select(col("blk"), col("id").as("a"), col("sh").as("sha_"))
     val r = base.select(col("blk"), col("id").as("b"), col("sh").as("shb_"))
     l.join(r, "blk").where(col("a") < col("b"))
@@ -182,6 +186,7 @@ object Dedup {
       col(idCol).as("id"),
       col(vecCol).as("v"),
       Similarity.lshBucket(col(vecCol), planes).as("bkt"))
+      .persist() // bucket projections are recomputed per self-join side otherwise
     val l = base.select(col("bkt"), col("id").as("a"), col("v").as("va"))
     val r = base.select(col("bkt"), col("id").as("b"), col("v").as("vb"))
     l.join(r, "bkt").where(col("a") < col("b"))
