@@ -160,6 +160,39 @@ object SparkEntry {
       Transforms.emitTombstones(ChangeLog.flat(s, dir))
         .select(col("repo"), col("path"), col("commit"), col("op"), col("lsn"))),
 
+    // §2.4 maintenance: replay → compact (tombstone GC + schema
+    // canonicalization) → snapshot still equals the declarative fold.
+    "q16_cdc_compact" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
+      val table = new LakeTable(root, numBuckets = 16)
+      CdcPipeline.replay(s, ChangeLog.flat(s, dir), table, numBatches = 4, salt = 4)
+      table.compact(s, tombstoneRetention = Some(graft.table.LogPos("~", Long.MaxValue)))
+      withSha(table.snapshot(s).get)
+    }),
+    // §2.2 ReselectColumnsPostProcessor: placeholder columns (TOAST analog)
+    // patched from converged sink state by key lookup.
+    "q17_smt_reselect" -> ((s, dir) => {
+      val log = ChangeLog.base(s, dir)
+      val state = Lww.applyState(log)
+      val events = log.where(col("op") === Envelope.OpUpdate)
+        .withColumn("content",
+          when(col("lsn") % 5 === 0, lit("__unavailable__")).otherwise(col("content")))
+      Transforms.reselectColumns(events, state, Seq("content"), "__unavailable__")
+        .select(col("repo"), col("path"), col("lsn"), col("content"))
+    }),
+    // §2.2 HeaderToValue: map-typed headers copied into value columns.
+    "q18_smt_header_to_value" -> ((s, dir) => {
+      val withHeaders = ChangeLog.flat(s, dir)
+        .withColumn("headers", map(lit("src_db"), lit("repos"), lit("src_lang"), col("lang")))
+      Transforms.headerToValue(withHeaders, Seq("src_db", "src_lang"), drop = true)
+        .select(col("repo"), col("path"), col("lsn"), col("op"),
+          col("src_db"), col("src_lang"))
+    }),
+    // §2.2 VectorToJsonConverter: embedding vector → portable JSON array.
+    "q19_smt_vector_json" -> ((s, dir) =>
+      Corpus.embeddings(s, dir)
+        .select(col("vec_id"), Transforms.vectorToJson(col("embedding")).as("vec_json"))),
+
     // ---- training-data pipeline over documents/embeddings ----
     // Exact dedup: content-sha groups, canonical id, copy counts.
     "q20_dedup_exact" -> ((s, dir) =>
@@ -374,6 +407,30 @@ object SparkEntry {
          |SELECT repo, path, commit, op, lsn FROM ev
          |UNION ALL
          |SELECT repo, path, commit, 'tombstone' AS op, lsn FROM ev WHERE op = 'd'""".stripMargin,
+
+    "q16_cdc_compact" -> s"$cte\n$applyStateSql",
+    "q17_smt_reselect" ->
+      s"""$cte
+         |, state AS (
+         |  SELECT repo, path, content FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |    FROM ev0) t
+         |  WHERE rn = 1 AND op <> 'd')
+         |, events AS (
+         |  SELECT repo, path, lsn,
+         |         CASE WHEN lsn % 5 = 0 THEN '__unavailable__' ELSE content END AS content
+         |  FROM ev0 WHERE op = 'u')
+         |SELECT e.repo, e.path, e.lsn,
+         |       CASE WHEN e.content = '__unavailable__' THEN s.content ELSE e.content END AS content
+         |FROM events e LEFT JOIN state s ON e.repo = s.repo AND e.path = s.path""".stripMargin,
+    "q18_smt_header_to_value" ->
+      s"""$cte
+         |SELECT repo, path, lsn, op, 'repos' AS src_db, lang AS src_lang FROM ev""".stripMargin,
+    "q19_smt_vector_json" ->
+      """SELECT vec_id,
+        |       concat('[', array_to_string(
+        |         [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding], ','), ']') AS vec_json
+        |FROM embeddings""".stripMargin,
 
     "q20_dedup_exact" ->
       s"""WITH ${Corpus.Sql.corpus}

@@ -195,6 +195,57 @@ object Transforms {
     df.unionByName(tombs)
   }
 
+  /** ReselectColumnsPostProcessor: events carrying an "unavailable value
+    * placeholder" (e.g. Postgres TOAST columns not present in the WAL) get
+    * those columns patched from the current sink state by a key lookup
+    * join. Reference: `processors/reselect/ReselectColumnsPostProcessor.java:55,263-303`
+    * (re-queries the SOURCE row; our sink state is the converged analog).
+    * The join is a plain equi-join on the key — broadcastable when the
+    * affected-event set is small, AQE-planned otherwise.
+    */
+  def reselectColumns(
+      events: DataFrame,
+      state: DataFrame,
+      columns: Seq[String],
+      placeholder: String,
+      keyCols: Seq[String] = Envelope.keyCols): DataFrame = {
+    val st = state.select((keyCols ++ columns).map(col).toIndexedSeq: _*)
+      .toDF(keyCols ++ columns.map(c => s"__st_$c"): _*)
+    val joined = events.join(st, keyCols, "left")
+    columns.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, when(col(c) === placeholder, col(s"__st_$c")).otherwise(col(c)))
+    }.drop(columns.map(c => s"__st_$c"): _*)
+  }
+
+  /** HeaderToValue: copy/move entries of a map-typed headers column into
+    * value columns. Reference: `transforms/HeaderToValue.java:216` (headers
+    * are first-class columns in Spark, so this is a projection).
+    */
+  def headerToValue(
+      df: DataFrame,
+      headers: Seq[String],
+      headersCol: String = "headers",
+      prefix: String = "",
+      drop: Boolean = false): DataFrame = {
+    val out = headers.foldLeft(df)((d, h) => d.withColumn(prefix + h, element_at(col(headersCol), h)))
+    if (drop) out.drop(headersCol) else out
+  }
+
+  /** ExtractSchemaToNewRecord: copy schema metadata into the payload
+    * (`__debezium.source.column.type` analog). Reference:
+    * `transforms/ExtractSchemaToNewRecord.java`.
+    */
+  def extractSchemaToNewRecord(df: DataFrame, columns: Seq[String]): DataFrame =
+    columns.foldLeft(df)((d, c) => d.withColumn(s"__${c}_type", lit(df.schema(c).dataType.sql)))
+
+  /** VectorToJsonConverter: render a numeric vector column as a JSON array
+    * string. Reference: `transforms/VectorToJsonConverter.java`. The values
+    * are fixed-point-scaled to integers first (portable formatting: float
+    * JSON rendering differs between engines; integer rendering does not).
+    */
+  def vectorToJson(vec: Column, scale: Int = 3): Column =
+    to_json(transform(vec, x => round(x.cast("double") * math.pow(10, scale)).cast("long")))
+
   /** Engine-portable stable routing hash: sum of the ascii codes of the
     * md5 hex digest, mod n. Same contract as [[partitionRouting]]
     * (deterministic key→partition, `PartitionRouting.java:243-251`) but

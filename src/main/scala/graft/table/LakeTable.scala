@@ -66,12 +66,33 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
   def bucketCol: org.apache.spark.sql.Column =
     pmod(hash(Envelope.keyCols.map(col): _*), lit(numBuckets))
 
-  def lastCommit(): Option[CommitInfo] = {
-    if (!Files.isDirectory(commitsDir)) return None
-    val latest = Files.list(commitsDir).iterator().asScala
+  def lastCommit(): Option[CommitInfo] = commitPaths().lastOption
+    .map(p => LakeTable.fromJson(Files.readString(p)))
+
+  /** All commits, oldest first — the table's history / schema log. */
+  def commits(): Seq[CommitInfo] =
+    commitPaths().map(p => LakeTable.fromJson(Files.readString(p)))
+
+  private def commitPaths(): Seq[Path] = {
+    if (!Files.isDirectory(commitsDir)) return Nil
+    Files.list(commitsDir).iterator().asScala
       .filter(_.getFileName.toString.matches("v\\d+\\.json"))
-      .toSeq.sortBy(_.getFileName.toString).lastOption
-    latest.map(p => LakeTable.fromJson(Files.readString(p)))
+      .toSeq.sortBy(_.getFileName.toString)
+  }
+
+  /** Schema-change log: one row per commit whose schema differs from its
+    * predecessor (the `SchemaHistory` / schema-change-topic analog,
+    * `relational/history/SchemaHistory.java:175-216`; filter it like
+    * `transforms/SchemaChangeEventFilter.java`).
+    */
+  def schemaLog(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val cs = commits()
+    val rows = cs.zip(None +: cs.map(Some(_))).collect {
+      case (c, prev) if !prev.exists(_.schemaIdx == c.schemaIdx) =>
+        (c.version, c.batchId, c.schemaIdx, c.schemas(c.schemaIdx))
+    }
+    rows.toDF("version", "batchId", "schemaIdx", "schemaJson")
   }
 
   /** Atomically publish a commit. Single-writer (the streaming driver). */
@@ -112,6 +133,37 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
   /** Live rows: tombstones filtered out, ordering/meta columns retained. */
   def snapshot(spark: SparkSession): Option[DataFrame] =
     snapshotRaw(spark, None).map(_.where(col("op") =!= Envelope.OpDelete))
+
+  /** Maintenance compaction (Iceberg rewrite-data-files analog): rewrite
+    * every bucket to the CURRENT table schema (old-schema files disappear)
+    * and drop delete tombstones at-or-below `tombstoneRetention` — safe
+    * once no replay below that position can arrive (the Kafka
+    * log-compaction-delay analog of Debezium's tombstone contract,
+    * `EventDispatcher.java:546-559`). Metadata (batchId, watermark, fence)
+    * is carried over unchanged, so exactly-once fencing is unaffected.
+    *
+    * The merge path already keeps ≤1 file per bucket (copy-on-write of
+    * touched buckets), so this is about tombstone GC + schema
+    * canonicalization, not file counts; on a multi-file-per-bucket layout
+    * (100 TB: bucket = a directory of size-bounded files) the same
+    * repartition-by-key rewrite applies.
+    */
+  def compact(spark: SparkSession, tombstoneRetention: Option[LogPos] = None): Option[CommitInfo] =
+    lastCommit().flatMap { ci =>
+      snapshotRaw(spark, ci, None).map { df =>
+        val pruned = tombstoneRetention.fold(df) { p =>
+          df.where(col("op") =!= Envelope.OpDelete ||
+            struct(col("commit"), col("lsn")) > struct(lit(p.commit), lit(p.lsn)))
+        }
+        val laid = pruned
+          .repartition(numBuckets, Envelope.keyCols.map(col): _*)
+          .withColumn("__bucket", bucketCol)
+        val staged = stage(laid, ci.batchId, ci.schemaIdx, attempt = ci.version + 1)
+        val next = ci.copy(version = ci.version + 1, files = staged)
+        commit(next)
+        next
+      }
+    }
 
   /** Stage a DataFrame (already bucketed via `__bucket` column) under data/,
     * returning the manifest entries. Executors write the files; only the

@@ -130,6 +130,38 @@ class LakeTableSpec extends SparkSpec {
     assert(m.select("part").distinct().count() === log.map(_.part).distinct.size)
   }
 
+  test("compaction drops retained tombstones, canonicalizes schema, preserves state") {
+    val table = new LakeTable(tmp(), numBuckets = 4)
+    val b0 = Seq(FlatEvent.mk(("r", "a"), 1, "c"), FlatEvent.mk(("r", "b"), 2, "c"),
+      FlatEvent.mk(("r", "b"), 3, "d")).toDF()
+    CdcApply.applyBatch(spark, table, b0, batchId = 0)
+    // batch 1 evolves the schema (adds stars)
+    val b1 = Seq(FlatEvent.mk(("r", "c"), 4, "c")).toDF().withColumn("stars", lit(7))
+    CdcApply.applyBatch(spark, table, b1, batchId = 1)
+    val before = table.snapshot(spark).get.collect().toSet
+    assert(table.snapshotRaw(spark).get.where(col("op") === "d").count() === 1, "tombstone retained")
+    val ci = table.compact(spark, tombstoneRetention = Some(graft.table.LogPos("~", Long.MaxValue))).get
+    // tombstones gone, live state identical, all files on the current schema
+    assert(table.snapshotRaw(spark).get.where(col("op") === "d").count() === 0)
+    assert(table.snapshot(spark).get.collect().toSet === before)
+    assert(ci.files.forall(_.schemaIdx == ci.schemaIdx))
+    // fences carried over: replaying batch 1 is still a no-op
+    val r = CdcApply.applyBatch(spark, table, b1, batchId = 1)
+    assert(!r.committed && r.reason == "batchId-fenced")
+  }
+
+  test("schemaLog records one row per schema change (SchemaHistory analog)") {
+    val table = new LakeTable(tmp(), numBuckets = 4)
+    CdcApply.applyBatch(spark, table, Seq(FlatEvent.mk(("r", "a"), 1, "c")).toDF(), batchId = 0)
+    CdcApply.applyBatch(spark, table,
+      Seq(FlatEvent.mk(("r", "b"), 2, "c")).toDF().withColumn("stars", lit(1)), batchId = 1)
+    CdcApply.applyBatch(spark, table,
+      Seq(FlatEvent.mk(("r", "c"), 3, "c")).toDF().withColumn("stars", lit(2)), batchId = 2)
+    val sl = table.schemaLog(spark).collect()
+    assert(sl.length === 2, "schema changed at v1 (initial) and v2 (add column) only")
+    assert(sl.map(_.getAs[Long]("version")).toSeq === Seq(1L, 2L))
+  }
+
   test("structured streaming with checkpoint: two waves + restart, exactly-once") {
     val inDir = tmp(); val ckpt = tmp()
     val table = new LakeTable(tmp(), numBuckets = 8)

@@ -112,6 +112,39 @@ class TransformsSpec extends SparkSpec {
     assert(Transforms.filterExpr(log, "lsn > 3").count() === 2)
   }
 
+  test("reselectColumns patches placeholder values from sink state (ReselectColumnsPostProcessor)") {
+    val state = Seq(("r1", "a", "live-a"), ("r1", "b", "live-b"))
+      .toDF("repo", "path", "content")
+    val events = Seq(
+      ("r1", "a", "__toast__"), // placeholder -> patched from state
+      ("r1", "b", "fresh"),     // real value -> kept
+      ("r9", "z", "__toast__")  // no state row -> null
+    ).toDF("repo", "path", "content")
+    val out = Transforms.reselectColumns(events, state, Seq("content"), "__toast__")
+      .select("repo", "path", "content").as[(String, String, String)].collect().toSet
+    assert(out === Set(("r1", "a", "live-a"), ("r1", "b", "fresh"), ("r9", "z", null)))
+  }
+
+  test("headerToValue copies map headers into value columns") {
+    val df = log.withColumn("headers", map(lit("db"), lit("repos"), lit("l"), col("lang")))
+    val out = Transforms.headerToValue(df, Seq("db", "l"), drop = true)
+    assert(!out.columns.contains("headers"))
+    assert(out.select("db").distinct().as[String].collect().toSeq === Seq("repos"))
+    assert(out.where(col("l") === col("lang")).count() === 5)
+  }
+
+  test("extractSchemaToNewRecord adds column-type metadata") {
+    val out = Transforms.extractSchemaToNewRecord(log, Seq("content", "lsn"))
+    assert(out.select("__content_type").distinct().as[String].head() === "STRING")
+    assert(out.select("__lsn_type").distinct().as[String].head() === "BIGINT")
+  }
+
+  test("vectorToJson renders fixed-point JSON arrays") {
+    val df = Seq((1L, Seq(0.1234f, -1.5f, 0f))).toDF("id", "v")
+    val out = df.select(Transforms.vectorToJson(col("v")).as("j")).as[String].head()
+    assert(out === "[123,-1500,0]")
+  }
+
   test("tableFilter include/exclude on envelope source.table") {
     val env = core.Envelope.wrap(log)
     assert(Transforms.tableFilter(env, include = Some("repo_.*")).count() === 5)
