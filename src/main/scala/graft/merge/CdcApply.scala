@@ -77,14 +77,17 @@ object CdcApply {
       batchId: Long,
       salt: Int = 1,
       writeMetrics: Boolean = true,
-      fenceByWatermark: Boolean = true): BatchResult = {
+      fenceByWatermark: Boolean = true,
+      cacheBatch: Boolean = true): BatchResult = {
     val t0 = System.currentTimeMillis()
     val last = table.lastCommit()
     // Fence 1: idempotent batch replay (exactly-once on restart).
     if (last.exists(_.batchId >= batchId))
       return BatchResult(committed = false, last.map(_.version).getOrElse(0L), batchId, 0, 0, 0, "batchId-fenced")
 
-    val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
+    // The batch is read twice (stats, merge input); cache unless the caller
+    // already materialized it (replay caches the whole log once).
+    val cached = if (cacheBatch) batch.persist(StorageLevel.MEMORY_AND_DISK) else batch
     try {
       val wm = last.map(_.watermark).getOrElse(Map.empty[Int, Long])
       val oldFence = last.flatMap(_.fence)
@@ -157,8 +160,9 @@ object CdcApply {
         .map(s => SchemaEvolution.align(s, evolved).withColumn("__src", lit(0)))
       val unioned = state.fold(batchSide)(_.unionAll(batchSide))
       val fenced = batchFence.fold(unioned)(f => unioned.where(posCol > posLit(f)))
+      // reducePartitioned lays winners out partition-id == bucket-id, so
+      // staging is a plain parquet write (see LakeTable.stage contract).
       val merged0 = Lww.reducePartitioned(fenced, numPartitions = table.numBuckets)
-        .withColumn("__bucket", table.bucketCol)
       val merged = if (writeMetrics) merged0.persist(StorageLevel.MEMORY_AND_DISK) else merged0
 
       val staged = table.stage(merged.drop("__src"), batchId, schemaIdx)
@@ -179,7 +183,7 @@ object CdcApply {
       }
       BatchResult(committed = true, version, batchId, eventsIn, freshCount, winnersCount, "merged")
     } finally {
-      cached.unpersist()
+      if (cacheBatch) cached.unpersist()
     }
   }
 

