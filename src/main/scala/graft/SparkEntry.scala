@@ -193,6 +193,12 @@ object SparkEntry {
       Corpus.embeddings(s, dir)
         .select(col("vec_id"), Transforms.vectorToJson(col("embedding")).as("vec_json"))),
 
+    // §2.3 transaction metadata: BEGIN/END summaries with event counts
+    // (TransactionMonitor analog; tx derived as lsn ranges of the log).
+    "q33_cdc_tx_metadata" -> ((s, dir) =>
+      Transforms.transactionSummary(ChangeLog.base(s, dir),
+        (col("lsn") / 10).cast("long"), col("repo"))),
+
     // ---- training-data pipeline over documents/embeddings ----
     // Exact dedup: content-sha groups, canonical id, copy counts.
     "q20_dedup_exact" -> ((s, dir) =>
@@ -431,6 +437,15 @@ object SparkEntry {
         |       concat('[', array_to_string(
         |         [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding], ','), ']') AS vec_json
         |FROM embeddings""".stripMargin,
+
+    "q33_cdc_tx_metadata" ->
+      s"""$cte
+         |SELECT lsn // 10 AS tx_id,
+         |       count(*) AS event_count,
+         |       min(lsn) AS begin_lsn,
+         |       max(lsn) AS end_lsn,
+         |       count(DISTINCT repo) AS data_collections
+         |FROM ev0 GROUP BY 1""".stripMargin,
 
     "q20_dedup_exact" ->
       s"""WITH ${Corpus.Sql.corpus}

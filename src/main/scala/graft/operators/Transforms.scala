@@ -246,6 +246,21 @@ object Transforms {
   def vectorToJson(vec: Column, scale: Int = 3): Column =
     to_json(transform(vec, x => round(x.cast("double") * math.pow(10, scale)).cast("long")))
 
+  /** Transaction metadata aggregation: per-transaction event counts and
+    * boundaries — the BEGIN/END + `event_count` summary stream produced by
+    * `TransactionMonitor.dataEvent/transactionStartedEvent`
+    * (`pipeline/txmetadata/TransactionMonitor.java:75-121`), expressed as
+    * one groupBy. `total_order`/`data_collection_order` analogs fall out
+    * of the min/max positions.
+    */
+  def transactionSummary(df: DataFrame, txCol: Column, collectionCol: Column): DataFrame =
+    df.groupBy(txCol.as("tx_id"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        min(col("lsn")).as("begin_lsn"),
+        max(col("lsn")).as("end_lsn"),
+        countDistinct(collectionCol).as("data_collections"))
+
   /** Engine-portable stable routing hash: sum of the ascii codes of the
     * md5 hex digest, mod n. Same contract as [[partitionRouting]]
     * (deterministic key→partition, `PartitionRouting.java:243-251`) but
