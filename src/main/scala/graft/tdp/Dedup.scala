@@ -89,10 +89,19 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val h = bands * rowsPerBand
-    // Persist: the self-join below otherwise recomputes the full signature
-    // derivation (O(docs × shingles × H) md5s) once PER JOIN SIDE.
-    val sigs = docs
-      .select(col(idCol).as("id"), minhashSignature(col(textCol), h).as("sig"))
+    // Two-step projection: `__sh` becomes a real column so the H hash
+    // lanes share ONE shingling pass (higher-order functions are not
+    // codegen-CSE'd — inlining the shingle subtree into every lane costs
+    // H× the shingling work; CollapseProject keeps the split because the
+    // reference is non-cheap and multiply-used). Persist: the self-join
+    // below otherwise recomputes the signatures once PER JOIN SIDE.
+    val withSh = docs.select(
+      col(idCol).as("id"),
+      array_distinct(shingles(col(textCol))).as("__sh"))
+    val sigs = withSh
+      .select(col("id"), array((0 until h).map { hh =>
+        array_min(transform(col("__sh"), s => md5(concat(lit(s"$hh|"), s))))
+      }: _*).as("sig"))
       .persist()
     // band key = md5 of the band's joined minhashes
     val banded = sigs.select(
