@@ -199,6 +199,20 @@ object SparkEntry {
       Transforms.transactionSummary(ChangeLog.base(s, dir),
         (col("lsn") / 10).cast("long"), col("repo"))),
 
+    // §2.4 dead-letter queue: malformed events (null key, unknown op) are
+    // side-outputted to _quarantine, the batch keeps going
+    // (errors.tolerance=all / ErrorReporter analog).
+    "q34_cdc_quarantine" -> ((s, dir) => {
+      val log = ChangeLog.base(s, dir)
+        .withColumn("path", when(col("lsn") % 41 === 0, lit(null).cast("string")).otherwise(col("path")))
+        .withColumn("op", when(col("lsn") % 43 === 0, lit("x")).otherwise(col("op")))
+      val root = java.nio.file.Files.createTempDirectory("graft-dlq").toString
+      val table = new LakeTable(root, numBuckets = 16)
+      CdcPipeline.replay(s, log, table, numBatches = 2)
+      s.read.parquet(s"$root/_quarantine")
+        .select(col("repo"), col("path"), col("lsn"), col("op"))
+    }),
+
     // ---- training-data pipeline over documents/embeddings ----
     // Exact dedup: content-sha groups, canonical id, copy counts.
     "q20_dedup_exact" -> ((s, dir) =>
@@ -446,6 +460,15 @@ object SparkEntry {
          |       max(lsn) AS end_lsn,
          |       count(DISTINCT repo) AS data_collections
          |FROM ev0 GROUP BY 1""".stripMargin,
+
+    "q34_cdc_quarantine" ->
+      s"""$cte
+         |SELECT repo,
+         |       CASE WHEN lsn % 41 = 0 THEN NULL ELSE path END AS path,
+         |       lsn,
+         |       CASE WHEN lsn % 43 = 0 THEN 'x' ELSE op END AS op
+         |FROM ev0
+         |WHERE lsn % 41 = 0 OR lsn % 43 = 0""".stripMargin,
 
     "q20_dedup_exact" ->
       s"""WITH ${Corpus.Sql.corpus}

@@ -61,6 +61,18 @@ object CdcApply {
   private def posCol: Column = struct(col("commit"), col("lsn"))
   private def posLit(p: LogPos): Column = struct(lit(p.commit).as("commit"), lit(p.lsn).as("lsn"))
 
+  /** Well-formed-event predicate — the dead-letter-queue contract
+    * (`debezium-sink/.../dlq/ErrorReporter.java`, error handlers
+    * `pipeline/ErrorHandler.java`): key/position columns present and a
+    * known op. Malformed events are side-outputted to `_quarantine`
+    * instead of failing the batch (`errors.tolerance=all` analog); they
+    * still advance the offset watermark (they were delivered).
+    */
+  private def isWellFormed: Column =
+    col("repo").isNotNull && col("path").isNotNull && col("commit").isNotNull &&
+      col("op").isin(Envelope.OpRead, Envelope.OpCreate, Envelope.OpUpdate,
+        Envelope.OpDelete, Envelope.OpTruncate, Envelope.OpMessage, Envelope.OpTombstone)
+
   /** Apply one flat-event microbatch to the table. Single-writer (driver). */
   /** @param fenceByWatermark drop events at-or-below the committed
     *        per-partition offset watermark. Correct ONLY when the transport
@@ -99,20 +111,33 @@ object CdcApply {
           val w = element_at(typedlit(wm), col("part"))
           w.isNull || col("lsn") > w
         }
-      val freshPred = oldFence.fold(wmPred)(f => wmPred && posCol > posLit(f))
-      val isData = col("op") =!= Envelope.OpTruncate && col("op") =!= Envelope.OpTombstone
+      val arrived = oldFence.fold(wmPred)(f => wmPred && posCol > posLit(f))
+      val freshPred = arrived && isWellFormed
+      // Message ('m') events are control-plane passthrough, not row state;
+      // they advance offsets but never merge (Envelope.java:37-62).
+      val isData = col("op") =!= Envelope.OpTruncate &&
+        col("op") =!= Envelope.OpTombstone && col("op") =!= Envelope.OpMessage
 
       // Job 1: single-pass per-source-partition stats + fences + buckets.
       val stats = cached.groupBy(col("part")).agg(
         count(lit(1)).as("n"),
         max(col("lsn")).as("mx"),
         count(when(freshPred, 1)).as("freshN"),
+        count(when(arrived && !isWellFormed, 1)).as("badN"),
         max(when(freshPred, col("ts_ms"))).as("maxTs"),
         max(when(freshPred && col("op") === Envelope.OpTruncate, posCol)).as("tf"),
         collect_set(when(freshPred && isData, table.bucketCol)).as("bks")).collect()
 
       val eventsIn = stats.map(_.getAs[Long]("n")).sum
       val freshCount = stats.map(_.getAs[Long]("freshN")).sum
+      val badCount = stats.map(_.getAs[Long]("badN")).sum
+      if (badCount > 0) {
+        // DLQ side output: quarantined verbatim with provenance, batch
+        // keeps going (errors.tolerance=all).
+        cached.where(arrived && !isWellFormed)
+          .withColumn("__batchId", lit(batchId))
+          .write.mode("append").parquet(s"${table.root}/_quarantine")
+      }
       val wmAdvance = stats.map(r => r.getAs[Int]("part") -> r.getAs[Long]("mx")).toMap
       val batchFence = stats.flatMap(r => Option(r.getAs[Row]("tf")))
         .map(r => LogPos(r.getString(0), r.getLong(1)))

@@ -146,6 +146,24 @@ class LakeTableSpec extends SparkSpec {
     state.keys.foreach { case (r, p) => assert(state.contains((r, p))) }
   }
 
+  test("malformed events quarantine to the DLQ; batch keeps going; watermark still advances") {
+    val good = Seq(FlatEvent.mk(("r", "a"), 1, "c"), FlatEvent.mk(("r", "b"), 2, "c"))
+    val bad = Seq(
+      FlatEvent.mk(("r", "c"), 3, "c").copy(path = null),  // null key column
+      FlatEvent.mk(("r", "d"), 4, "x"))                    // unknown op
+    val table = new LakeTable(tmp(), numBuckets = 4)
+    val r = CdcApply.applyBatch(spark, table, (good ++ bad).toDF(), batchId = 0)
+    assert(r.committed && r.fresh === 2)
+    assert(tableState(table).keySet === Set(("r", "a"), ("r", "b")), "bad rows never merge")
+    val dlq = spark.read.parquet(s"${table.root}/_quarantine")
+    assert(dlq.count() === 2)
+    assert(dlq.where(col("op") === "x").count() === 1)
+    // watermark advanced past the bad rows: replaying them is a no-op
+    val r2 = CdcApply.applyBatch(spark, table, bad.toDF(), batchId = 1)
+    assert(r2.reason === "metadata-only")
+    assert(spark.read.parquet(s"${table.root}/_quarantine").count() === 2, "no double quarantine")
+  }
+
   test("compaction drops retained tombstones, canonicalizes schema, preserves state") {
     val table = new LakeTable(tmp(), numBuckets = 4)
     val b0 = Seq(FlatEvent.mk(("r", "a"), 1, "c"), FlatEvent.mk(("r", "b"), 2, "c"),
