@@ -90,12 +90,18 @@ object CdcApply {
       salt: Int = 1,
       writeMetrics: Boolean = true,
       fenceByWatermark: Boolean = true,
-      cacheBatch: Boolean = true): BatchResult = {
+      cacheBatch: Boolean = true,
+      fenceByBatchId: Boolean = true): BatchResult = {
     val t0 = System.currentTimeMillis()
     val last = table.lastCommit()
     // Fence 1: idempotent batch replay (exactly-once on restart).
-    if (last.exists(_.batchId >= batchId))
+    // fenceByBatchId=false is for out-of-band applies (ad-hoc signal
+    // snapshots) that interleave with the stream: they commit WITHOUT
+    // advancing the stream's batchId, and convergence (LWW + retained
+    // tombstones) makes their redelivery idempotent instead.
+    if (fenceByBatchId && last.exists(_.batchId >= batchId))
       return BatchResult(committed = false, last.map(_.version).getOrElse(0L), batchId, 0, 0, 0, "batchId-fenced")
+    val commitBatchId = if (fenceByBatchId) batchId else last.map(_.batchId).getOrElse(-1L)
 
     // The batch is read twice (stats, merge input); cache unless the caller
     // already materialized it (replay caches the whole log once).
@@ -162,7 +168,7 @@ object CdcApply {
       val version = last.map(_.version).getOrElse(0L) + 1
       if (freshCount == 0 && batchFence.isEmpty) {
         // Metadata-only commit: advance the batchId + watermark fences.
-        table.commit(CommitInfo(version, batchId, newWm, newFence, schemas, schemaIdx,
+        table.commit(CommitInfo(version, commitBatchId, newWm, newFence, schemas, schemaIdx,
           last.map(_.files).getOrElse(Nil)))
         if (writeMetrics) appendMetrics(spark, table, batchId, version, stats, Map.empty, t0)
         return BatchResult(committed = true, version, batchId, eventsIn, 0, 0, "metadata-only")
@@ -192,7 +198,7 @@ object CdcApply {
 
       val staged = table.stage(merged.drop("__src"), batchId, schemaIdx)
       val untouchedFiles = last.map(_.files.filterNot(f => touched.contains(f.bucket))).getOrElse(Nil)
-      table.commit(CommitInfo(version, batchId, newWm, newFence, schemas, schemaIdx,
+      table.commit(CommitInfo(version, commitBatchId, newWm, newFence, schemas, schemaIdx,
         untouchedFiles ++ staged))
 
       var winnersCount = -1L

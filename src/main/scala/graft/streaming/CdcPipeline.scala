@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.core.Envelope
 import graft.merge.CdcApply
 import graft.merge.CdcApply.BatchResult
+import graft.sources.{Signals, Snapshot}
 import graft.table.LakeTable
 
 /** The engine's run loop — the Spark analog of
@@ -21,7 +22,20 @@ import graft.table.LakeTable
   */
 object CdcPipeline {
 
-  /** Structured Streaming tail of a growing envelope-file directory. */
+  /** Structured Streaming tail of a growing envelope-file directory.
+    *
+    * @param signalChannel optional control-plane file channel read at each
+    *        microbatch boundary (SignalProcessor analog, SURVEY.md §2.1):
+    *        `execute-snapshot` with `data` = a parquet path of base-table
+    *        rows applies an ad-hoc blocking snapshot / backfill — `op='r'`
+    *        events that compete through normal LWW on their own `commit`
+    *        (at lsn 0, so a live row or retained tombstone from the SAME
+    *        commit wins the tie; fresher base-table images win, staler
+    *        ones lose — re-snapshot converges, never resurrects a newer
+    *        delete); `log` prints. Signals are marked processed AFTER the
+    *        batch commits; redelivery after a crash re-applies the
+    *        snapshot, which is convergent.
+    */
   def start(
       spark: SparkSession,
       inputDir: String,
@@ -29,7 +43,8 @@ object CdcPipeline {
       table: LakeTable,
       salt: Int = 1,
       maxFilesPerTrigger: Int = 16,
-      orderedInput: Boolean = false): StreamingQuery = {
+      orderedInput: Boolean = false,
+      signalChannel: Option[String] = None): StreamingQuery = {
     val env = spark.readStream
       .schema(Envelope.schema())
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -38,9 +53,24 @@ object CdcPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (envBatch: DataFrame, batchId: Long) =>
+        val sp = envBatch.sparkSession
+        val pending = signalChannel.map(ch => Signals.pending(ch)).getOrElse(Nil)
+        pending.foreach { s =>
+          s.`type` match {
+            case Signals.ExecuteSnapshot =>
+              val rows = sp.read.parquet(s.data)
+              val snap = Snapshot.initial(rows, snapshotLsn = 0L)
+              CdcApply.applyBatch(sp, table, snap, batchId,
+                fenceByWatermark = false, fenceByBatchId = false)
+            case Signals.Log =>
+              System.err.println(s"[graft signal] ${s.data}")
+            case _ => () // pause/resume are owned by the query lifecycle
+          }
+        }
         val flat = Envelope.unwrap(envBatch).drop("__deleted")
-        CdcApply.applyBatch(envBatch.sparkSession, table, flat, batchId, salt,
+        CdcApply.applyBatch(sp, table, flat, batchId, salt,
           fenceByWatermark = orderedInput)
+        signalChannel.foreach(ch => Signals.markProcessed(ch, pending.map(_.id)))
         ()
       }
       .start()

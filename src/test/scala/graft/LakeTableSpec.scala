@@ -196,6 +196,40 @@ class LakeTableSpec extends SparkSpec {
     assert(sl.map(_.getAs[Long]("version")).toSeq === Seq(1L, 2L))
   }
 
+  test("execute-snapshot signal mid-stream: backfill applies, fresher state wins, idempotent") {
+    val inDir = tmp(); val ckpt = tmp(); val sigDir = tmp()
+    val channel = s"$sigDir/signals.jsonl"
+    val table = new LakeTable(tmp(), numBuckets = 8)
+    val log = randomLog(8, 200)
+    // wave 1: stream half the log
+    val (w1, w2) = log.splitAt(100)
+    graft.core.Envelope.wrap(w1.toDF()).write.mode("append").parquet(inDir)
+    CdcPipeline.start(spark, inDir, ckpt, table, signalChannel = Some(channel)).awaitTermination()
+    // ad-hoc snapshot: a never-streamed key (backfill) + a STALE image of a
+    // streamed key (commit below its live version — must lose LWW)
+    val live = foldOracle(w1).values.maxBy(_.lsn)
+    val snapRows = Seq(
+      ("repoZ", "backfill.txt", "c0000000001", "scala", "from snapshot"),
+      (live.repo, live.path, "c0000000000", "scala", "stale image"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    val snapPath = s"$sigDir/snap.parquet"
+    snapRows.write.parquet(snapPath)
+    sources.Signals.send(channel, sources.Signals.SignalRecord("s1", sources.Signals.ExecuteSnapshot, snapPath))
+    // wave 2 consumes the signal at its batch boundary
+    graft.core.Envelope.wrap(w2.toDF()).write.mode("append").parquet(inDir)
+    CdcPipeline.start(spark, inDir, ckpt, table, signalChannel = Some(channel)).awaitTermination()
+    val state = tableState(table)
+    assert(state.contains(("repoZ", "backfill.txt")), "backfilled key present")
+    assert(state.get((live.repo, live.path)).forall(_.content != "stale image"),
+      "stale snapshot image must lose LWW to the live row (or its w2 tombstone)")
+    val expected = foldOracle(log).keySet + (("repoZ", "backfill.txt"))
+    assert(state.keySet === expected)
+    // signal marked processed: a third run with nothing new changes nothing
+    val files = table.lastCommit().get.files.toSet
+    CdcPipeline.start(spark, inDir, ckpt, table, signalChannel = Some(channel)).awaitTermination()
+    assert(table.lastCommit().get.files.toSet === files)
+  }
+
   test("structured streaming with checkpoint: two waves + restart, exactly-once") {
     val inDir = tmp(); val ckpt = tmp()
     val table = new LakeTable(tmp(), numBuckets = 8)
