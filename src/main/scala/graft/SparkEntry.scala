@@ -213,6 +213,21 @@ object SparkEntry {
         .select(col("repo"), col("path"), col("lsn"), col("op"))
     }),
 
+    // §2.4 CloudEvents export: change event → CloudEvents-1.0 JSON string.
+    "q35_smt_cloudevents" -> ((s, dir) =>
+      ChangeLog.base(s, dir)
+        .select(col("repo"), col("path"), col("lsn"),
+          Transforms.toCloudEvent(Seq("repo", "path", "commit", "lang")).as("cloud_event"))),
+    // §2.4 sink insert modes: update-only — LWW winners of the log tail
+    // restricted to keys that already exist in the head's state.
+    "q36_sink_update_mode" -> ((s, dir) => {
+      val log = ChangeLog.base(s, dir)
+      val half = maxLsn(log) / 2
+      val state = Lww.applyState(log.where(col("lsn") <= half))
+      merge.SinkModes.update(log.where(col("lsn") > half), state)
+        .select(col("repo"), col("path"), col("commit"), col("lang"), col("content"), col("lsn"))
+    }),
+
     // ---- training-data pipeline over documents/embeddings ----
     // Exact dedup: content-sha groups, canonical id, copy counts.
     "q20_dedup_exact" -> ((s, dir) =>
@@ -469,6 +484,35 @@ object SparkEntry {
          |       CASE WHEN lsn % 43 = 0 THEN 'x' ELSE op END AS op
          |FROM ev0
          |WHERE lsn % 41 = 0 OR lsn % 43 = 0""".stripMargin,
+
+    "q35_smt_cloudevents" ->
+      s"""$cte
+         |SELECT repo, path, lsn,
+         |       concat('{"id":"graft-', CAST(lsn AS VARCHAR),
+         |              '","source":"/graft/repolog","specversion":"1.0",',
+         |              '"type":"io.graft.repolog.DataChangeEvent.', op,
+         |              '","time_ms":', CAST(ts_ms AS VARCHAR),
+         |              ',"data":{"repo":', to_json(repo),
+         |              ',"path":', to_json(path),
+         |              ',"commit":', to_json(commit),
+         |              ',"lang":', to_json(lang), '}}') AS cloud_event
+         |FROM ev0""".stripMargin,
+    "q36_sink_update_mode" ->
+      s"""$cte
+         |, state AS (
+         |  SELECT repo, path FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |    FROM ev0 WHERE lsn <= (SELECT max(lsn) // 2 FROM ev0)) t
+         |  WHERE rn = 1 AND op <> 'd')
+         |, tail_winners AS (
+         |  SELECT repo, path, commit, lang, content, lsn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |    FROM ev0 WHERE lsn > (SELECT max(lsn) // 2 FROM ev0)
+         |      AND op IN ('r', 'c', 'u')) t
+         |  WHERE rn = 1)
+         |SELECT w.repo, w.path, w.commit, w.lang, w.content, w.lsn
+         |FROM tail_winners w
+         |WHERE EXISTS (SELECT 1 FROM state s WHERE w.repo = s.repo AND w.path = s.path)""".stripMargin,
 
     "q20_dedup_exact" ->
       s"""WITH ${Corpus.Sql.corpus}

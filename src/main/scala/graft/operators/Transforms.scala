@@ -261,6 +261,24 @@ object Transforms {
         max(col("lsn")).as("end_lsn"),
         countDistinct(collectionCol).as("data_collections"))
 
+  /** CloudEvents 1.0 envelope serialization of a change event, as a JSON
+    * string column. Reference: `debezium-api/.../engine/format/CloudEvents`
+    * + `converters/CloudEventsConverter` — id, source, specversion, type,
+    * and the row image under `data`. Kept to JSON-safe scalar fields so
+    * the representation is engine-portable (our sink is Parquet-native;
+    * this is the export surface).
+    */
+  def toCloudEvent(
+      dataFields: Seq[String],
+      source: String = "/graft/repolog"): Column =
+    to_json(struct(
+      concat(lit("graft-"), col("lsn").cast("string")).as("id"),
+      lit(source).as("source"),
+      lit("1.0").as("specversion"),
+      concat(lit("io.graft.repolog.DataChangeEvent."), col("op")).as("type"),
+      col("ts_ms").as("time_ms"),
+      struct(dataFields.map(col): _*).as("data")))
+
   /** Engine-portable stable routing hash: sum of the ascii codes of the
     * md5 hex digest, mod n. Same contract as [[partitionRouting]]
     * (deterministic key→partition, `PartitionRouting.java:243-251`) but

@@ -145,6 +145,25 @@ class TransformsSpec extends SparkSpec {
     assert(out === "[123,-1500,0]")
   }
 
+  test("sink insert/update modes (JdbcSinkConnectorConfig.insert_mode)") {
+    // insert: every upsert-op event survives as its own row
+    val ins = merge.SinkModes.insert(log)
+    assert(ins.count() === 4 && ins.where(col("op") === "d").count() === 0)
+    // update: only keys already in state; new keys dropped
+    val state = Seq(("r1", "a")).toDF("repo", "path")
+    val upd = merge.SinkModes.update(log, state)
+    assert(upd.select("repo", "path").as[(String, String)].collect().toSet === Set(("r1", "a")))
+    // the winner for (r1,a) is the lsn=2 update
+    assert(upd.select("lsn").as[Long].head() === 2L)
+  }
+
+  test("cloud event serialization is a valid CloudEvents-shaped JSON string") {
+    val ce = log.select(Transforms.toCloudEvent(Seq("repo", "path", "commit", "lang")).as("j"))
+      .as[String].head()
+    assert(ce.startsWith("""{"id":"graft-""") && ce.contains(""""specversion":"1.0""""))
+    assert(ce.contains(""""data":{"repo":"r1""""))
+  }
+
   test("tableFilter include/exclude on envelope source.table") {
     val env = core.Envelope.wrap(log)
     assert(Transforms.tableFilter(env, include = Some("repo_.*")).count() === 5)
