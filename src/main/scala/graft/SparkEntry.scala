@@ -218,15 +218,22 @@ object SparkEntry {
       ChangeLog.base(s, dir)
         .select(col("repo"), col("path"), col("lsn"),
           Transforms.toCloudEvent(Seq("repo", "path", "commit", "lang")).as("cloud_event"))),
-    // §2.4 sink insert modes: update-only — LWW winners of the log tail
-    // restricted to keys that already exist in the head's state.
+    // §2.4 sink insert modes: update-only — LWW winners of the odd-lsn
+    // events restricted to keys present in the even-lsn state (the lsn%2
+    // split makes keys straddle both sides, so the existing-key join is
+    // exercised on a non-empty intersection).
     "q36_sink_update_mode" -> ((s, dir) => {
       val log = ChangeLog.base(s, dir)
-      val half = maxLsn(log) / 2
-      val state = Lww.applyState(log.where(col("lsn") <= half))
-      merge.SinkModes.update(log.where(col("lsn") > half), state)
+      val state = Lww.applyState(log.where(col("lsn") % 2 === 0))
+      merge.SinkModes.update(log.where(col("lsn") % 2 === 1), state)
         .select(col("repo"), col("path"), col("commit"), col("lang"), col("content"), col("lsn"))
     }),
+    // §2.4 sink insert mode: append-only — every upsert-op event is its own
+    // row, no key collapse (audit/history sinks).
+    "q37_sink_insert_mode" -> ((s, dir) =>
+      merge.SinkModes.insert(ChangeLog.flat(s, dir))
+        .select(col("repo"), col("path"), col("commit"), col("lang"), col("content"),
+          col("op"), col("lsn"))),
 
     // ---- training-data pipeline over documents/embeddings ----
     // Exact dedup: content-sha groups, canonical id, copy counts.
@@ -502,17 +509,21 @@ object SparkEntry {
          |, state AS (
          |  SELECT repo, path FROM (
          |    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
-         |    FROM ev0 WHERE lsn <= (SELECT max(lsn) // 2 FROM ev0)) t
+         |    FROM ev0 WHERE lsn % 2 = 0) t
          |  WHERE rn = 1 AND op <> 'd')
          |, tail_winners AS (
          |  SELECT repo, path, commit, lang, content, lsn FROM (
          |    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
-         |    FROM ev0 WHERE lsn > (SELECT max(lsn) // 2 FROM ev0)
+         |    FROM ev0 WHERE lsn % 2 = 1
          |      AND op IN ('r', 'c', 'u')) t
          |  WHERE rn = 1)
          |SELECT w.repo, w.path, w.commit, w.lang, w.content, w.lsn
          |FROM tail_winners w
          |WHERE EXISTS (SELECT 1 FROM state s WHERE w.repo = s.repo AND w.path = s.path)""".stripMargin,
+    "q37_sink_insert_mode" ->
+      s"""$cte
+         |SELECT repo, path, commit, lang, content, op, lsn
+         |FROM ev WHERE op IN ('r', 'c', 'u')""".stripMargin,
 
     "q20_dedup_exact" ->
       s"""WITH ${Corpus.Sql.corpus}

@@ -70,6 +70,7 @@ object CdcApply {
     */
   private def isWellFormed: Column =
     col("repo").isNotNull && col("path").isNotNull && col("commit").isNotNull &&
+      col("lsn").isNotNull && col("part").isNotNull &&
       col("op").isin(Envelope.OpRead, Envelope.OpCreate, Envelope.OpUpdate,
         Envelope.OpDelete, Envelope.OpTruncate, Envelope.OpMessage, Envelope.OpTombstone)
 
@@ -119,6 +120,10 @@ object CdcApply {
         }
       val arrived = oldFence.fold(wmPred)(f => wmPred && posCol > posLit(f))
       val freshPred = arrived && isWellFormed
+      // Malformed rows can null out the fence predicates (null commit/lsn ⇒
+      // SQL NULL, not false) — the quarantine gate treats unknown-arrival
+      // malformed rows as arrived so they never vanish silently.
+      val quarantined = coalesce(arrived, lit(true)) && !isWellFormed
       // Message ('m') events are control-plane passthrough, not row state;
       // they advance offsets but never merge (Envelope.java:37-62).
       val isData = col("op") =!= Envelope.OpTruncate &&
@@ -129,7 +134,7 @@ object CdcApply {
         count(lit(1)).as("n"),
         max(col("lsn")).as("mx"),
         count(when(freshPred, 1)).as("freshN"),
-        count(when(arrived && !isWellFormed, 1)).as("badN"),
+        count(when(quarantined, 1)).as("badN"),
         max(when(freshPred, col("ts_ms"))).as("maxTs"),
         max(when(freshPred && col("op") === Envelope.OpTruncate, posCol)).as("tf"),
         collect_set(when(freshPred && isData, table.bucketCol)).as("bks")).collect()
@@ -140,11 +145,16 @@ object CdcApply {
       if (badCount > 0) {
         // DLQ side output: quarantined verbatim with provenance, batch
         // keeps going (errors.tolerance=all).
-        cached.where(arrived && !isWellFormed)
+        cached.where(quarantined)
           .withColumn("__batchId", lit(batchId))
           .write.mode("append").parquet(s"${table.root}/_quarantine")
       }
-      val wmAdvance = stats.map(r => r.getAs[Int]("part") -> r.getAs[Long]("mx")).toMap
+      // Null-part groups (fully-malformed rows) must not advance any
+      // partition's watermark: getAs[Int] would unbox null to 0 and fence
+      // legitimate part-0 events.
+      val partIdx = if (stats.nonEmpty) stats.head.fieldIndex("part") else 0
+      val validStats = stats.filter(r => !r.isNullAt(partIdx))
+      val wmAdvance = validStats.map(r => r.getAs[Int]("part") -> r.getAs[Long]("mx")).toMap
       val batchFence = stats.flatMap(r => Option(r.getAs[Row]("tf")))
         .map(r => LogPos(r.getString(0), r.getLong(1)))
         .reduceOption((a, b) => a.max(b))
@@ -170,7 +180,7 @@ object CdcApply {
         // Metadata-only commit: advance the batchId + watermark fences.
         table.commit(CommitInfo(version, commitBatchId, newWm, newFence, schemas, schemaIdx,
           last.map(_.files).getOrElse(Nil)))
-        if (writeMetrics) appendMetrics(spark, table, batchId, version, stats, Map.empty, t0)
+        if (writeMetrics) appendMetrics(spark, table, batchId, version, validStats, Map.empty, t0)
         return BatchResult(committed = true, version, batchId, eventsIn, 0, 0, "metadata-only")
       }
 
@@ -180,23 +190,55 @@ object CdcApply {
         if (batchFence.isDefined) (0 until table.numBuckets).toSet
         else stats.flatMap(_.getSeq[Int](stats.head.fieldIndex("bks"))).toSet
 
-      // Job 2: merge = LWW over (current state of touched buckets ∪ fresh
-      // batch events) in one key-shuffle laid out one-partition-per-bucket.
-      // Batch rows are tagged __src=1 so the applied-winner metric falls
-      // out of the merged result (the tag rides inside max_by).
+      // Job 2: storage-partitioned merge. Batch side: optional salted
+      // pre-reduce, then ONE key-shuffle LWW reduce laid out
+      // one-partition-per-bucket (reducePartitioned: partition-id ==
+      // bucket-id, see LakeTable.stage contract). State side: bucketed
+      // scan of the touched buckets' files — NO shuffle (the scan reports
+      // the on-disk HashPartitioning; LakeTable.bucketedState). The
+      // full-outer winner-pick join is co-partitioned, so the whole merge
+      // moves only the batch over the wire — state ≫ batch at 10^10
+      // events no longer re-shuffles every microbatch.
       val dataEvents = cached.where(freshPred && isData)
-      val aligned = SchemaEvolution.align(dataEvents, evolved).withColumn("__src", lit(1))
-      val batchSide = if (salt > 1) Lww.saltedPartial(aligned, salt = salt) else aligned
-      val state = last.flatMap(ci => table.snapshotRaw(spark, ci, Some(touched)))
-        .map(s => SchemaEvolution.align(s, evolved).withColumn("__src", lit(0)))
-      val unioned = state.fold(batchSide)(_.unionAll(batchSide))
-      val fenced = batchFence.fold(unioned)(f => unioned.where(posCol > posLit(f)))
-      // reducePartitioned lays winners out partition-id == bucket-id, so
-      // staging is a plain parquet write (see LakeTable.stage contract).
-      val merged0 = Lww.reducePartitioned(fenced, numPartitions = table.numBuckets)
+      val aligned = SchemaEvolution.align(dataEvents, evolved)
+      val alignedFenced = batchFence.fold(aligned)(f => aligned.where(posCol > posLit(f)))
+
+      val hasStateFiles = last.exists(_.files.exists(f => touched.contains(f.bucket)))
+      val fastState: Option[DataFrame] =
+        if (!hasStateFiles) None
+        else last.flatMap(ci => table.bucketedState(spark, ci, Some(touched), evolved))
+          .map(st => batchFence.fold(st)(f => st.where(posCol > posLit(f))))
+
+      // Winners carry __src (1 = the batch side won the key) so the
+      // applied-winner metric falls out of the merged result.
+      val merged0 =
+        if (!hasStateFiles || fastState.isDefined) {
+          val pre =
+            if (salt > 1) Lww.saltedPartial(alignedFenced, table.keyCols, salt)
+            else alignedFenced
+          val batchW = Lww.reducePartitioned(pre, table.keyCols, table.numBuckets)
+          fastState match {
+            case Some(st) => Lww.mergeCoPartitioned(st, batchW, table.keyCols)
+            case None     => batchW.withColumn("__src", lit(1))
+          }
+        } else {
+          // Fallback (rare): an old file schema needs a non-native widen
+          // (e.g. →String) this batch — union + reduce shuffles state once;
+          // the rewrite puts those buckets back on the fast path.
+          val tagged = alignedFenced.withColumn("__src", lit(1))
+          val pre = if (salt > 1) Lww.saltedPartial(tagged, table.keyCols, salt) else tagged
+          val st = last.flatMap(ci => table.snapshotRaw(spark, ci, Some(touched))).get
+          val stAligned = SchemaEvolution.align(st, evolved).withColumn("__src", lit(0))
+          val stFenced = batchFence.fold(stAligned)(f => stAligned.where(posCol > posLit(f)))
+          Lww.reducePartitioned(stFenced.unionAll(pre), table.keyCols, table.numBuckets)
+        }
       val merged = if (writeMetrics) merged0.persist(StorageLevel.MEMORY_AND_DISK) else merged0
 
-      val staged = table.stage(merged.drop("__src"), batchId, schemaIdx)
+      // attempt = version keeps the staging directory unique per commit:
+      // an out-of-band apply (fenceByBatchId=false) shares the stream's
+      // batchId, and mode(overwrite) on a shared dir would delete files the
+      // other commit's manifest still references.
+      val staged = table.stage(merged.drop("__src"), batchId, schemaIdx, attempt = version)
       val untouchedFiles = last.map(_.files.filterNot(f => touched.contains(f.bucket))).getOrElse(Nil)
       table.commit(CommitInfo(version, commitBatchId, newWm, newFence, schemas, schemaIdx,
         untouchedFiles ++ staged))
@@ -209,7 +251,7 @@ object CdcApply {
           .groupBy(col("part")).agg(count(lit(1)).as("c")).collect()
           .map(r => r.getAs[Int]("part") -> r.getAs[Long]("c")).toMap
         winnersCount = applied.values.sum
-        appendMetrics(spark, table, batchId, version, stats, applied, t0)
+        appendMetrics(spark, table, batchId, version, validStats, applied, t0)
         merged.unpersist()
       }
       BatchResult(committed = true, version, batchId, eventsIn, freshCount, winnersCount, "merged")

@@ -67,9 +67,50 @@ object Lww {
     */
   def reducePartitioned(df: DataFrame, keyCols: Seq[String] = Envelope.keyCols, numPartitions: Int): DataFrame = {
     val pre = df.repartition(numPartitions, keyCols.map(col): _*)
+    // Key columns pass through the aggregate as the grouping attributes
+    // (NOT re-extracted from the winner struct): the output then still
+    // carries the repartition's HashPartitioning, so a downstream
+    // co-partitioned join/write needs no further exchange. Extracting keys
+    // from the struct would mint fresh attributes and silently discard the
+    // partitioning (one extra shuffle).
+    val others = pre.columns.filterNot(keyCols.contains)
     pre.groupBy(keyCols.map(col): _*)
-      .agg(max_by(struct(pre.columns.map(col): _*), pos).as("__w"))
-      .select(col("__w.*"))
+      .agg(max_by(struct(others.map(col): _*), pos).as("__w"))
+      .select(pre.columns.map(c => if (keyCols.contains(c)) col(c) else col(s"__w.$c").as(c)).toIndexedSeq: _*)
+  }
+
+  /** Merge per-key state against per-key batch winners when BOTH sides are
+    * already hash-clustered on the key with the same partition count —
+    * state from a bucketed scan ([[graft.table.LakeTable.bucketedState]]),
+    * batch from [[reducePartitioned]]. Catalyst then plans the full-outer
+    * join with ZERO additional exchanges (storage-partitioned-join shape):
+    * the only shuffle in the whole merge is the batch side's reduce.
+    *
+    * Precondition: ≤1 row per key on each side (state is a previous merge
+    * output; batchWinners is a completed LWW reduce). The batch wins ties
+    * (a tie is an exact duplicate replay, so either row is identical).
+    *
+    * The SHUFFLE_HASH hint keeps the big state side unsorted (hash-join
+    * with the small batch as build side) instead of SMJ sorting millions
+    * of state rows per bucket every microbatch.
+    */
+  def mergeCoPartitioned(
+      state: DataFrame,
+      batchWinners: DataFrame,
+      keyCols: Seq[String] = Envelope.keyCols): DataFrame = {
+    val fields = state.columns.toSeq
+    require(fields == batchWinners.columns.toSeq,
+      s"state/batch schemas must align: $fields vs ${batchWinners.columns.toSeq}")
+    val s = state.alias("s")
+    val b = batchWinners.alias("b")
+    val cond = keyCols.map(k => col(s"s.$k") === col(s"b.$k")).reduce(_ && _)
+    val joined = s.join(b.hint("shuffle_hash"), cond, "full_outer")
+    val batchWins = col(s"b.${keyCols.head}").isNotNull &&
+      (col(s"s.${keyCols.head}").isNull ||
+        struct(col("b.commit"), col("b.lsn")) >= struct(col("s.commit"), col("s.lsn")))
+    joined.select(
+      fields.map(f => when(batchWins, col(s"b.$f")).otherwise(col(s"s.$f")).as(f)) :+
+        when(batchWins, lit(1)).otherwise(lit(0)).as("__src"): _*)
   }
 
   /** Window/row_number variant (the literal ReducedRecordBuffer shape). */

@@ -6,7 +6,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types._
 import graft.core.Envelope
 
 /** A position in the change log's total order (SURVEY.md §1.2). */
@@ -59,12 +59,20 @@ final case class CommitInfo(
   * would raise `numBuckets` so one bucket ~ a few GB; the manifest is O(files)
   * driver-side metadata, same as an Iceberg manifest list.
   */
-final class LakeTable(val root: String, val numBuckets: Int = 32) {
+final class LakeTable(
+    val root: String,
+    val numBuckets: Int = 32,
+    val keyCols: Seq[String] = Envelope.keyCols) {
   private def commitsDir: Path = Paths.get(root, "_commits")
 
-  /** Bucket assignment — a pure function of the key, never stored. */
+  /** Bucket assignment — a pure function of the key, never stored.
+    * IDENTICAL to Spark's native bucketing / HashPartitioning partition-id
+    * expression (`pmod(Murmur3Hash(keys), n)`), which is what makes both
+    * the stage() partition-id==bucket contract and the shuffle-free
+    * [[bucketedState]] read line up.
+    */
   def bucketCol: org.apache.spark.sql.Column =
-    pmod(hash(Envelope.keyCols.map(col): _*), lit(numBuckets))
+    pmod(hash(keyCols.map(col): _*), lit(numBuckets))
 
   def lastCommit(): Option[CommitInfo] = commitPaths().lastOption
     .map(p => LakeTable.fromJson(Files.readString(p)))
@@ -134,6 +142,105 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
   def snapshot(spark: SparkSession): Option[DataFrame] =
     snapshotRaw(spark, None).map(_.where(col("op") =!= Envelope.OpDelete))
 
+  // ---------------------------------------------------------------------
+  // Storage-partitioned state read (round-2 fix for VERDICT "What's wrong"
+  // #3): expose the on-disk hash-bucket layout to Catalyst so the merge
+  // shuffles ONLY the batch side. Spark-first mechanism: register the
+  // commit's live files as a native BUCKETED external parquet table
+  // (`CLUSTERED BY (key) INTO numBuckets BUCKETS`) — the scan then reports
+  // `HashPartitioning(keyCols, numBuckets)`, which is by construction the
+  // same Murmur3 pmod layout `stage()` wrote, so a key-equi join against a
+  // `repartition(numBuckets, key)`-shaped batch plans ZERO extra exchanges.
+  // The Iceberg analog is a storage-partitioned join over a bucket
+  // partition transform (SPARK-37375).
+  // ---------------------------------------------------------------------
+
+  /** Type promotions Spark 4's parquet reader performs natively when the
+    * requested schema is wider than the file schema (probed in-sandbox;
+    * notably →String is NOT native). Wider promotions fall back to the
+    * per-schema-group aligned read ([[snapshotRaw]]).
+    */
+  private val nativeWiden: Set[(DataType, DataType)] = Set(
+    (ByteType, IntegerType), (ShortType, IntegerType), (IntegerType, LongType),
+    (IntegerType, DoubleType), (FloatType, DoubleType))
+
+  private def nativelyReadable(written: StructType, target: StructType): Boolean =
+    written.fields.forall { wf =>
+      target.fields.find(_.name == wf.name).exists { tf =>
+        tf.dataType == wf.dataType || nativeWiden((wf.dataType, tf.dataType))
+      }
+    }
+
+  /** Catalog identifier for this table's state registration (stable per
+    * root; re-registered per batch).
+    */
+  private val catalogName: String =
+    "graft_state_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+
+  /** The commit's live files for `buckets`, as a DataFrame whose scan
+    * reports the bucket layout (`Bucketed: true` in explain). Returns None
+    * when there are no matching files OR an old file schema needs a
+    * non-native widening (rare: a →String widen this commit; the caller
+    * falls back to [[snapshotRaw]], and the next merge rewrites touched
+    * buckets to the current schema putting it back on the fast path).
+    *
+    * Mechanics: hardlink the files into `_bucketed/v<version>-<sel>/` under
+    * Spark's bucketed-file naming (`..._<bucketId>.parquet` — the reader
+    * derives the bucket id from the file name), then register an external
+    * bucketed table over that directory. Hardlinks: O(files) driver-side
+    * metadata ops, no data copied; the analog of an Iceberg manifest
+    * pinning a snapshot's file set.
+    */
+  def bucketedState(
+      spark: SparkSession,
+      ci: CommitInfo,
+      buckets: Option[Set[Int]],
+      readSchema: StructType): Option[DataFrame] = {
+    val wanted = ci.files.filter(f => buckets.forall(_.contains(f.bucket)))
+    if (wanted.isEmpty) return None
+    val compatible = wanted.map(_.schemaIdx).distinct.forall { idx =>
+      nativelyReadable(DataType.fromJson(ci.schemas(idx)).asInstanceOf[StructType], readSchema)
+    }
+    if (!compatible) return None
+
+    val sel = buckets.fold("all")(b => f"${b.toSeq.sorted.hashCode & 0xffffff}%06x")
+    val dir = Paths.get(root, "_bucketed", f"v${ci.version}%020d-$sel")
+    if (Files.exists(dir)) deleteTree(dir) // leftover from a failed attempt
+    Files.createDirectories(dir)
+    wanted.zipWithIndex.foreach { case (f, i) =>
+      val src = Paths.get(root, f.path)
+      val dst = dir.resolve(f"part-$i%05d-graft_${f.bucket}%05d.parquet")
+      try Files.createLink(dst, src)
+      catch { case _: Exception => Files.copy(src, dst) }
+    }
+    gcBucketedDirs(keepFrom = ci.version)
+
+    spark.sql(s"DROP TABLE IF EXISTS $catalogName")
+    spark.sql(
+      s"""CREATE TABLE $catalogName (${StructType(readSchema.fields.map(_.copy(nullable = true))).toDDL})
+         |USING parquet
+         |CLUSTERED BY (${keyCols.map(k => s"`$k`").mkString(", ")}) INTO $numBuckets BUCKETS
+         |LOCATION '${dir.toAbsolutePath}'""".stripMargin)
+    Some(spark.table(catalogName))
+  }
+
+  /** Drop bucketed-link dirs of superseded versions (cheap: link entries
+    * only; the data files they point at live under data/ and are governed
+    * by the manifest).
+    */
+  private def gcBucketedDirs(keepFrom: Long): Unit = {
+    val base = Paths.get(root, "_bucketed")
+    if (!Files.isDirectory(base)) return
+    val keep = f"v$keepFrom%020d"
+    Files.list(base).iterator().asScala.toSeq
+      .filter(p => p.getFileName.toString < keep)
+      .foreach(deleteTree)
+  }
+
+  private def deleteTree(p: Path): Unit =
+    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+
   /** Maintenance compaction (Iceberg rewrite-data-files analog): rewrite
     * every bucket to the CURRENT table schema (old-schema files disappear)
     * and drop delete tombstones at-or-below `tombstoneRetention` — safe
@@ -155,7 +262,7 @@ final class LakeTable(val root: String, val numBuckets: Int = 32) {
           df.where(col("op") =!= Envelope.OpDelete ||
             struct(col("commit"), col("lsn")) > struct(lit(p.commit), lit(p.lsn)))
         }
-        val laid = pruned.repartition(numBuckets, Envelope.keyCols.map(col): _*)
+        val laid = pruned.repartition(numBuckets, keyCols.map(col): _*)
         val staged = stage(laid, ci.batchId, ci.schemaIdx, attempt = ci.version + 1)
         val next = ci.copy(version = ci.version + 1, files = staged)
         commit(next)

@@ -230,6 +230,29 @@ class LakeTableSpec extends SparkSpec {
     assert(table.lastCommit().get.files.toSet === files)
   }
 
+  test("storage-partitioned merge: state scan is bucketed, ONLY the batch side shuffles") {
+    val log = randomLog(9, 300)
+    val table = new LakeTable(tmp(), numBuckets = 8)
+    CdcPipeline.replay(spark, log.toDF(), table, numBatches = 2)
+    val ci = table.lastCommit().get
+    val state = table.bucketedState(spark, ci, None, ci.schema).get
+    val upd = FlatEvent.mk(("repo0", "p0.txt"), 999, "u")
+    val batchW = graft.operators.Lww.reducePartitioned(
+      graft.table.SchemaEvolution.align(Seq(upd).toDF(), ci.schema), numPartitions = 8)
+    val merged = graft.operators.Lww.mergeCoPartitioned(state, batchW)
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), s"state scan must report the bucket layout:\n$plan")
+    assert("Exchange".r.findAllMatchIn(plan).size === 1,
+      s"exactly one exchange — the batch reduce; state must not re-shuffle:\n$plan")
+    // and the merge picks the right winners
+    val out = merged.collect()
+    val byKey = out.map(r => (r.getAs[String]("repo"), r.getAs[String]("path")) -> r).toMap
+    assert(byKey(("repo0", "p0.txt")).getAs[Long]("lsn") === 999L, "batch winner applied")
+    assert(byKey(("repo0", "p0.txt")).getAs[Int]("__src") === 1)
+    val stateRows = state.collect().map(r => (r.getAs[String]("repo"), r.getAs[String]("path"))).toSet
+    assert(out.length === (stateRows + (("repo0", "p0.txt"))).size, "full-outer key coverage")
+  }
+
   test("structured streaming with checkpoint: two waves + restart, exactly-once") {
     val inDir = tmp(); val ckpt = tmp()
     val table = new LakeTable(tmp(), numBuckets = 8)
