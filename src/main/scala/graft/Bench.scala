@@ -7,40 +7,55 @@ import graft.table.LakeTable
 
 /** Per-round benchmark (driver-run; see BASELINE.md).
   *
-  * Emits ONE JSON line: per-query wall times over SPARK_GRAFT_SF_DIR, plus
-  * the north-rule headline — end-to-end change-events/sec applied on a
-  * deterministic synthetic log (replay → LakeTable convergence) — and the
-  * two-cluster-size scaling evidence: the same job at N and 4N cores
-  * (sandbox stand-in for N vs 4N executors) for three pairs,
-  * 2→8, 4→16 and 8→32, efficiency = (thr_4N / thr_N) / 4.
+  * Emits a cumulative JSON result line after EVERY completed stage, so a
+  * driver-side timeout still leaves the last printed line parseable with
+  * everything measured up to that point (round-1 lesson: an all-or-nothing
+  * sweep timed out and yielded zero verified numbers). The final line has
+  * `"status":"complete"`.
+  *
+  * Stages, in order of evidential value, each under a fraction of the
+  * wall budget (`SPARK_GRAFT_BENCH_BUDGET_S`, default 1200 s):
+  *
+  *  1. headline (≤30%): the north-rule number — end-to-end change-events/
+  *     sec applied (synthetic-log replay → LakeTable convergence) at
+  *     `local[cpus]`;
+  *  2. scaling (≤75% cumulative): the same job, same input, same fixed
+  *     logical layout at N and 4N cores (sandbox stand-in for N vs 4N
+  *     executors); efficiency = (thr_4N / thr_N) / 4. Default one pair
+  *     (2→8); `SPARK_GRAFT_SCALING=all` adds 4→16 and 8→32,
+  *     `SPARK_GRAFT_SCALING=0` skips;
+  *  3. query sweep (remainder): every SparkEntry query on
+  *     `SPARK_GRAFT_SF_DIR`; a failing query records -1 (with the error on
+  *     stderr), a budget-skipped query records -2 — never silently absent.
   *
   * Measurement discipline (single shared VM):
   *  - the job's LOGICAL layout is fixed (32 source partitions, 64 buckets,
   *    64 shuffle partitions) at every level — only the core count varies,
   *    like adding executors to a cluster job;
   *  - each parallelism level runs in a FRESH SparkSession with an untimed
-  *    warm-up replay (JIT/codegen), then the median of 3 measurements
-  *    (single-run wall clock varies ±2× under host contention);
+  *    warm-up replay (JIT/codegen), then the BEST of `SPARK_GRAFT_REPS`
+  *    (default 2) measurements. Estimator rationale: on this shared host,
+  *    contention only ever subtracts throughput (observed single-run
+  *    swings up to ±2×), so the fastest rep is the least-contended
+  *    estimate of the engine's capability at that core count; both pair
+  *    members use the same estimator, so the efficiency compares like for
+  *    like. Per-rep times go to stderr for spread inspection;
   *  - table + shuffle I/O on /dev/shm when present: the VM's virtio disk
-  *    adds ~2× latency that a cluster's local NVMe would not (measured:
-  *    446k ev/s tmpfs vs 190k disk on the identical job);
-  *  - input per pair scales with the core count (4N member must run long
-  *    enough that per-batch fixed latency is amortized);
+  *    adds ~2× latency that a cluster's local NVMe would not;
   *  - AQE off for the replay: the merge plan is explicitly partitioned
-  *    (bucket-aligned single-shuffle aggregate), adaptive re-planning only
-  *    adds per-stage driver latency. It stays ON for the query sweep.
+  *    (bucket-aligned batch shuffle + storage-partitioned state read),
+  *    adaptive re-planning only adds per-stage driver latency. It stays
+  *    ON for the query sweep.
   *
   * The 8→32 pair underestimates the engine: 32 threads of one VM share
-  * one socket's memory bandwidth, which the replay saturates near ~430k
-  * ev/s; on a real cluster 4N executors bring 4N× bandwidth. The 2→8 and
-  * 4→16 pairs sit below that ceiling and measure the engine's actual
-  * scaling behavior.
+  * one socket's memory bandwidth, which the replay saturates; on a real
+  * cluster 4N executors bring 4N× bandwidth. The default 2→8 pair sits
+  * below that ceiling and measures the engine's actual scaling behavior.
   *
   * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
-  * SPARK_GRAFT_BENCH_EVENTS (base N=2-pair size, default 8,000,000; the
-  * 4→16 pair runs 2×, the 8→32 pair 4×),
-  * SPARK_GRAFT_SCALING=0 to skip the scaling pairs (headline only),
-  * SPARK_GRAFT_REPS (default 3).
+  * SPARK_GRAFT_BENCH_EVENTS (scaling-pair input, default 8,000,000; the
+  * headline runs 2×), SPARK_GRAFT_BENCH_BUDGET_S, SPARK_GRAFT_SCALING,
+  * SPARK_GRAFT_REPS.
   */
 object Bench {
 
@@ -51,8 +66,7 @@ object Bench {
 
   /** The replay job's FIXED logical layout — identical at every
     * parallelism level, exactly like a cluster job whose partitioning is
-    * fixed while the executor count varies: 32 source partitions, 64
-    * buckets, 64 shuffle partitions.
+    * fixed while the executor count varies.
     */
   private val SourceParts = 32
   private val NumBuckets = 64
@@ -74,7 +88,7 @@ object Bench {
   /** One full replay of `numEvents` synthetic events into a fresh
     * LakeTable; returns (wallSec, eventsPerSec).
     */
-  private def replayThroughput(spark: SparkSession, numEvents: Long, cpus: Int): (Double, Double) = {
+  private def replayThroughput(spark: SparkSession, numEvents: Long): (Double, Double) = {
     val base = shmBase.getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
     val root = java.nio.file.Files.createTempDirectory(base, "graft-bench")
     val table = new LakeTable(root.toString, numBuckets = NumBuckets)
@@ -94,71 +108,175 @@ object Bench {
         .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
-  /** Fresh session at `cpus`: untimed warm-up replay, then the BEST of
-    * `reps` measurements. On this shared host, contention only ever
-    * subtracts throughput (observed single-run swings up to ±2×, e.g. a
-    * 258 s outlier next to 32 s runs of the identical job), so the
-    * fastest rep is the least-contended estimate of the engine's
-    * capability at that core count; both pair members use the same
-    * estimator, so the efficiency compares like for like.
+  /** The state ≫ batch regime — the shape the 10^10-event north rule
+    * actually lives in (a mature table takes small incremental batches).
+    * Preloads `stateEvents` over as many keys (untimed), then measures
+    * `batches` incremental applies of `batchEvents` each. `legacy=true`
+    * forces the union+reduce merge (re-shuffles state) for the A/B delta
+    * against the storage-partitioned read.
     */
-  private def measuredReplay(numEvents: Long, cpus: Int, reps: Int): (Double, Double) = {
+  private def stateHeavy(
+      spark: SparkSession,
+      stateEvents: Long,
+      batchEvents: Long,
+      batches: Int,
+      legacy: Boolean): (Double, Double, Double) = {
+    val base = shmBase.getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+    val root = java.nio.file.Files.createTempDirectory(base, "graft-bench-sh")
+    val table = new LakeTable(root.toString, numBuckets = NumBuckets)
+    val init = SyntheticLog.generate(spark, stateEvents, numKeys = stateEvents, parts = SourceParts)
+    CdcPipeline.replay(spark, init, table, numBatches = 2, salt = 8, writeMetrics = false)
+    // Shuffle-bytes meter: wall time barely moves in local mode (a shuffle
+    // costs about as much as a tmpfs read), but on a cluster the exchange
+    // is network-bound — bytes moved is the honest scale metric.
+    val shuffled = new java.util.concurrent.atomic.AtomicLong
+    val meter = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffled.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    if (legacy) sys.props("graft.forceLegacyMerge") = "true"
+    spark.sparkContext.addSparkListener(meter)
+    try {
+      val t0 = System.nanoTime()
+      (0 until batches).foreach { i =>
+        val b = SyntheticLog.generate(spark, batchEvents, numKeys = stateEvents,
+          parts = SourceParts, startId = stateEvents + i * batchEvents)
+        graft.merge.CdcApply.applyBatch(spark, table, b, batchId = 2 + i, salt = 8,
+          writeMetrics = false)
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1500) // let the async listener bus drain
+      (sec, batches.toLong * batchEvents / sec, shuffled.get / 1048576.0)
+    } finally {
+      spark.sparkContext.removeSparkListener(meter)
+      sys.props.remove("graft.forceLegacyMerge")
+      deleteRecursively(root)
+    }
+  }
+
+  /** Fresh session at `cpus`: untimed warm-up replay, then best of up to
+    * `reps` measurements (always ≥1; stops early past `deadlineMs`).
+    */
+  private def measuredReplay(numEvents: Long, cpus: Int, reps: Int, deadlineMs: Long): (Double, Double) = {
     val s = session(cpus, aqe = false, shufflePartitions = Some(NumBuckets))
     try {
-      replayThroughput(s, math.min(500000L, numEvents), cpus) // warm-up
-      (1 to reps).map(_ => replayThroughput(s, numEvents, cpus)).minBy(_._1)
+      replayThroughput(s, math.min(500000L, numEvents)) // warm-up (JIT/codegen)
+      var best: Option[(Double, Double)] = None
+      var r = 0
+      while (r < reps && (r == 0 || System.currentTimeMillis() < deadlineMs)) {
+        val m = replayThroughput(s, numEvents)
+        System.err.println(f"[bench] replay cpus=$cpus events=$numEvents rep=${r + 1}: ${m._1}%.1f s (${m._2}%.0f ev/s)")
+        if (best.forall(m._1 < _._1)) best = Some(m)
+        r += 1
+      }
+      best.get
     } finally s.stop()
   }
 
   def main(args: Array[String]): Unit = {
+    val t0 = System.currentTimeMillis()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val baseEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "8000000").toLong
-    val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1200").toLong
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val scaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1")
+    def deadlineAt(frac: Double): Long = t0 + (budgetS * frac * 1000).toLong
 
+    var queriesRes: Seq[(String, Double)] = Nil
+    var replayRes: Option[(Long, Double, Double)] = None // events, sec, thr
+    var pairsRes: Seq[(Int, Int, Long, Double, Double, Double)] = Nil
+    // stateEv, batchEv, batches, thrFast, mbFast, thrLegacy, mbLegacy
+    var stateHeavyRes: Option[(Long, Long, Int, Double, Double, Double, Double)] = None
+
+    def emit(status: String): Unit = {
+      val qs = queriesRes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      val total = queriesRes.map(_._2).filter(_ > 0).sum + replayRes.map(_._2).getOrElse(0.0)
+      val replayJson = replayRes.fold("") { case (ev, sec, thr) =>
+        f""","cdc_replay":{"events":$ev,"sec":$sec%.3f,"events_per_sec":$thr%.0f}"""
+      }
+      val scalingJson =
+        if (pairsRes.isEmpty) ""
+        else {
+          val ps = pairsRes.map { case (n, n4, ev, thrN, thr4, eff) =>
+            f"""{"n_cores":$n,"n4_cores":$n4,"events":$ev,"thr_n":$thrN%.0f,"thr_4n":$thr4%.0f,"efficiency":$eff%.3f}"""
+          }.mkString(""","scaling_pairs":[""", ",", "]")
+          val best = pairsRes.maxBy(_._6)
+          ps + f""","scaling_best":{"n_cores":${best._1},"n4_cores":${best._2},"efficiency":${best._6}%.3f}"""
+        }
+      val shJson = stateHeavyRes.fold("") { case (se, be, nb, thrF, mbF, thrL, mbL) =>
+        val legacyPart =
+          if (thrL > 0)
+            f""","events_per_sec_legacy":$thrL%.0f,"shuffle_mb_legacy":$mbL%.1f,"shuffle_reduction":${mbL / math.max(mbF, 0.1)}%.1f"""
+          else ""
+        f""","state_heavy":{"state_events":$se,"batch_events":$be,"batches":$nb,"events_per_sec":$thrF%.0f,"shuffle_mb":$mbF%.1f$legacyPart}"""
+      }
+      val elapsed = (System.currentTimeMillis() - t0) / 1000.0
+      println(
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$replayJson$scalingJson$shJson,"budget_s":$budgetS,"elapsed_s":$elapsed%.1f,"status":"$status"}""")
+    }
+
+    // Stage 1: headline — the north-rule number at full parallelism.
+    val headlineEv = baseEvents * 2
+    val (hSec, hThr) = measuredReplay(headlineEv, cpus, reps, deadlineAt(0.30))
+    replayRes = Some((headlineEv, hSec, hThr))
+    emit("partial")
+
+    // Stage 2: scaling pair(s) — same input at N and 4N cores.
+    val pairs = scaling match {
+      case "0"   => Nil
+      case "all" => Seq((2, 8, baseEvents), (4, 16, baseEvents * 2), (8, 32, baseEvents * 4))
+      case _     => Seq((2, 8, baseEvents))
+    }
+    pairs.foreach { case (n, n4, ev) =>
+      if (System.currentTimeMillis() < deadlineAt(0.70)) {
+        val (_, thrN) = measuredReplay(ev, n, reps, deadlineAt(0.55))
+        val (_, thr4) = measuredReplay(ev, n4, reps, deadlineAt(0.75))
+        pairsRes = pairsRes :+ ((n, n4, ev, thrN, thr4, (thr4 / thrN) / 4.0))
+        emit("partial")
+      }
+    }
+
+    // Stage 2b: state ≫ batch incremental merge — the regime the
+    // storage-partitioned state read is built for; includes the legacy
+    // (union+reduce, state re-shuffled) A/B when budget allows.
+    if (sys.env.getOrElse("SPARK_GRAFT_STATE_HEAVY", "1") == "1" &&
+      System.currentTimeMillis() < deadlineAt(0.75)) {
+      val s = session(cpus, aqe = false, shufflePartitions = Some(NumBuckets))
+      try {
+        val (stateEv, batchEv, nb) = (baseEvents, baseEvents / 32, 6)
+        val (_, thrFast, mbFast) = stateHeavy(s, stateEv, batchEv, nb, legacy = false)
+        System.err.println(f"[bench] state-heavy fast: $thrFast%.0f ev/s, $mbFast%.1f MB shuffled")
+        val (thrLegacy, mbLegacy) =
+          if (System.currentTimeMillis() < deadlineAt(0.85)) {
+            val (_, t, mb) = stateHeavy(s, stateEv, batchEv, nb, legacy = true)
+            System.err.println(f"[bench] state-heavy legacy: $t%.0f ev/s, $mb%.1f MB shuffled")
+            (t, mb)
+          } else (-1.0, -1.0)
+        stateHeavyRes = Some((stateEv, batchEv, nb, thrFast, mbFast, thrLegacy, mbLegacy))
+        emit("partial")
+      } finally s.stop()
+    }
+
+    // Stage 3: query sweep — remainder of the budget, 30 s reserved for
+    // teardown. -1 = query failed (error on stderr), -2 = budget-skipped.
     val qSession = session(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(qSession, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val qDeadline = t0 + budgetS * 1000 - 30000
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val v =
+        if (System.currentTimeMillis() >= qDeadline) -2.0
+        else {
+          val s0 = System.nanoTime()
+          try { fn(qSession, sfDir).count(); (System.nanoTime() - s0) / 1e9 }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] query $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+              -1.0
+          }
+        }
+      queriesRes = queriesRes :+ (name -> v)
     }
     qSession.stop()
-
-    // Scaling pairs: (N cores, 4N cores, events). Input grows with the
-    // pair so the 4N member runs long enough to amortize per-batch fixed
-    // latency; each pair compares the SAME input at both levels.
-    val pairs =
-      if (!doScaling) Nil
-      else Seq((2, 8, baseEvents), (4, 16, baseEvents * 2), (8, 32, baseEvents * 4))
-    val pairResults = pairs.map { case (n, n4, ev) =>
-      val (_, thrN) = measuredReplay(ev, n, reps)
-      val (sec4, thr4) = measuredReplay(ev, n4, reps)
-      (n, n4, ev, thrN, thr4, (thr4 / thrN) / 4.0, sec4)
-    }
-
-    // Headline: the largest-parallelism measurement (8→32 pair's 4N side),
-    // or a standalone local[cpus] run when scaling is skipped.
-    val (headlineSec, headlineThr, headlineEv) = pairResults.lastOption
-      .map { case (_, _, ev, _, thr4, _, sec4) => (sec4, thr4, ev) }
-      .getOrElse {
-        val ev = baseEvents * 4
-        val (s, t) = measuredReplay(ev, cpus, reps)
-        (s, t, ev)
-      }
-
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum + headlineSec
-    val scalingJson =
-      if (pairResults.isEmpty) ""
-      else {
-        val pairs = pairResults.map { case (n, n4, ev, thrN, thr4, eff, _) =>
-          f"""{"n_cores":$n,"n4_cores":$n4,"events":$ev,"thr_n":$thrN%.0f,"thr_4n":$thr4%.0f,"efficiency":$eff%.3f}"""
-        }.mkString(""","scaling_pairs":[""", ",", "]")
-        val best = pairResults.maxBy(_._6)
-        pairs + f""","scaling_best":{"n_cores":${best._1},"n4_cores":${best._2},"efficiency":${best._6}%.3f}"""
-      }
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc_replay":{"events":$headlineEv,"sec":$headlineSec%.3f,"events_per_sec":$headlineThr%.0f}$scalingJson}""")
+    emit("complete")
   }
 }

@@ -204,8 +204,11 @@ object CdcApply {
       val alignedFenced = batchFence.fold(aligned)(f => aligned.where(posCol > posLit(f)))
 
       val hasStateFiles = last.exists(_.files.exists(f => touched.contains(f.bucket)))
+      // -Dgraft.forceLegacyMerge=true disables the storage-partitioned
+      // state read — bench/A-B escape hatch, never set in production.
+      val forceLegacy = sys.props.get("graft.forceLegacyMerge").contains("true")
       val fastState: Option[DataFrame] =
-        if (!hasStateFiles) None
+        if (!hasStateFiles || forceLegacy) None
         else last.flatMap(ci => table.bucketedState(spark, ci, Some(touched), evolved))
           .map(st => batchFence.fold(st)(f => st.where(posCol > posLit(f))))
 

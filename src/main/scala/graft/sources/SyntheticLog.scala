@@ -19,13 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object SyntheticLog {
 
+  /** @param startId first event id — lets incremental batches continue a
+    *        previously-generated log's lsn sequence against the same key
+    *        space (state-heavy merge scenarios).
+    */
   def generate(
       spark: SparkSession,
       numEvents: Long,
       numKeys: Long,
       parts: Int = 32,
       hotKeys: Long = 100L,
-      hotPct: Int = 20): DataFrame = {
+      hotPct: Int = 20,
+      startId: Long = 0L): DataFrame = {
     val id = col("id")
     val mixed = pmod(id * 2654435761L, lit(numKeys))
     val isHot = pmod(id, lit(100L)) < hotPct
@@ -35,7 +40,7 @@ object SyntheticLog {
     val lsn = id + 1L
     val opMod = pmod(id, lit(19L))
     val op = when(opMod === 18L, "d").when(opMod === 17L, "r").otherwise(when(pmod(id, lit(2L)) === 0L, "c").otherwise("u"))
-    spark.range(0L, numEvents, 1L, parts).select(
+    spark.range(startId, startId + numEvents, 1L, parts).select(
       repo.as("repo"),
       concat(lit("src/f"), keyId.cast("string"), lit(".txt")).as("path"),
       concat(lit("c"), lpad(lsn.cast("string"), 12, "0")).as("commit"),
