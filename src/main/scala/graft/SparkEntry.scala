@@ -234,6 +234,57 @@ object SparkEntry {
       merge.SinkModes.insert(ChangeLog.flat(s, dir))
         .select(col("repo"), col("path"), col("commit"), col("lang"), col("content"),
           col("op"), col("lsn"))),
+    // §1.4 semantic type layer (JdbcValueConverters analog): a raw
+    // Debezium-shaped encoding of the typed events table (epoch-days int,
+    // epoch-micros long, ISO-8601-with-offset string, micros-since-
+    // midnight, Year, Uuid, Decimal-as-string, Json) is metadata-tagged
+    // and converted to Spark-native Date/TimestampNTZ/Decimal columns.
+    "q39_semantic_types" -> ((s, dir) => {
+      import graft.core.SemanticTypes
+      import org.apache.spark.sql.types.{DateType, TimestampType}
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val tsUs = unix_micros(col("ts").cast(TimestampType))
+      val h = md5(col("event_id").cast("string"))
+      val raw = ev.select(
+        col("event_id"),
+        SemanticTypes.tagged(
+          datediff(col("ts").cast(DateType), to_date(lit("1970-01-01"))).cast("int"),
+          "d_date", SemanticTypes.Date),
+        SemanticTypes.tagged(tsUs, "ts_ntz", SemanticTypes.MicroTimestamp),
+        SemanticTypes.tagged(
+          concat(date_format(col("ts") + expr("INTERVAL 2 HOURS"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+            lit("+02:00")),
+          "zts_ntz", SemanticTypes.ZonedTimestamp),
+        SemanticTypes.tagged(pmod(tsUs, lit(86400000000L)), "micro_time", SemanticTypes.MicroTime),
+        SemanticTypes.tagged(year(col("ts")), "yr", SemanticTypes.Year),
+        SemanticTypes.tagged(upper(concat_ws("-",
+          substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+          substring(h, 17, 4), substring(h, 21, 12))), "uuid", SemanticTypes.Uuid),
+        SemanticTypes.tagged(concat(col("user_id").cast("string"), lit(".25")),
+          "dec", SemanticTypes.decimal(18, 2)),
+        SemanticTypes.tagged(col("props"), "props_json", SemanticTypes.Json))
+      SemanticTypes.convert(raw)
+        .withColumn("k_val", get_json_object(col("props_json"), "$.k").cast("long"))
+        .drop("props_json")
+    }),
+    // Multi-table capture (Tables/TableSchema + per-table routed sink):
+    // one change log fans out by a router column into two LakeTables with
+    // DIFFERENT primary keys — files_en keyed (repo, path), heads_rest
+    // keyed (repo) — applied in two microbatches, states unioned back.
+    "q38_multi_table" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-multi").toString
+      val reg = new merge.MultiTable.Registry(root, Seq(
+        merge.MultiTable.TableDef("files_en", Seq("repo", "path"), numBuckets = 8),
+        merge.MultiTable.TableDef("heads_rest", Seq("repo"), numBuckets = 4)))
+      val log = ChangeLog.base(s, dir)
+        .withColumn("route", when(col("lang") === "en", "files_en").otherwise("heads_rest"))
+      val mid = maxLsn(log) / 2
+      merge.MultiTable.applyBatch(s, reg, log.where(col("lsn") <= mid), "route", batchId = 0)
+      merge.MultiTable.applyBatch(s, reg, log.where(col("lsn") > mid), "route", batchId = 1)
+      merge.MultiTable.snapshotAll(s, reg).get
+        .select(col("sink_table"), col("repo"), col("path"), col("commit"),
+          col("lang"), col("content"), col("lsn"))
+    }),
 
     // ---- training-data pipeline over documents/embeddings ----
     // Exact dedup: content-sha groups, canonical id, copy counts.
@@ -524,6 +575,35 @@ object SparkEntry {
       s"""$cte
          |SELECT repo, path, commit, lang, content, op, lsn
          |FROM ev WHERE op IN ('r', 'c', 'u')""".stripMargin,
+    "q39_semantic_types" ->
+      """SELECT event_id,
+        |       CAST(ts AS DATE) AS d_date,
+        |       ts AS ts_ntz,
+        |       ts AS zts_ntz,
+        |       epoch_us(ts) % 86400000000 AS micro_time,
+        |       CAST(year(ts) AS INT) AS yr,
+        |       concat(substr(md5(CAST(event_id AS VARCHAR)), 1, 8), '-',
+        |              substr(md5(CAST(event_id AS VARCHAR)), 9, 4), '-',
+        |              substr(md5(CAST(event_id AS VARCHAR)), 13, 4), '-',
+        |              substr(md5(CAST(event_id AS VARCHAR)), 17, 4), '-',
+        |              substr(md5(CAST(event_id AS VARCHAR)), 21, 12)) AS uuid,
+        |       CAST(concat(CAST(user_id AS VARCHAR), '.25') AS DECIMAL(18,2)) AS dec,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events""".stripMargin,
+    "q38_multi_table" ->
+      s"""$cte
+         |, routed AS (
+         |  SELECT *, CASE WHEN lang = 'en' THEN 'files_en' ELSE 'heads_rest' END AS sink_table
+         |  FROM ev0)
+         |SELECT sink_table, repo, path, commit, lang, content, lsn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |  FROM routed WHERE sink_table = 'files_en') t
+         |WHERE rn = 1 AND op <> 'd'
+         |UNION ALL
+         |SELECT sink_table, repo, path, commit, lang, content, lsn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY repo ORDER BY commit DESC, lsn DESC) AS rn
+         |  FROM routed WHERE sink_table = 'heads_rest') t
+         |WHERE rn = 1 AND op <> 'd'""".stripMargin,
 
     "q20_dedup_exact" ->
       s"""WITH ${Corpus.Sql.corpus}

@@ -68,9 +68,9 @@ object CdcApply {
     * instead of failing the batch (`errors.tolerance=all` analog); they
     * still advance the offset watermark (they were delivered).
     */
-  private def isWellFormed: Column =
-    col("repo").isNotNull && col("path").isNotNull && col("commit").isNotNull &&
-      col("lsn").isNotNull && col("part").isNotNull &&
+  private def isWellFormed(keyCols: Seq[String]): Column =
+    keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+      col("commit").isNotNull && col("lsn").isNotNull && col("part").isNotNull &&
       col("op").isin(Envelope.OpRead, Envelope.OpCreate, Envelope.OpUpdate,
         Envelope.OpDelete, Envelope.OpTruncate, Envelope.OpMessage, Envelope.OpTombstone)
 
@@ -119,11 +119,12 @@ object CdcApply {
           w.isNull || col("lsn") > w
         }
       val arrived = oldFence.fold(wmPred)(f => wmPred && posCol > posLit(f))
-      val freshPred = arrived && isWellFormed
+      val wellFormed = isWellFormed(table.keyCols)
+      val freshPred = arrived && wellFormed
       // Malformed rows can null out the fence predicates (null commit/lsn ⇒
       // SQL NULL, not false) — the quarantine gate treats unknown-arrival
       // malformed rows as arrived so they never vanish silently.
-      val quarantined = coalesce(arrived, lit(true)) && !isWellFormed
+      val quarantined = coalesce(arrived, lit(true)) && !wellFormed
       // Message ('m') events are control-plane passthrough, not row state;
       // they advance offsets but never merge (Envelope.java:37-62).
       val isData = col("op") =!= Envelope.OpTruncate &&
@@ -178,7 +179,12 @@ object CdcApply {
       val version = last.map(_.version).getOrElse(0L) + 1
       if (freshCount == 0 && batchFence.isEmpty) {
         // Metadata-only commit: advance the batchId + watermark fences.
-        table.commit(CommitInfo(version, commitBatchId, newWm, newFence, schemas, schemaIdx,
+        // The TABLE schema does not evolve — no data arrived, so a wider
+        // batch schema (e.g. a multi-table fan-out slice that routed zero
+        // rows here) must not leak into this table's history; the
+        // reference evolves on records, not on batch shape.
+        table.commit(CommitInfo(version, commitBatchId, newWm, newFence,
+          last.map(_.schemas).getOrElse(schemas), last.map(_.schemaIdx).getOrElse(schemaIdx),
           last.map(_.files).getOrElse(Nil)))
         if (writeMetrics) appendMetrics(spark, table, batchId, version, validStats, Map.empty, t0)
         return BatchResult(committed = true, version, batchId, eventsIn, 0, 0, "metadata-only")

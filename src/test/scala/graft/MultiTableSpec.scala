@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.merge.MultiTable
+import graft.merge.MultiTable.{Registry, TableDef}
+
+/** Multi-table capture: one change stream routed into several LakeTables
+  * with independent primary keys, offset fences, and schema histories —
+  * the `Tables`/`TableSchema` + per-table sink scenario
+  * (`BinlogConnectorIT.shouldConsumeAllEventsFromDatabaseUsingSnapshot`
+  * consumes several tables from one binlog).
+  */
+class MultiTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def foldBy[K](evs: Seq[FlatEvent], key: FlatEvent => K): Map[K, FlatEvent] =
+    evs.sortBy(e => (e.commit, e.lsn)).foldLeft(Map.empty[K, FlatEvent]) { (st, e) =>
+      if (e.op == "d") st - key(e) else st + (key(e) -> e)
+    }
+
+  test("one log routes into two tables with independent keys and fences") {
+    val log = (1 to 300).map { i =>
+      FlatEvent.mk((s"repo${i % 4}", s"p${i % 7}.txt"), i.toLong, Seq("c", "u", "u", "d")(i % 4))
+    }
+    val reg = new Registry(Files.createTempDirectory("multi").toString, Seq(
+      TableDef("kv", Seq("repo", "path"), numBuckets = 4),
+      TableDef("heads", Seq("repo"), numBuckets = 2)))
+    val routed = log.toDF().withColumn("route",
+      when(pmod(regexp_extract(col("repo"), "([0-9]+)", 1).cast("int"), lit(2)) === 0, "kv")
+        .otherwise("heads"))
+    val r0 = MultiTable.applyBatch(spark, reg, routed.where(col("lsn") <= 150), "route", 0)
+    val r1 = MultiTable.applyBatch(spark, reg, routed.where(col("lsn") > 150), "route", 1)
+    assert((r0.values ++ r1.values).forall(_.committed))
+
+    val evens = log.filter(_.repo.drop(4).toInt % 2 == 0)
+    val odds = log.filter(_.repo.drop(4).toInt % 2 == 1)
+    val kvState = reg("kv").snapshot(spark).get.as[FlatEvent].collect()
+      .map(e => ((e.repo, e.path), e)).toMap
+    assert(kvState === foldBy(evens, e => (e.repo, e.path)))
+    val headState = reg("heads").snapshot(spark).get.as[FlatEvent].collect()
+      .map(e => (e.repo, e)).toMap
+    assert(headState === foldBy(odds, _.repo), "repo-keyed table keeps one head row per repo")
+
+    // replaying batch 1 against every table is a no-op (per-table fences)
+    val files = reg.defs.map(d => d.name -> reg(d.name).lastCommit().get.files.toSet).toMap
+    val r2 = MultiTable.applyBatch(spark, reg, routed.where(col("lsn") > 150), "route", 1)
+    assert(r2.values.forall(r => !r.committed && r.reason == "batchId-fenced"))
+    reg.defs.foreach(d => assert(reg(d.name).lastCommit().get.files.toSet === files(d.name)))
+
+    // snapshotAll unions states with the sink_table tag
+    val all = MultiTable.snapshotAll(spark, reg).get
+    assert(all.groupBy("sink_table").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("kv" -> kvState.size.toLong, "heads" -> headState.size.toLong))
+  }
+
+  test("schema evolution stays per-table: a slice that routes zero rows does not evolve") {
+    val reg = new Registry(Files.createTempDirectory("multi-evo").toString, Seq(
+      TableDef("a", Seq("repo", "path"), 2),
+      TableDef("b", Seq("repo", "path"), 2)))
+    val base = Seq(FlatEvent.mk(("r1", "x"), 1, "c"), FlatEvent.mk(("r2", "y"), 2, "c")).toDF()
+      .withColumn("route", when(col("repo") === "r1", "a").otherwise("b"))
+    MultiTable.applyBatch(spark, reg, base, "route", 0)
+    // batch 1 carries a new column but routes rows only to table a
+    val wide = Seq(FlatEvent.mk(("r1", "z"), 3, "c")).toDF()
+      .withColumn("stars", lit(7)).withColumn("route", lit("a"))
+    MultiTable.applyBatch(spark, reg, wide, "route", 1)
+    assert(reg("a").lastCommit().get.schema.fieldNames.contains("stars"))
+    assert(!reg("b").lastCommit().get.schema.fieldNames.contains("stars"),
+      "empty slice must not leak the wider batch schema into table b")
+  }
+}
