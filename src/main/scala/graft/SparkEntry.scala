@@ -293,11 +293,15 @@ object SparkEntry {
     // MinHash + LSH banding near-dup candidate pairs with Jaccard estimate.
     "q21_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(Corpus.docsWithDups(s, dir), bands = 4, rowsPerBand = 4, threshold = 0.7)),
-    // SimHash fingerprints (16-bit, md5-projection).
+    // SimHash fingerprints (64-bit, md5-projection, one-pass vote fold).
     "q22_dedup_simhash" -> ((s, dir) =>
       Corpus.docsWithDups(s, dir)
         .select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))),
-    // Exact n-gram Jaccard over block-keyed candidate pairs.
+    // SimHash near-dup pairs via hamming-segment banding (exact ≤ 3 bits).
+    "q40_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Corpus.docsWithDups(s, dir), maxHamming = 3)
+        .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))),
+    // Exact n-gram Jaccard over MinHash-band-blocked candidate pairs.
     "q23_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Corpus.docsWithDups(s, dir), threshold = 0.6)),
     // Embedding-cosine near-dup pairs, LSH-blocked, exact-verified.
@@ -384,12 +388,18 @@ object SparkEntry {
       s"""CASE WHEN list_reduce([(CASE WHEN substr(md5(concat('$p', '_', CAST(i - 1 AS VARCHAR))), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END) * $v[i] for i in generate_series(1, len($v))], (x, y) -> x + y) > 0 THEN '1' ELSE '0' END"""
     }.mkString(", ") + ")"
 
+  /** 64-bit simhash over hs = [md5(w) || md5('~'||w)], lock-step with
+    * [[Dedup.simhash]] (bit j positive ⇔ majority of words have hex digit
+    * j ≥ '8' ⇔ the ±1 vote sum is > 0).
+    */
   private val simhashSql = {
-    val bits = (0 until 16).map { j =>
-      s"CASE WHEN 2 * len([h for h in hs if substr(h, ${j + 1}, 1) >= '8']) > len(hs) THEN '1' ELSE '0' END"
+    val bits = (1 to 64).map { j =>
+      s"CASE WHEN 2 * len([h for h in hs if substr(h, $j, 1) >= '8']) > len(hs) THEN '1' ELSE '0' END"
     }
     s"concat(${bits.mkString(", ")})"
   }
+  private val simhashHs =
+    """[md5(w) || md5(concat('~', w)) for w in string_split_regex(lower(text), '\s+')]"""
 
   private val stableRouteSql =
     """CAST(list_sum([CAST(ascii(substr(md5(concat(repo, '|', path)), i, 1)) AS BIGINT)
@@ -635,17 +645,43 @@ object SparkEntry {
     "q22_dedup_simhash" ->
       s"""WITH ${Corpus.Sql.corpus}
          |SELECT doc_id, $simhashSql AS fp
-         |FROM (SELECT doc_id, [md5(w) for w in string_split_regex(lower(text), '\\s+')] AS hs FROM corpus)""".stripMargin,
+         |FROM (SELECT doc_id, $simhashHs AS hs FROM corpus)""".stripMargin,
+    "q40_simhash_pairs" ->
+      s"""WITH ${Corpus.Sql.corpus}
+         |, fps AS (
+         |  SELECT doc_id, $simhashSql AS fp
+         |  FROM (SELECT doc_id, $simhashHs AS hs FROM corpus))
+         |, seg AS (
+         |  SELECT doc_id, fp, s, substr(fp, s * 16 + 1, 16) AS skey
+         |  FROM fps, (VALUES (0),(1),(2),(3)) ss(s))
+         |, cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.fp AS fpa, r.fp AS fpb
+         |  FROM seg l JOIN seg r ON l.s = r.s AND l.skey = r.skey AND l.doc_id < r.doc_id)
+         |SELECT a, b, hamming FROM (
+         |  SELECT a, b,
+         |         len([j for j in generate_series(1, 64) if substr(fpa, j, 1) <> substr(fpb, j, 1)]) AS hamming
+         |  FROM cand) t
+         |WHERE hamming <= 3""".stripMargin,
     "q23_dedup_ngram_jaccard" ->
       s"""WITH ${Corpus.Sql.corpus}
-         |, base AS (
-         |  SELECT doc_id, substr(text, 1, 24) AS blk, list_distinct(
-         |    [array_to_string(words[i:i+2], ' ') for i in generate_series(1, greatest(len(words)-2, 1))]) AS sh
-         |  FROM (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS words FROM corpus))
+         |, $shingled
+         |, sigs AS (
+         |  SELECT doc_id,
+         |         [list_aggregate([md5(concat(CAST(h AS VARCHAR), '|', s)) for s in sh], 'min')
+         |          for h in generate_series(0, 15)] AS sig
+         |  FROM shingled)
+         |, banded AS (
+         |  SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bkey
+         |  FROM sigs, (VALUES (0),(1),(2),(3)) bs(b))
+         |, cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM banded l JOIN banded r ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
          |SELECT a, b, jaccard FROM (
-         |  SELECT l.doc_id AS a, r.doc_id AS b,
-         |         round(len(list_intersect(l.sh, r.sh)) / CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE), 4) AS jaccard
-         |  FROM base l JOIN base r ON l.blk = r.blk AND l.doc_id < r.doc_id) t
+         |  SELECT c.a, c.b,
+         |         round(len(list_intersect(sa.sh, sb.sh)) / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) AS jaccard
+         |  FROM cand c
+         |  JOIN shingled sa ON sa.doc_id = c.a
+         |  JOIN shingled sb ON sb.doc_id = c.b) t
          |WHERE jaccard >= 0.6""".stripMargin,
     "q24_dedup_embedding_cosine" ->
       s"""WITH ${Corpus.Sql.emb}

@@ -65,6 +65,12 @@ object Similarity {
   /** Exact top-k cosine neighbors for each query vector. The query set is
     * broadcast (small by contract); ranking is per-query with a
     * deterministic tie-break (cos DESC, neighbor id ASC).
+    *
+    * Scale note on the rank filter: Catalyst rewrites
+    * `row_number() ≤ k` into a WindowGroupLimit with a PARTIAL pass below
+    * the exchange (SPARK-37099), so each corpus partition pre-selects its
+    * own top-k BEFORE the shuffle — only |queries|×k rows per partition
+    * cross the wire, never the full scored set. Asserted in TdpSpec.
     */
   def bruteForceTopK(
       corpus: DataFrame,

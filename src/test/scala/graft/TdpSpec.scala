@@ -42,14 +42,34 @@ class TdpSpec extends SparkSpec {
     assert(pairs.where(col("est_jaccard") < 0.7).count() === 0)
   }
 
-  test("simhash: identical fingerprints for exact dups; 16-bit bitstring") {
+  test("simhash: identical fingerprints for exact dups; 64-bit bitstring") {
     val fp = corpus.select(col("doc_id"), Dedup.simhash(col("text")).as("fp")).cache()
-    assert(fp.where(length(col("fp")) =!= 16).count() === 0)
+    assert(fp.where(length(col("fp")) =!= 64).count() === 0)
     val joined = fp.where(col("doc_id") >= 2000000L).select((col("doc_id") - 2000000L).as("doc_id"), col("fp").as("fp2"))
       .join(fp, "doc_id")
     assert(joined.where(col("fp") =!= col("fp2")).count() === 0)
-    val pairs = Dedup.simhashPairs(corpus)
+  }
+
+  test("simhash pairs: segment banding finds every hamming<=3 pair, exact plants at 0") {
+    val pairs = Dedup.simhashPairs(corpus, maxHamming = 3).cache()
     assert(pairs.where(col("a") === col("b")).count() === 0)
+    assert(pairs.where(col("hamming") > 3).count() === 0)
+    // exact plants have identical fingerprints → hamming 0, always found
+    val exactPlants = corpus.where(col("doc_id") >= 2000000L).count()
+    val exactFound = pairs.where(col("b") - col("a") === 2000000L && col("hamming") === 0).count()
+    assert(exactFound === exactPlants, s"found $exactFound of $exactPlants exact plants")
+    // completeness vs brute force on a sample: banding (pigeonhole) must
+    // find EVERY pair within hamming 3
+    val fp = corpus.where(col("doc_id") < 300)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      .as[(Long, String)].collect()
+    val brute = (for {
+      (a, fa) <- fp; (b, fb) <- fp if a < b
+      h = fa.zip(fb).count { case (x, y) => x != y } if h <= 3
+    } yield (a, b)).toSet
+    val banded = pairs.where(col("a") < 300 && col("b") < 300)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(brute.subsetOf(banded), s"banding missed ${brute -- banded}")
   }
 
   test("n-gram jaccard: exact dup pairs at 1.0; near dups above threshold") {
@@ -90,6 +110,14 @@ class TdpSpec extends SparkSpec {
     val bf = Similarity.bruteForceTopK(embs, queries, k = 5).select("nid").as[Long].collect().toSet
     val lsh = top.select("nid").as[Long].collect().toSet
     assert(lsh.subsetOf(bf) || lsh.intersect(bf).nonEmpty)
+  }
+
+  test("ANN top-k plans a PARTIAL WindowGroupLimit below the exchange (no full-scored-set shuffle)") {
+    val queries = embs.where(col("vec_id") < 4L)
+    val plan = Similarity.bruteForceTopK(embs, queries, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"rank filter must push a group limit:\n$plan")
+    assert(plan.contains("Partial"), s"partial (pre-shuffle) top-k must be planned:\n$plan")
   }
 
   test("language ID: deterministic, known languages, zh short-circuit") {
