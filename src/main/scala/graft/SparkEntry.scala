@@ -342,6 +342,21 @@ object SparkEntry {
         col("doc_id"),
         TextAnalysis.rollingHash(col("text")).as("roll_hash"),
         TextAnalysis.minKgramFingerprint(col("text"), 16).as("min_kgram"))),
+    // FieldToEmbedding SMT: append a deterministic hash-projection
+    // embedding of the text field (fake model, real plumbing); output
+    // quantized to 1e-6 for engine-exact comparison.
+    "q41_field_to_embedding" -> ((s, dir) =>
+      operators.AiSmt.fieldToEmbedding(
+        Corpus.documents(s, dir).select(col("doc_id"), col("text")), "text", dims = 16)
+        .select(col("doc_id"),
+          to_json(transform(col("embedding"), x => floor(x * 1000000).cast("long"))).as("emb_q6"))),
+    // FieldToDocling analog: fixed-window document chunking with
+    // provenance (chunk_idx, chunk_chars) — one row per chunk.
+    "q42_field_to_chunks" -> ((s, dir) =>
+      operators.AiSmt.fieldToChunks(
+        Corpus.documents(s, dir).select(col("doc_id"), col("text")), "text", maxLen = 120)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk"),
+          col("chunk_chars").cast("long").as("chunk_chars"))),
     // Multimodal: opaque binary payload + typed metadata; batched
     // per-partition decode (deterministic fake codec, real plumbing).
     "q31_multimodal_decode" -> ((s, dir) =>
@@ -765,6 +780,26 @@ object SparkEntry {
          |       list_aggregate([md5(substr(text, i, 16)) for i in generate_series(1, greatest(length(text) - 15, 1))],
          |                      'min') AS min_kgram
          |FROM documents""".stripMargin,
+    "q41_field_to_embedding" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |         [(CAST(('0x' || substr(md5(concat(CAST(d AS VARCHAR), '|', text)), 1, 8)) AS BIGINT)
+        |           / 2147483648.0 - 1.0) for d in generate_series(0, 15)] AS e
+        |  FROM documents)
+        |SELECT doc_id,
+        |       concat('[', array_to_string(
+        |         [CAST(floor(v / sqrt(list_reduce([x * x for x in e], (a, b) -> a + b)) * 1000000) AS BIGINT)
+        |          for v in e], ','), ']') AS emb_q6
+        |FROM raw""".stripMargin,
+    "q42_field_to_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, greatest(CAST(ceil(length(text) / 120.0) AS INT), 1) AS n
+        |  FROM documents)
+        |, ex AS (SELECT doc_id, text, unnest(generate_series(1, n)) AS i FROM t)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
+        |       substr(text, CAST((i - 1) * 120 + 1 AS INT), 120) AS chunk,
+        |       length(substr(text, CAST((i - 1) * 120 + 1 AS INT), 120)) AS chunk_chars
+        |FROM ex""".stripMargin,
     "q31_multimodal_decode" ->
       s"""WITH t AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS len FROM documents)
          |SELECT doc_id,

@@ -68,6 +68,53 @@ object Signals {
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
+  // ------------------------------------------------- snapshot progress
+
+  /** Driver-side state of a signal-driven chunked snapshot (the analog of
+    * `AbstractIncrementalSnapshotChangeEventSource`'s persisted
+    * IncrementalSnapshotContext): which chunk is next, and whether the
+    * snapshot is paused. Lives beside the channel; mutated only at batch
+    * boundaries by the single-writer driver. Progress advances AFTER the
+    * chunk's commit, so a crash redelivers the chunk — idempotent under
+    * LWW convergence.
+    */
+  final case class SnapshotProgress(data: String, chunks: Int, next: Int, paused: Boolean)
+
+  private def statePath(channel: String) = Paths.get(channel + ".snapshot.json")
+
+  def snapshotState(channel: String): Option[SnapshotProgress] = {
+    val p = statePath(channel)
+    if (!Files.exists(p)) None
+    else {
+      val R = """\{"data":"(.*)","chunks":(\d+),"next":(\d+),"paused":(true|false)\}""".r
+      Files.readString(p).trim match {
+        case R(d, c, n, pz) => Some(SnapshotProgress(d, c.toInt, n.toInt, pz.toBoolean))
+        case other => throw new IllegalArgumentException(s"bad snapshot state: $other")
+      }
+    }
+  }
+
+  private def writeState(channel: String, st: SnapshotProgress): Unit =
+    Files.writeString(statePath(channel),
+      s"""{"data":"${st.data}","chunks":${st.chunks},"next":${st.next},"paused":${st.paused}}""")
+
+  /** execute-snapshot action: start (or restart) a chunked snapshot. */
+  def initSnapshot(channel: String, data: String, chunks: Int): Unit =
+    writeState(channel, SnapshotProgress(data, math.max(chunks, 1), 0, paused = false))
+
+  /** One chunk committed: advance; the state file disappears when done. */
+  def advanceSnapshot(channel: String): Unit = snapshotState(channel).foreach { st =>
+    if (st.next + 1 >= st.chunks) Files.deleteIfExists(statePath(channel))
+    else writeState(channel, st.copy(next = st.next + 1))
+  }
+
+  /** pause-/resume-snapshot actions (no-ops when no snapshot is running). */
+  def setSnapshotPaused(channel: String, paused: Boolean): Unit =
+    snapshotState(channel).foreach(st => writeState(channel, st.copy(paused = paused)))
+
+  /** stop-snapshot action: cancel — remaining chunks are never applied. */
+  def clearSnapshot(channel: String): Unit = Files.deleteIfExists(statePath(channel))
+
   /** Minimal explicit JSON codec (flat 3-field record; avoids dragging a
     * JSON mapper into executors — this never leaves the driver anyway).
     */

@@ -25,16 +25,26 @@ object CdcPipeline {
   /** Structured Streaming tail of a growing envelope-file directory.
     *
     * @param signalChannel optional control-plane file channel read at each
-    *        microbatch boundary (SignalProcessor analog, SURVEY.md §2.1):
-    *        `execute-snapshot` with `data` = a parquet path of base-table
-    *        rows applies an ad-hoc blocking snapshot / backfill — `op='r'`
-    *        events that compete through normal LWW on their own `commit`
-    *        (at lsn 0, so a live row or retained tombstone from the SAME
-    *        commit wins the tie; fresher base-table images win, staler
-    *        ones lose — re-snapshot converges, never resurrects a newer
-    *        delete); `log` prints. Signals are marked processed AFTER the
-    *        batch commits; redelivery after a crash re-applies the
-    *        snapshot, which is convergent.
+    *        microbatch boundary (the SignalProcessor dispatch analog,
+    *        `pipeline/signal/SignalProcessor.java`, SURVEY.md §2.1), with
+    *        the full action set:
+    *
+    *         - `execute-snapshot`, data = `<parquet path>[#chunks]`:
+    *           starts a CHUNKED ad-hoc snapshot; one key-hash chunk is
+    *           applied per microbatch boundary, interleaved with streaming
+    *           (DBLog-style). Snapshot rows are `op='r'` events at lsn 0
+    *           competing through normal LWW on their own `commit`, so
+    *           fresher base images win, staler ones lose — re-snapshot
+    *           converges, never resurrects a newer delete;
+    *         - `pause-snapshot` / `resume-snapshot`: suspend / continue
+    *           the chunk train (streaming is NOT paused — as in the
+    *           reference, these act on the incremental snapshot);
+    *         - `stop-snapshot`: cancel; remaining chunks never apply;
+    *         - `log`: print.
+    *
+    *        Chunk progress persists beside the channel and advances only
+    *        AFTER the chunk's commit; signals are marked processed AFTER
+    *        the batch — crash redelivery re-applies convergently.
     */
   def start(
       spark: SparkSession,
@@ -56,15 +66,32 @@ object CdcPipeline {
         val sp = envBatch.sparkSession
         val pending = signalChannel.map(ch => Signals.pending(ch)).getOrElse(Nil)
         pending.foreach { s =>
+          val ch = signalChannel.get
           s.`type` match {
             case Signals.ExecuteSnapshot =>
-              val rows = sp.read.parquet(s.data)
-              val snap = Snapshot.initial(rows, snapshotLsn = 0L)
-              CdcApply.applyBatch(sp, table, snap, batchId,
-                fenceByWatermark = false, fenceByBatchId = false)
-            case Signals.Log =>
-              System.err.println(s"[graft signal] ${s.data}")
-            case _ => () // pause/resume are owned by the query lifecycle
+              val (path, chunks) = s.data.split('#') match {
+                case Array(p, n) => (p, n.toInt)
+                case _           => (s.data, 1)
+              }
+              Signals.initSnapshot(ch, path, chunks)
+            case Signals.PauseSnapshot  => Signals.setSnapshotPaused(ch, paused = true)
+            case Signals.ResumeSnapshot => Signals.setSnapshotPaused(ch, paused = false)
+            case Signals.StopSnapshot   => Signals.clearSnapshot(ch)
+            case Signals.Log            => System.err.println(s"[graft signal] ${s.data}")
+            case other                  => System.err.println(s"[graft signal] unknown action: $other")
+          }
+        }
+        // One snapshot chunk per batch boundary, interleaved with the
+        // stream (DBLog); progress advances after the chunk's commit.
+        signalChannel.flatMap(Signals.snapshotState).foreach { st =>
+          if (!st.paused && st.next < st.chunks) {
+            val rows = sp.read.parquet(st.data)
+            val chunk =
+              if (st.chunks == 1) rows
+              else rows.where(pmod(hash(table.keyCols.map(col): _*), lit(st.chunks)) === st.next)
+            CdcApply.applyBatch(sp, table, Snapshot.initial(chunk, snapshotLsn = 0L), batchId,
+              fenceByWatermark = false, fenceByBatchId = false)
+            Signals.advanceSnapshot(signalChannel.get)
           }
         }
         val flat = Envelope.unwrap(envBatch).drop("__deleted")

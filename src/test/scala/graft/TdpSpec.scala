@@ -166,6 +166,32 @@ class TdpSpec extends SparkSpec {
     assert(fp === expectedMin)
   }
 
+  test("FieldToEmbedding: deterministic unit-norm vectors; identical text → identical embedding") {
+    import graft.operators.AiSmt
+    val out = AiSmt.fieldToEmbedding(corpus.select(col("doc_id"), col("text")), "text", dims = 16).cache()
+    assert(out.where(size(col("embedding")) =!= 16).count() === 0)
+    val norms = out.select(
+      sqrt(aggregate(col("embedding"), lit(0.0), (a, x) => a + x * x)).as("n"))
+    assert(norms.where(abs(col("n") - 1.0) > 1e-9).count() === 0, "L2-normalized")
+    // exact dup plants embed identically
+    val e = out.where(col("doc_id") >= 2000000L)
+      .select((col("doc_id") - 2000000L).as("doc_id"), col("embedding").as("e2"))
+      .join(out, "doc_id")
+    assert(e.where(to_json(col("embedding")) =!= to_json(col("e2"))).count() === 0)
+  }
+
+  test("FieldToChunks: fixed windows reassemble to the original text, indices dense") {
+    import graft.operators.AiSmt
+    val docs = Corpus.documents(spark, sf).select(col("doc_id"), col("text"))
+    val ch = AiSmt.fieldToChunks(docs, "text", maxLen = 50)
+    val rebuilt = ch.groupBy("doc_id")
+      .agg(concat_ws("", array_sort(collect_list(struct(col("chunk_idx"), col("chunk"))))
+        .getField("chunk")).as("rebuilt"))
+    val joined = docs.join(rebuilt, "doc_id")
+    assert(joined.where(col("text") =!= col("rebuilt")).count() === 0)
+    assert(ch.where(col("chunk_chars") > 50).count() === 0)
+  }
+
   test("multimodal: typed plumbing roundtrip — decode features match payload bytes") {
     val media = Multimodal.mediaTable(spark, sf)
     val feats = Multimodal.decode(media, batchSize = 32).cache()
