@@ -198,6 +198,22 @@ object SparkEntry {
     "q33_cdc_tx_metadata" -> ((s, dir) =>
       Transforms.transactionSummary(ChangeLog.base(s, dir),
         (col("lsn") / 10).cast("long"), col("repo"))),
+    // §2.3 transaction metadata STREAM: BEGIN/END markers interleaved with
+    // data events carrying transaction{id, total_order,
+    // data_collection_order} (the TransactionMonitor event shape).
+    "q43_cdc_tx_events" -> ((s, dir) =>
+      Transforms.transactionEvents(ChangeLog.base(s, dir),
+        (col("lsn") / 10).cast("long"), col("repo"))),
+    // §2.1 read-only incremental snapshot: watermarks captured from the
+    // stream's observed offsets (no signal-table writes) — the
+    // BinlogReadOnlyIncrementalSnapshot variant.
+    "q44_cdc_readonly_incremental" -> ((s, dir) => {
+      val log = ChangeLog.base(s, dir)
+      val rows = Lww.applyState(log).select(payload: _*)
+      val chunkCol = pmod(regexp_extract(col("path"), "f([0-9]+)", 1).cast("long"), lit(4))
+      Snapshot.incrementalReadOnly(rows, log, numChunks = 4, chunkExpr = Some(chunkCol))
+        .select(payload :+ col("lsn"): _*)
+    }),
 
     // §2.4 dead-letter queue: malformed events (null key, unknown op) are
     // side-outputted to _quarantine, the batch keeps going
@@ -559,6 +575,38 @@ object SparkEntry {
          |       count(DISTINCT repo) AS data_collections
          |FROM ev0 GROUP BY 1""".stripMargin,
 
+    "q43_cdc_tx_events" ->
+      s"""$cte
+         |, base AS (SELECT lsn // 10 AS tx_id, repo AS coll, lsn FROM ev0)
+         |SELECT 'event' AS kind, tx_id, lsn,
+         |       CAST(row_number() OVER (PARTITION BY tx_id ORDER BY lsn) AS BIGINT) AS total_order,
+         |       CAST(row_number() OVER (PARTITION BY tx_id, coll ORDER BY lsn) AS BIGINT) AS data_collection_order,
+         |       CAST(NULL AS BIGINT) AS event_count
+         |FROM base
+         |UNION ALL
+         |SELECT 'begin', tx_id, min(lsn), NULL, NULL, NULL FROM base GROUP BY tx_id
+         |UNION ALL
+         |SELECT 'end', tx_id, max(lsn), NULL, NULL, count(*) FROM base GROUP BY tx_id""".stripMargin,
+    "q44_cdc_readonly_incremental" ->
+      s"""$cte
+         |, b AS (SELECT min(lsn) - 1 AS lo0, max(lsn) AS mx,
+         |               greatest(1, (max(lsn) - (min(lsn) - 1)) // 4 + 1) AS w
+         |        FROM ev0)
+         |, state AS (
+         |  SELECT repo, path, commit, lang, content,
+         |         CAST(regexp_extract(path, 'f([0-9]+)', 1) AS BIGINT) % 4 AS chunk
+         |  FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |    FROM ev0) t
+         |  WHERE rn = 1 AND op <> 'd')
+         |SELECT s.repo, s.path, s.commit, s.lang, s.content,
+         |       b.lo0 + s.chunk * b.w AS lsn
+         |FROM state s, b
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM ev0 e
+         |  WHERE e.repo = s.repo AND e.path = s.path
+         |    AND e.lsn > b.lo0 + s.chunk * b.w
+         |    AND e.lsn <= least(b.lo0 + (s.chunk + 1) * b.w, b.mx))""".stripMargin,
     "q34_cdc_quarantine" ->
       s"""$cte
          |SELECT repo,

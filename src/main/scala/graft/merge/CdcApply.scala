@@ -185,7 +185,7 @@ object CdcApply {
         // reference evolves on records, not on batch shape.
         table.commit(CommitInfo(version, commitBatchId, newWm, newFence,
           last.map(_.schemas).getOrElse(schemas), last.map(_.schemaIdx).getOrElse(schemaIdx),
-          last.map(_.files).getOrElse(Nil)))
+          last.map(_.files).getOrElse(Nil)), prev = last)
         if (writeMetrics) appendMetrics(spark, table, batchId, version, validStats, Map.empty, t0)
         return BatchResult(committed = true, version, batchId, eventsIn, 0, 0, "metadata-only")
       }
@@ -250,7 +250,7 @@ object CdcApply {
       val staged = table.stage(merged.drop("__src"), batchId, schemaIdx, attempt = version)
       val untouchedFiles = last.map(_.files.filterNot(f => touched.contains(f.bucket))).getOrElse(Nil)
       table.commit(CommitInfo(version, commitBatchId, newWm, newFence, schemas, schemaIdx,
-        untouchedFiles ++ staged))
+        untouchedFiles ++ staged), prev = last)
 
       var winnersCount = -1L
       if (writeMetrics) {

@@ -43,8 +43,15 @@ object MultiTable {
       keyCols: Seq[String] = Envelope.keyCols,
       numBuckets: Int = 32)
 
-  /** The catalog: one LakeTable per definition under `root/<name>`. */
-  final class Registry(val root: String, val defs: Seq[TableDef]) {
+  /** The catalog: one LakeTable per definition under `root/<name>`.
+    * Guardrails validate at construction (bootstrap-time limit checks,
+    * `pipeline/GuardrailValidator.java:30-35`).
+    */
+  final class Registry(
+      val root: String,
+      val defs: Seq[TableDef],
+      guardrails: graft.core.Guardrails = graft.core.Guardrails()) {
+    graft.core.Guardrails.validate(guardrails, defs.map(d => d.name -> d.numBuckets))
     val tables: Map[String, LakeTable] =
       defs.map(d => d.name -> new LakeTable(s"$root/${d.name}", d.numBuckets, d.keyCols)).toMap
     def apply(name: String): LakeTable = tables(name)

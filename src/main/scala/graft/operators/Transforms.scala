@@ -179,6 +179,24 @@ object Transforms {
   def convertTimezone(df: DataFrame, column: String, tz: String, out: String): DataFrame =
     df.withColumn(out, from_utc_timestamp(timestamp_millis(col(column)), tz))
 
+  /** TimezoneConverter with the reference's per-field include/exclude
+    * lists (`converted.timezone` + `include.list`/`exclude.list`,
+    * `transforms/TimezoneConverter.java` — the reference's is configurable
+    * per field; include wins over the default field set, exclude always
+    * subtracts). Selected epoch-millis columns are converted IN PLACE to
+    * timestamps in `tz`; the default field set is every `ts_*` column.
+    */
+  def convertTimezones(
+      df: DataFrame,
+      tz: String,
+      include: Option[Seq[String]] = None,
+      exclude: Seq[String] = Nil): DataFrame = {
+    val fields = include.getOrElse(df.columns.toSeq.filter(_.startsWith("ts_")))
+      .filter(df.columns.contains).filterNot(exclude.contains)
+    fields.foldLeft(df)((d, f) =>
+      d.withColumn(f, from_utc_timestamp(timestamp_millis(col(f)), tz)))
+  }
+
   /** Tombstone emission: after every delete, a marker record with the same
     * key, position, and a null payload — so log-compacted downstream stores
     * drop the key. Reference: `EventDispatcher.java:546-559`
@@ -278,6 +296,36 @@ object Transforms {
       concat(lit("io.graft.repolog.DataChangeEvent."), col("op")).as("type"),
       col("ts_ms").as("time_ms"),
       struct(dataFields.map(col): _*).as("data")))
+
+  /** Transaction-metadata EVENT STREAM — BEGIN/END marker records
+    * interleaved with data events, each data event carrying the
+    * `transaction{id, total_order, data_collection_order}` block
+    * (`TransactionMonitor.dataEvent/transactionStartedEvent/
+    * transactionEndedEvent`, `pipeline/txmetadata/TransactionMonitor.java:75-121`
+    * — round 1 shipped only the batch summary; this is the interleaved
+    * stream shape). Consumers order by (lsn, kind): a BEGIN sorts at its
+    * transaction's first event position, the END at its last, with
+    * `event_count` on the END as in the reference.
+    */
+  def transactionEvents(df: DataFrame, txCol: Column, collectionCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(txCol.as("tx_id"), collectionCol.as("__coll"), col("lsn"))
+    val wTx = Window.partitionBy(col("tx_id")).orderBy(col("lsn"))
+    val wColl = Window.partitionBy(col("tx_id"), col("__coll")).orderBy(col("lsn"))
+    val nulls = lit(null).cast("long")
+    val data = base.select(
+      lit("event").as("kind"), col("tx_id"), col("lsn"),
+      row_number().over(wTx).cast("long").as("total_order"),
+      row_number().over(wColl).cast("long").as("data_collection_order"),
+      nulls.as("event_count"))
+    val bounds = base.groupBy(col("tx_id"))
+      .agg(min(col("lsn")).as("b"), max(col("lsn")).as("e"), count(lit(1)).as("n"))
+    val begins = bounds.select(lit("begin").as("kind"), col("tx_id"), col("b").as("lsn"),
+      nulls.as("total_order"), nulls.as("data_collection_order"), nulls.as("event_count"))
+    val ends = bounds.select(lit("end").as("kind"), col("tx_id"), col("e").as("lsn"),
+      nulls.as("total_order"), nulls.as("data_collection_order"), col("n").as("event_count"))
+    data.unionByName(begins).unionByName(ends)
+  }
 
   /** Engine-portable stable routing hash: sum of the ascii codes of the
     * md5 hex digest, mod n. Same contract as [[partitionRouting]]

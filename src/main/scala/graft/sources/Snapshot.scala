@@ -102,4 +102,28 @@ object Snapshot {
     }
     chunks.reduce(_.unionAll(_))
   }
+
+  /** READ-ONLY incremental snapshot: the same DBLog chunk train, but the
+    * watermark pair around each chunk is CAPTURED from the source's
+    * observed offsets instead of written to a signal table — the
+    * `BinlogReadOnlyIncrementalSnapshotChangeEventSource.java:116-175`
+    * variant (`SHOW MASTER STATUS` GTID set around the chunk read; zero
+    * writes to the captured database). In batch form the observed
+    * positions are one driver-side min/max pass over the stream: chunk i's
+    * window is the i-th of `numChunks` equal offset slices, closed at the
+    * observed head. Semantics downstream are identical to [[incremental]].
+    */
+  def incrementalReadOnly(
+      rows: DataFrame,
+      stream: DataFrame,
+      numChunks: Int,
+      parts: Int = 8,
+      chunkExpr: Option[Column] = None): DataFrame = {
+    val b = stream.agg(min(col("lsn")), max(col("lsn"))).collect()(0)
+    val (lo0, hi0) = if (b.isNullAt(0)) (0L, 0L) else (b.getLong(0) - 1, b.getLong(1))
+    val width = math.max(1L, (hi0 - lo0) / numChunks + 1)
+    incremental(rows, stream, numChunks,
+      windowFor = i => (lo0 + i * width, math.min(lo0 + (i + 1) * width, hi0)),
+      parts = parts, chunkExpr = chunkExpr)
+  }
 }

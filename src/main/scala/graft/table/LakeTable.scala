@@ -74,18 +74,43 @@ final class LakeTable(
   def bucketCol: org.apache.spark.sql.Column =
     pmod(hash(keyCols.map(col): _*), lit(numBuckets))
 
-  def lastCommit(): Option[CommitInfo] = commitPaths().lastOption
-    .map(p => LakeTable.fromJson(Files.readString(p)))
+  def lastCommit(): Option[CommitInfo] =
+    commitPaths().lastOption.map(materialize)
 
   /** All commits, oldest first — the table's history / schema log. */
-  def commits(): Seq[CommitInfo] =
-    commitPaths().map(p => LakeTable.fromJson(Files.readString(p)))
+  def commits(): Seq[CommitInfo] = commitPaths().map(materialize)
 
   private def commitPaths(): Seq[Path] = {
     if (!Files.isDirectory(commitsDir)) return Nil
     Files.list(commitsDir).iterator().asScala
       .filter(_.getFileName.toString.matches("v\\d+\\.json"))
       .toSeq.sortBy(_.getFileName.toString)
+  }
+
+  /** Resolve a commit file to a materialized CommitInfo, folding delta
+    * commits onto their base (chain length < [[LakeTable.FullManifestEvery]]
+    * by construction). A tiny memo keeps the recently-resolved commits so
+    * the per-batch lastCommit() is one small-file read, not a chain walk.
+    */
+  private val resolved = new java.util.concurrent.ConcurrentHashMap[Long, CommitInfo]()
+
+  private def materialize(p: Path): CommitInfo =
+    LakeTable.parse(Files.readString(p)) match {
+      case Right(full) =>
+        resolved.put(full.version, full); trimMemo(full.version); full
+      case Left(d) =>
+        Option(resolved.get(d.version)).getOrElse {
+          val base = Option(resolved.get(d.base)).getOrElse(
+            materialize(commitsDir.resolve(f"v${d.base}%020d.json")))
+          val files = base.files.filterNot(f => d.removedPaths.contains(f.path)) ++ d.added
+          val ci = CommitInfo(d.version, d.batchId, d.watermark, d.fence, d.schemas, d.schemaIdx, files)
+          resolved.put(ci.version, ci); trimMemo(ci.version); ci
+        }
+    }
+
+  private def trimMemo(latest: Long): Unit = {
+    val it = resolved.keySet.iterator()
+    while (it.hasNext) if (it.next() < latest - 2) it.remove()
   }
 
   /** Schema-change log: one row per commit whose schema differs from its
@@ -103,13 +128,28 @@ final class LakeTable(
     rows.toDF("version", "batchId", "schemaIdx", "schemaJson")
   }
 
-  /** Atomically publish a commit. Single-writer (the streaming driver). */
-  def commit(ci: CommitInfo): Unit = {
+  /** Atomically publish a commit. Single-writer (the streaming driver).
+    *
+    * Incremental manifests: when the predecessor is supplied, the commit
+    * FILE stores only the file-set delta (added entries + removed paths) —
+    * O(touched buckets), not O(table files) — with a full manifest rolled
+    * up every [[LakeTable.FullManifestEvery]] versions to bound the
+    * resolution chain (Iceberg manifest-list analog). Keeps the driver's
+    * per-batch commit cost flat as the table and the batch count grow.
+    */
+  def commit(ci: CommitInfo, prev: Option[CommitInfo] = None): Unit = {
     Files.createDirectories(commitsDir)
     val target = commitsDir.resolve(f"v${ci.version}%020d.json")
     val tmp = commitsDir.resolve(f".v${ci.version}%020d.json.tmp")
-    Files.writeString(tmp, LakeTable.toJson(ci))
+    val json = prev match {
+      case Some(p) if p.version == ci.version - 1 && ci.version % LakeTable.FullManifestEvery != 0 =>
+        LakeTable.toDeltaJson(ci, p)
+      case _ => LakeTable.toJson(ci)
+    }
+    Files.writeString(tmp, json)
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    resolved.put(ci.version, ci)
+    trimMemo(ci.version)
   }
 
   /** Raw state incl. tombstone rows (op='d' retained so late out-of-order
@@ -265,7 +305,7 @@ final class LakeTable(
         val laid = pruned.repartition(numBuckets, keyCols.map(col): _*)
         val staged = stage(laid, ci.batchId, ci.schemaIdx, attempt = ci.version + 1)
         val next = ci.copy(version = ci.version + 1, files = staged)
-        commit(next)
+        commit(next, prev = Some(ci))
         next
       }
     }
@@ -307,6 +347,83 @@ final class LakeTable(
   */
 object LakeTable {
   private val mapper = new ObjectMapper()
+
+  /** Full-manifest roll-up period: a commit whose version is a multiple of
+    * this always stores the complete file list, bounding the delta chain a
+    * reader must fold.
+    */
+  val FullManifestEvery = 16
+
+  /** On-disk delta form of a commit (file-set change vs `base`). */
+  final case class DeltaCommit(
+      version: Long,
+      batchId: Long,
+      watermark: Map[Int, Long],
+      fence: Option[LogPos],
+      schemas: Seq[String],
+      schemaIdx: Int,
+      base: Long,
+      added: Seq[FileEntry],
+      removedPaths: Set[String])
+
+  /** Parse a commit file: Right = full manifest, Left = delta. */
+  def parse(s: String): Either[DeltaCommit, CommitInfo] = {
+    val o = mapper.readTree(s)
+    if (o.has("delta")) Left(fromDeltaJson(o)) else Right(fromJson(s))
+  }
+
+  def toDeltaJson(ci: CommitInfo, prev: CommitInfo): String = {
+    val prevByPath = prev.files.map(f => f.path -> f).toMap
+    val added = ci.files.filterNot(f => prevByPath.contains(f.path))
+    val curPaths = ci.files.map(_.path).toSet
+    val removed = prev.files.map(_.path).filterNot(curPaths.contains)
+    val o = mapper.createObjectNode()
+    o.put("version", ci.version)
+    o.put("batchId", ci.batchId)
+    val wm = o.putObject("watermark")
+    ci.watermark.toSeq.sortBy(_._1).foreach { case (p, l) => wm.put(p.toString, l) }
+    ci.fence match {
+      case Some(f) =>
+        val fn = o.putObject("fence"); fn.put("commit", f.commit); fn.put("lsn", f.lsn)
+      case None => o.putNull("fence")
+    }
+    val ss = o.putArray("schemas")
+    ci.schemas.foreach(ss.add)
+    o.put("schemaIdx", ci.schemaIdx)
+    val d = o.putObject("delta")
+    d.put("base", prev.version)
+    val fs = d.putArray("added")
+    added.foreach { f =>
+      val fo = fs.addObject()
+      fo.put("path", f.path); fo.put("bucket", f.bucket)
+      fo.put("schemaIdx", f.schemaIdx); fo.put("rows", f.rows)
+    }
+    val rm = d.putArray("removed")
+    removed.foreach(rm.add)
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
+  }
+
+  private def fromDeltaJson(o: JsonNode): DeltaCommit = {
+    def arr(n: JsonNode): Iterator[JsonNode] = n.asInstanceOf[ArrayNode].elements().asScala
+    val wm = o.get("watermark").asInstanceOf[ObjectNode]
+    val watermark = wm.fields().asScala.map(e => e.getKey.toInt -> e.getValue.asLong()).toMap
+    val fence = Option(o.get("fence")).filterNot(_.isNull)
+      .map(f => LogPos(f.get("commit").asText(), f.get("lsn").asLong()))
+    val d = o.get("delta")
+    DeltaCommit(
+      version = o.get("version").asLong(),
+      batchId = o.get("batchId").asLong(),
+      watermark = watermark,
+      fence = fence,
+      schemas = arr(o.get("schemas")).map(_.asText()).toSeq,
+      schemaIdx = o.get("schemaIdx").asInt(),
+      base = d.get("base").asLong(),
+      added = arr(d.get("added")).map { f =>
+        FileEntry(f.get("path").asText(), f.get("bucket").asInt(),
+          f.get("schemaIdx").asInt(), f.get("rows").asLong())
+      }.toSeq,
+      removedPaths = arr(d.get("removed")).map(_.asText()).toSet)
+  }
 
   def toJson(ci: CommitInfo): String = {
     val o = mapper.createObjectNode()

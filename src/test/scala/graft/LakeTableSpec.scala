@@ -230,6 +230,34 @@ class LakeTableSpec extends SparkSpec {
     assert(table.lastCommit().get.files.toSet === files)
   }
 
+  test("incremental manifests: delta commits stay O(touched), roll-ups bound the chain, state resolves") {
+    val log = randomLog(11, 800)
+    val table = new LakeTable(tmp(), numBuckets = 8)
+    // 40 microbatches -> versions 1..40 with full manifests at 16 and 32
+    CdcPipeline.replay(spark, log.toDF(), table, numBatches = 40, writeMetrics = false)
+    val dir = java.nio.file.Paths.get(table.root, "_commits")
+    import scala.jdk.CollectionConverters._
+    val byVersion = java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.matches("v\\d+\\.json"))
+      .map(p => p.getFileName.toString.drop(1).takeWhile(_ != '.').toLong ->
+        java.nio.file.Files.readString(p))
+      .toMap
+    val fulls = byVersion.filter(!_._2.contains("\"delta\"")).keySet
+    assert(fulls.filter(_ > 1).forall(_ % 16 == 0), s"unexpected full manifests at $fulls")
+    assert(fulls.contains(16L) && fulls.contains(32L), "roll-ups present")
+    assert(byVersion(17L).contains("\"delta\""), "post-rollup commits are deltas")
+    // delta commit files never enumerate the whole table: their size is
+    // bounded by touched buckets, and stays flat as versions accumulate
+    val deltaSizes = byVersion.filter(_._2.contains("\"delta\"")).toSeq.sortBy(_._1).map(_._2.length)
+    assert(deltaSizes.max < byVersion(16L).length * 2, "delta commits stay small vs a full manifest")
+    // a FRESH reader (cold memo) resolves the delta chain to the same state
+    val reader = new LakeTable(table.root, numBuckets = 8)
+    assert(reader.lastCommit().get.files.toSet === table.lastCommit().get.files.toSet)
+    val state = reader.snapshot(spark).get.as[FlatEvent].collect()
+      .map(e => (e.repo, e.path) -> e).toMap
+    assert(state === foldOracle(log))
+  }
+
   test("storage-partitioned merge: state scan is bucketed, ONLY the batch side shuffles") {
     val log = randomLog(9, 300)
     val table = new LakeTable(tmp(), numBuckets = 8)

@@ -71,6 +71,20 @@ class SnapshotSpec extends SparkSpec {
     assert(full.select(cols.map(col): _*).exceptAll(merged.select(cols.map(col): _*)).count() === 0)
   }
 
+  test("read-only incremental snapshot (observed-offset watermarks) converges like the signal-based one") {
+    val log = ChangeLog.base(spark, sf)
+    val rows = Lww.applyState(log).select("repo", "path", "commit", "lang", "content")
+    val snap = Snapshot.incrementalReadOnly(rows, log, numChunks = 4)
+    // no chunk may emit at an offset beyond the observed head
+    val mx = log.agg(max("lsn")).as[Long].head()
+    assert(snap.where(col("lsn") > mx).count() === 0)
+    val merged = Lww.applyState(snap.unionByName(log))
+    val full = Lww.applyState(log)
+    val cols = Seq("repo", "path", "content")
+    assert(merged.select(cols.map(col): _*).exceptAll(full.select(cols.map(col): _*)).count() === 0)
+    assert(full.select(cols.map(col): _*).exceptAll(merged.select(cols.map(col): _*)).count() === 0)
+  }
+
   test("signal channel: append, read, idempotent processing marks") {
     val dir = java.nio.file.Files.createTempDirectory("graft-signals")
     val ch = s"$dir/signals.jsonl"

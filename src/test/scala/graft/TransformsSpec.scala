@@ -164,6 +164,51 @@ class TransformsSpec extends SparkSpec {
     assert(ce.contains(""""data":{"repo":"r1""""))
   }
 
+  test("convertTimezones honors include/exclude field lists (TimezoneConverter)") {
+    val df = Seq((1700000000000L, 1700000000000L, 1700000000000L))
+      .toDF("ts_ms", "ts_created", "other")
+    val out = Transforms.convertTimezones(df, "America/New_York", exclude = Seq("ts_created"))
+    assert(out.schema("ts_ms").dataType.typeName === "timestamp")
+    assert(out.schema("ts_created").dataType.typeName === "long", "excluded field untouched")
+    assert(out.schema("other").dataType.typeName === "long", "non-ts field untouched by default list")
+    val inc = Transforms.convertTimezones(df, "UTC", include = Some(Seq("other")))
+    assert(inc.schema("other").dataType.typeName === "timestamp")
+    assert(inc.schema("ts_ms").dataType.typeName === "long", "include list overrides the default set")
+  }
+
+  test("transactionEvents: interleaved BEGIN/END markers with per-event tx block") {
+    val ev = Transforms.transactionEvents(log, (col("lsn") / 10).cast("long"), col("repo")).cache()
+    val perTx = ev.groupBy("tx_id").agg(
+      sum(when(col("kind") === "begin", 1).otherwise(0)).as("b"),
+      sum(when(col("kind") === "end", 1).otherwise(0)).as("e"),
+      sum(when(col("kind") === "event", 1).otherwise(0)).as("n"),
+      max(when(col("kind") === "end", col("event_count"))).as("cnt")).collect()
+    perTx.foreach { r =>
+      assert(r.getAs[Long]("b") === 1L && r.getAs[Long]("e") === 1L)
+      assert(r.getAs[Long]("cnt") === r.getAs[Long]("n"), "END carries the event count")
+    }
+    // total_order is dense 1..n per tx
+    val orders = ev.where(col("kind") === "event").groupBy("tx_id")
+      .agg(max("total_order").as("mx"), count(lit(1)).as("n"), min("total_order").as("mn")).collect()
+    orders.foreach(r => assert(r.getAs[Long]("mx") === r.getAs[Long]("n") && r.getAs[Long]("mn") === 1L))
+  }
+
+  test("guardrails: violations fail at bootstrap unless warnOnly") {
+    import graft.core.Guardrails
+    val g = Guardrails(maxTables = 2)
+    assertThrows[IllegalStateException] {
+      Guardrails.validate(g, Seq("a" -> 4, "b" -> 4, "c" -> 4))
+    }
+    val warnings = Guardrails.validate(g.copy(warnOnly = true), Seq("a" -> 4, "b" -> 4, "c" -> 4))
+    assert(warnings.size === 1)
+    assert(Guardrails.validate(g, Seq("a" -> 4, "b" -> 4)) === Nil)
+    assertThrows[IllegalStateException] {
+      new merge.MultiTable.Registry(
+        java.nio.file.Files.createTempDirectory("guard").toString,
+        Seq(merge.MultiTable.TableDef("x", numBuckets = 999999)))
+    }
+  }
+
   test("tableFilter include/exclude on envelope source.table") {
     val env = core.Envelope.wrap(log)
     assert(Transforms.tableFilter(env, include = Some("repo_.*")).count() === 5)
