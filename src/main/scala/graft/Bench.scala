@@ -120,10 +120,11 @@ object Bench {
       stateEvents: Long,
       batchEvents: Long,
       batches: Int,
-      legacy: Boolean): (Double, Double, Double) = {
+      legacy: Boolean,
+      mor: Boolean = false): (Double, Double, Double) = {
     val base = shmBase.getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
     val root = java.nio.file.Files.createTempDirectory(base, "graft-bench-sh")
-    val table = new LakeTable(root.toString, numBuckets = NumBuckets)
+    val table = new LakeTable(root.toString, numBuckets = NumBuckets, mergeOnRead = mor)
     val init = SyntheticLog.generate(spark, stateEvents, numKeys = stateEvents, parts = SourceParts)
     CdcPipeline.replay(spark, init, table, numBatches = 2, salt = 8, writeMetrics = false)
     // Shuffle-bytes meter: wall time barely moves in local mode (a shuffle
@@ -173,6 +174,34 @@ object Bench {
     } finally s.stop()
   }
 
+  /** One scaling pair with the N and 4N reps INTERLEAVED (N,4N,N,4N,…) so
+    * both legs sample the same host-contention epochs — a spike during a
+    * serially-run leg would otherwise poison the efficiency one-sidedly
+    * (observed: the same 8M×8-core job at 25 s and 58 s an hour apart).
+    * Each leg keeps its best rep (contention only subtracts). Sessions
+    * alternate via stop/start (one SparkContext per JVM); JIT and the
+    * codegen cache persist across contexts, so only rep 1 of each level
+    * pays a warm-up.
+    */
+  private def measuredPair(n: Int, n4: Int, ev: Long, reps: Int, deadlineMs: Long): (Double, Double) = {
+    var bestN = Double.MaxValue
+    var best4 = Double.MaxValue
+    var r = 0
+    while (r < reps && (r == 0 || System.currentTimeMillis() < deadlineMs)) {
+      Seq((n, true), (n4, false)).foreach { case (cpus, isN) =>
+        val s = session(cpus, aqe = false, shufflePartitions = Some(NumBuckets))
+        try {
+          if (r == 0) replayThroughput(s, math.min(500000L, ev))
+          val (t, thr) = replayThroughput(s, ev)
+          System.err.println(f"[bench] pair rep=${r + 1} cpus=$cpus: $t%.1f s ($thr%.0f ev/s)")
+          if (isN) bestN = math.min(bestN, t) else best4 = math.min(best4, t)
+        } finally s.stop()
+      }
+      r += 1
+    }
+    (ev / bestN, ev / best4)
+  }
+
   def main(args: Array[String]): Unit = {
     val t0 = System.currentTimeMillis()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -186,8 +215,8 @@ object Bench {
     var queriesRes: Seq[(String, Double)] = Nil
     var replayRes: Option[(Long, Double, Double)] = None // events, sec, thr
     var pairsRes: Seq[(Int, Int, Long, Double, Double, Double)] = Nil
-    // stateEv, batchEv, batches, thrFast, mbFast, thrLegacy, mbLegacy
-    var stateHeavyRes: Option[(Long, Long, Int, Double, Double, Double, Double)] = None
+    // stateEv, batchEv, batches, thrFast, mbFast, thrLegacy, mbLegacy, thrMor
+    var stateHeavyRes: Option[(Long, Long, Int, Double, Double, Double, Double, Double)] = None
 
     def emit(status: String): Unit = {
       val qs = queriesRes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
@@ -204,12 +233,13 @@ object Bench {
           val best = pairsRes.maxBy(_._6)
           ps + f""","scaling_best":{"n_cores":${best._1},"n4_cores":${best._2},"efficiency":${best._6}%.3f}"""
         }
-      val shJson = stateHeavyRes.fold("") { case (se, be, nb, thrF, mbF, thrL, mbL) =>
+      val shJson = stateHeavyRes.fold("") { case (se, be, nb, thrF, mbF, thrL, mbL, thrM) =>
+        val morPart = if (thrM > 0) f""","events_per_sec_mor":$thrM%.0f,"mor_speedup":${thrM / thrF}%.1f""" else ""
         val legacyPart =
           if (thrL > 0)
             f""","events_per_sec_legacy":$thrL%.0f,"shuffle_mb_legacy":$mbL%.1f,"shuffle_reduction":${mbL / math.max(mbF, 0.1)}%.1f"""
           else ""
-        f""","state_heavy":{"state_events":$se,"batch_events":$be,"batches":$nb,"events_per_sec":$thrF%.0f,"shuffle_mb":$mbF%.1f$legacyPart}"""
+        f""","state_heavy":{"state_events":$se,"batch_events":$be,"batches":$nb,"events_per_sec":$thrF%.0f,"shuffle_mb":$mbF%.1f$morPart$legacyPart}"""
       }
       val elapsed = (System.currentTimeMillis() - t0) / 1000.0
       println(
@@ -230,8 +260,7 @@ object Bench {
     }
     pairs.foreach { case (n, n4, ev) =>
       if (System.currentTimeMillis() < deadlineAt(0.70)) {
-        val (_, thrN) = measuredReplay(ev, n, reps, deadlineAt(0.55))
-        val (_, thr4) = measuredReplay(ev, n4, reps, deadlineAt(0.75))
+        val (thrN, thr4) = measuredPair(n, n4, ev, math.max(reps, 3), deadlineAt(0.70))
         pairsRes = pairsRes :+ ((n, n4, ev, thrN, thr4, (thr4 / thrN) / 4.0))
         emit("partial")
       }
@@ -247,13 +276,19 @@ object Bench {
         val (stateEv, batchEv, nb) = (baseEvents, baseEvents / 32, 6)
         val (_, thrFast, mbFast) = stateHeavy(s, stateEv, batchEv, nb, legacy = false)
         System.err.println(f"[bench] state-heavy fast: $thrFast%.0f ev/s, $mbFast%.1f MB shuffled")
+        val thrMor =
+          if (System.currentTimeMillis() < deadlineAt(0.80)) {
+            val (_, t, mb) = stateHeavy(s, stateEv, batchEv, nb, legacy = false, mor = true)
+            System.err.println(f"[bench] state-heavy merge-on-read: $t%.0f ev/s, $mb%.1f MB shuffled")
+            t
+          } else -1.0
         val (thrLegacy, mbLegacy) =
           if (System.currentTimeMillis() < deadlineAt(0.85)) {
             val (_, t, mb) = stateHeavy(s, stateEv, batchEv, nb, legacy = true)
             System.err.println(f"[bench] state-heavy legacy: $t%.0f ev/s, $mb%.1f MB shuffled")
             (t, mb)
           } else (-1.0, -1.0)
-        stateHeavyRes = Some((stateEv, batchEv, nb, thrFast, mbFast, thrLegacy, mbLegacy))
+        stateHeavyRes = Some((stateEv, batchEv, nb, thrFast, mbFast, thrLegacy, mbLegacy, thrMor))
         emit("partial")
       } finally s.stop()
     }

@@ -53,6 +53,16 @@ object SparkEntry {
       CdcPipeline.replay(s, ChangeLog.flat(s, dir), table, numBatches = 6, salt = 4)
       withSha(table.snapshot(s).get)
     }),
+    // Merge-on-read replay: apply appends only per-batch winner files
+    // (zero state scan); the snapshot read resolves LWW across each
+    // bucket's file stack. Same oracle as q03/q04 — both table modes
+    // converge to the declarative fold.
+    "q45_cdc_mor_replay" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-mor").toString
+      val table = new LakeTable(root, numBuckets = 16, mergeOnRead = true)
+      CdcPipeline.replay(s, ChangeLog.flat(s, dir), table, numBatches = 6, salt = 4)
+      withSha(table.snapshot(s).get)
+    }),
     // §7.0 item 9: per-partition lineage metrics of a replay.
     "q05_cdc_metrics" -> ((s, dir) => {
       val root = java.nio.file.Files.createTempDirectory("graft-metrics").toString
@@ -543,6 +553,7 @@ object SparkEntry {
          |SELECT repo, path, commit, 'tombstone' AS op, lsn FROM ev WHERE op = 'd'""".stripMargin,
 
     "q16_cdc_compact" -> s"$cte\n$applyStateSql",
+    "q45_cdc_mor_replay" -> s"$cte\n$applyStateSql",
     "q17_smt_reselect" ->
       s"""$cte
          |, state AS (

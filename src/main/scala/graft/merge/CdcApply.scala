@@ -37,15 +37,20 @@ import graft.table.{CommitInfo, LakeTable, LogPos, SchemaEvolution}
   *    touched buckets — all as conditional aggregates of a single
   *    `groupBy(part)`. The fences themselves are driver-known literals
   *    (`element_at(<watermark map literal>, part)`), so no join is needed.
-  *  - Job 2 (merge+stage): LWW over (state of touched buckets ∪ fresh
-  *    batch events) in ONE shuffle — `repartition(numBuckets, key)` whose
-  *    HashPartitioning both satisfies the aggregate's distribution (no
-  *    second exchange) and equals the bucket function, so each reduce task
-  *    writes exactly its own bucket file. Optional salted pre-reduce of
-  *    the batch side (hot-key level 1) adds one batch-side-only shuffle.
+  *  - Job 2 (merge+stage): the batch reduces to one winner per key in ONE
+  *    shuffle — `repartition(numBuckets, key)` whose HashPartitioning both
+  *    satisfies the aggregate's distribution (no second exchange) and
+  *    equals the bucket function, so each task writes exactly its own
+  *    bucket file. Copy-on-write tables then full-outer-join the winners
+  *    against the STORAGE-PARTITIONED state read (bucketed scan, zero
+  *    state-side exchange — `LakeTable.bucketedState` +
+  *    `Lww.mergeCoPartitioned`); merge-on-read tables skip the state scan
+  *    entirely and append the winner files (readers resolve per bucket).
+  *    Optional salted pre-reduce (hot-key level 1) adds one
+  *    batch-side-only shuffle.
   *  - Job 3 (metrics, optional): per-partition applied counts from the
-  *    merged winners (batch rows carry a `__src=1` tag that rides through
-  *    `max_by`), joined driver-side with the stats vector.
+  *    merged winners' `__src` tag (1 = batch side won), joined driver-side
+  *    with the stats vector.
   */
 object CdcApply {
 
@@ -213,15 +218,37 @@ object CdcApply {
       // -Dgraft.forceLegacyMerge=true disables the storage-partitioned
       // state read — bench/A-B escape hatch, never set in production.
       val forceLegacy = sys.props.get("graft.forceLegacyMerge").contains("true")
+      // Physical-path choice from EXACT cardinalities (state rows come
+      // from the manifest's footer counts; batch rows from the stats
+      // pass): the storage-partitioned join saves shuffling the state but
+      // pays a hash build over the batch winners, so when the batch
+      // rivals the state (bulk loads, replays) one union+reduce aggregate
+      // is cheaper (measured ~12% on an 8M replay), while state ≫ batch
+      // strongly favors the join (1.55× wall, 14× less shuffle). Unknown
+      // counts (-1, pre-upgrade files) conservatively count as large.
+      val stateRowCounts = last.map(_.files.filter(f => touched.contains(f.bucket)).map(_.rows)).getOrElse(Nil)
+      val stateRows = if (stateRowCounts.exists(_ < 0)) Long.MaxValue else stateRowCounts.sum
+      val preferJoin = stateRows > 2 * freshCount
       val fastState: Option[DataFrame] =
-        if (!hasStateFiles || forceLegacy) None
+        if (!hasStateFiles || forceLegacy || table.mergeOnRead || !preferJoin) None
         else last.flatMap(ci => table.bucketedState(spark, ci, Some(touched), evolved))
           .map(st => batchFence.fold(st)(f => st.where(posCol > posLit(f))))
 
       // Winners carry __src (1 = the batch side won the key) so the
       // applied-winner metric falls out of the merged result.
       val merged0 =
-        if (!hasStateFiles || fastState.isDefined) {
+        if (table.mergeOnRead) {
+          // Merge-on-read: append ONLY the batch's winners — no state
+          // scan, no rewrite; readers resolve LWW across each bucket's
+          // file stack (LakeTable.resolved). O(batch) apply regardless of
+          // table size — the incremental-regime answer to copy-on-write
+          // amplification.
+          val pre =
+            if (salt > 1) Lww.saltedPartial(alignedFenced, table.keyCols, salt)
+            else alignedFenced
+          Lww.reducePartitioned(pre, table.keyCols, table.numBuckets)
+            .withColumn("__src", lit(1))
+        } else if (!hasStateFiles || fastState.isDefined) {
           val pre =
             if (salt > 1) Lww.saltedPartial(alignedFenced, table.keyCols, salt)
             else alignedFenced
@@ -231,9 +258,11 @@ object CdcApply {
             case None     => batchW.withColumn("__src", lit(1))
           }
         } else {
-          // Fallback (rare): an old file schema needs a non-native widen
-          // (e.g. →String) this batch — union + reduce shuffles state once;
-          // the rewrite puts those buckets back on the fast path.
+          // Union+reduce: chosen when the batch rivals the state (see
+          // preferJoin above), or as the fallback when an old file schema
+          // needs a non-native widen (e.g. →String) this batch — shuffles
+          // state once; the rewrite puts those buckets back on the
+          // join path.
           val tagged = alignedFenced.withColumn("__src", lit(1))
           val pre = if (salt > 1) Lww.saltedPartial(tagged, table.keyCols, salt) else tagged
           val st = last.flatMap(ci => table.snapshotRaw(spark, ci, Some(touched))).get
@@ -248,7 +277,11 @@ object CdcApply {
       // batchId, and mode(overwrite) on a shared dir would delete files the
       // other commit's manifest still references.
       val staged = table.stage(merged.drop("__src"), batchId, schemaIdx, attempt = version)
-      val untouchedFiles = last.map(_.files.filterNot(f => touched.contains(f.bucket))).getOrElse(Nil)
+      // CoW replaces the touched buckets' files; MoR appends (prior files
+      // stay live and are shadowed per key at read time until compaction).
+      val untouchedFiles =
+        if (table.mergeOnRead) last.map(_.files).getOrElse(Nil)
+        else last.map(_.files.filterNot(f => touched.contains(f.bucket))).getOrElse(Nil)
       table.commit(CommitInfo(version, commitBatchId, newWm, newFence, schemas, schemaIdx,
         untouchedFiles ++ staged), prev = last)
 

@@ -62,7 +62,8 @@ final case class CommitInfo(
 final class LakeTable(
     val root: String,
     val numBuckets: Int = 32,
-    val keyCols: Seq[String] = Envelope.keyCols) {
+    val keyCols: Seq[String] = Envelope.keyCols,
+    val mergeOnRead: Boolean = false) {
   private def commitsDir: Path = Paths.get(root, "_commits")
 
   /** Bucket assignment — a pure function of the key, never stored.
@@ -178,9 +179,31 @@ final class LakeTable(
     Some(parts.reduce(_.unionAll(_)))
   }
 
+  /** LWW-resolved raw state (tombstones retained). Copy-on-write tables
+    * are resolved by construction (a merge rewrote each touched bucket to
+    * one winner per key). MERGE-ON-READ tables reduce across each
+    * bucket's file stack at read time: apply only appends per-batch
+    * winner files (O(batch) apply, zero state scan — the Iceberg MoR
+    * pattern), and the read-side reduce is shuffle-FREE through the
+    * bucketed scan (its HashPartitioning satisfies the aggregate's
+    * required distribution). The truncate fence, burned into the data on
+    * the CoW path, applies as a read filter here.
+    */
+  def resolved(spark: SparkSession, ci: CommitInfo, buckets: Option[Set[Int]] = None): Option[DataFrame] = {
+    if (!mergeOnRead) return snapshotRaw(spark, ci, buckets)
+    val raw = bucketedState(spark, ci, buckets, ci.schema)
+      .orElse(snapshotRaw(spark, ci, buckets))
+    raw.map { df =>
+      val fenced = ci.fence.fold(df)(f =>
+        df.where(struct(col("commit"), col("lsn")) > struct(lit(f.commit), lit(f.lsn))))
+      graft.operators.Lww.reduce(fenced, keyCols)
+    }
+  }
+
   /** Live rows: tombstones filtered out, ordering/meta columns retained. */
   def snapshot(spark: SparkSession): Option[DataFrame] =
-    snapshotRaw(spark, None).map(_.where(col("op") =!= Envelope.OpDelete))
+    lastCommit().flatMap(ci => resolved(spark, ci, None))
+      .map(_.where(col("op") =!= Envelope.OpDelete))
 
   // ---------------------------------------------------------------------
   // Storage-partitioned state read (round-2 fix for VERDICT "What's wrong"
@@ -297,7 +320,7 @@ final class LakeTable(
     */
   def compact(spark: SparkSession, tombstoneRetention: Option[LogPos] = None): Option[CommitInfo] =
     lastCommit().flatMap { ci =>
-      snapshotRaw(spark, ci, None).map { df =>
+      resolved(spark, ci, None).map { df =>
         val pruned = tombstoneRetention.fold(df) { p =>
           df.where(col("op") =!= Envelope.OpDelete ||
             struct(col("commit"), col("lsn")) > struct(lit(p.commit), lit(p.lsn)))
@@ -335,10 +358,22 @@ final class LakeTable(
       .flatMap { p =>
         val rel = Paths.get(root).relativize(p).toString
         part.findFirstMatchIn(p.getFileName.toString).map { m =>
-          FileEntry(rel, m.group(1).toInt, schemaIdx, -1L)
+          FileEntry(rel, m.group(1).toInt, schemaIdx, rowCount(p))
         }
       }.toSeq
   }
+
+  /** Exact row count from the parquet FOOTER (metadata-only — no data
+    * read; ~1 ms/file driver-side). Stored in the manifest so the merge
+    * can choose its physical path from exact state-vs-batch cardinality.
+    */
+  private def rowCount(p: Path): Long =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri), new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    } catch { case _: Exception => -1L }
 }
 
 /** Explicit tree-model JSON codec for the commit log (Jackson's Scala

@@ -281,6 +281,36 @@ class LakeTableSpec extends SparkSpec {
     assert(out.length === (stateRows + (("repo0", "p0.txt"))).size, "full-outer key coverage")
   }
 
+  test("merge-on-read: append-only apply converges (incl. truncate), fences hold, compaction collapses") {
+    val log = randomLog(12, 400, withTruncate = true)
+    val table = new LakeTable(tmp(), numBuckets = 8, mergeOnRead = true)
+    val r = CdcPipeline.replay(spark, log.toDF(), table, numBatches = 5)
+    assert(r.forall(_.committed))
+    assert(tableState(table) === foldOracle(log), "MoR resolves to the fold oracle")
+    // apply appended, never rewrote: every batch's files are still live
+    val files = table.lastCommit().get.files
+    assert(files.map(_.path).distinct.size === files.size)
+    assert(files.size > table.numBuckets, "file stacks accumulated (no rewrite)")
+    // replays are fenced exactly like CoW
+    val r2 = CdcPipeline.replay(spark, log.toDF(), table, numBatches = 5)
+    assert(r2.forall(x => !x.committed && x.reason == "batchId-fenced"))
+    // compaction collapses the stacks and preserves state
+    val before = tableState(table)
+    table.compact(spark, tombstoneRetention = Some(graft.table.LogPos("~", Long.MaxValue)))
+    assert(table.lastCommit().get.files.size <= table.numBuckets)
+    assert(tableState(table) === before)
+  }
+
+  test("merge-on-read resolved read plans ZERO exchanges (bucketed scan satisfies the reduce)") {
+    val log = randomLog(13, 200)
+    val table = new LakeTable(tmp(), numBuckets = 8, mergeOnRead = true)
+    CdcPipeline.replay(spark, log.toDF(), table, numBatches = 3, writeMetrics = false)
+    val resolved = table.resolved(spark, table.lastCommit().get).get
+    val plan = resolved.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), s"resolved read must use the bucketed scan:\n$plan")
+    assert(!plan.contains("Exchange"), s"the read-side LWW reduce must not shuffle:\n$plan")
+  }
+
   test("structured streaming with checkpoint: two waves + restart, exactly-once") {
     val inDir = tmp(); val ckpt = tmp()
     val table = new LakeTable(tmp(), numBuckets = 8)
