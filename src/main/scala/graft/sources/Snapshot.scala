@@ -26,11 +26,17 @@ object Snapshot {
     * @param snapshotLsn the consistent offset the snapshot was taken at
     * @param parts       number of source partitions to tag rows with
     */
-  def initial(rows: DataFrame, snapshotLsn: Long, parts: Int = 8): DataFrame =
+  def initial(
+      rows: DataFrame,
+      snapshotLsn: Long,
+      parts: Int = 8,
+      keyCols: Seq[String] = Envelope.keyCols): DataFrame =
     rows.select(
-      col("repo"), col("path"), col("commit"), col("lang"), col("content"),
+      // every payload column survives (incl. evolved ones) — only the
+      // envelope position columns are appended
+      col("*"),
       lit(Envelope.OpRead).as("op"),
-      pmod(hash(col("repo"), col("path")), lit(parts)).as("part"),
+      pmod(hash(keyCols.map(col): _*), lit(parts)).as("part"),
       lit(snapshotLsn).as("lsn"),
       (lit(1700000000000L) + lit(snapshotLsn) * 1000L).as("ts_ms"))
 

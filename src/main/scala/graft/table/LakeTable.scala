@@ -54,10 +54,19 @@ final case class CommitInfo(
   *    the sink-side `alterTableIfNeeded` analog
   *    (`debezium-connector-jdbc/.../JdbcChangeEventSink.java:217-219`).
   *
-  * Scale notes: keys are hash-bucketed (`pmod(hash(repo, path), numBuckets)`)
-  * so a merge rewrites only touched buckets (copy-on-write). At 100 TB you
-  * would raise `numBuckets` so one bucket ~ a few GB; the manifest is O(files)
-  * driver-side metadata, same as an Iceberg manifest list.
+  * Scale notes: keys are hash-bucketed (`pmod(hash(keyCols), numBuckets)` —
+  * identical to Spark's native bucketing, which is what [[bucketedState]]
+  * exploits for the shuffle-free state read). Two write modes:
+  *  - copy-on-write (default): a merge rewrites only touched buckets; reads
+  *    are resolved by construction;
+  *  - merge-on-read (`mergeOnRead = true`): a merge APPENDS per-batch
+  *    winner files — O(batch) apply regardless of table size — and reads
+  *    resolve LWW across each bucket's file stack ([[resolved]],
+  *    shuffle-free); [[compact]] collapses the stacks.
+  * Commit files are incremental manifests (delta + roll-up every
+  * [[LakeTable.FullManifestEvery]]): driver metadata per commit is
+  * O(touched buckets), not O(table files). At 100 TB raise `numBuckets` so
+  * one bucket ~ a few GB.
   */
 final class LakeTable(
     val root: String,

@@ -55,11 +55,12 @@ class ReplayPropertySpec extends SparkSpec {
     table.snapshot(spark).map(_.as[FlatEvent].collect()).getOrElse(Array.empty)
       .map(e => (e.repo, e.path) -> e).toMap
 
-  test("replay under ANY batching converges to the fold oracle") {
+  test("replay under ANY batching converges to the fold oracle (both table modes)") {
     check("any-batching", Prop.forAll(genLog(withTruncate = true),
-      Gen.listOfN(3, Gen.choose(0.0, 1.0))) { (log, cutsRaw) =>
+      Gen.listOfN(3, Gen.choose(0.0, 1.0)), Gen.oneOf(false, true)) { (log, cutsRaw, mor) =>
       log.isEmpty || {
-        val table = new LakeTable(Files.createTempDirectory("prop").toString, numBuckets = 4)
+        val table = new LakeTable(Files.createTempDirectory("prop").toString,
+          numBuckets = 4, mergeOnRead = mor)
         val cuts = cutsRaw.map(c => (c * log.size).toInt).sorted
         val batches = (0 +: cuts :+ log.size).sliding(2).map { case Seq(a, b) => log.slice(a, b) }.toSeq
         batches.zipWithIndex.foreach { case (b, i) =>
@@ -68,7 +69,7 @@ class ReplayPropertySpec extends SparkSpec {
         }
         tableState(table) == foldOracle(log)
       }
-    })
+    }, cases = 8)
   }
 
   test("ANY arrival order preserving per-partition order converges; re-replay is a no-op") {
