@@ -312,6 +312,62 @@ object SparkEntry {
           col("lang"), col("content"), col("lsn"))
     }),
 
+    // §2.2 table include/exclude filter: regex over the source table name
+    // (include wins over exclude, RelationalTableFilters semantics).
+    "q46_smt_table_filter" -> ((s, dir) => {
+      val env = ChangeLog.flat(s, dir)
+        .withColumn("source_table", concat(lit("files_"), col("lang")))
+      Transforms.tableFilter(env, include = Some("files_(en|de)"),
+          tableCol = col("source_table"))
+        .select(col("repo"), col("path"), col("lsn"), col("op"), col("source_table"))
+    }),
+    // §2.2 column projection: include/exclude payload column lists; envelope
+    // position columns always survive.
+    "q47_smt_projection" -> ((s, dir) =>
+      Transforms.projectColumns(ChangeLog.flat(s, dir),
+        include = Some(Seq("repo", "path", "lang")), exclude = Seq("lang"))),
+    // §2.2 scripting filter: arbitrary SQL predicate over the record.
+    "q48_smt_scripting_filter" -> ((s, dir) =>
+      Transforms.filterExpr(ChangeLog.flat(s, dir),
+        "op = 'u' AND length(content) > 80 AND lang IN ('en','fr')")
+        .select(col("repo"), col("path"), col("lsn"), col("lang"),
+          length(col("content")).cast("long").as("n_chars"))),
+    // §2.2 EnforceRecordSize: oversized payloads dropped (skip mode); null
+    // payloads (deletes) pass through.
+    "q49_smt_record_size" -> ((s, dir) =>
+      Transforms.enforceRecordSize(ChangeLog.flat(s, dir), col("content"), maxBytes = 120)
+        .select(col("repo"), col("path"), col("lsn"), col("op"),
+          octet_length(col("content")).cast("long").as("payload_bytes"))),
+    // §2.2 ReadToInsertEvent: snapshot reads re-labelled as inserts
+    // (op 'r' -> 'c') for consumers that do not understand 'r'.
+    "q50_smt_read_to_insert" -> ((s, dir) => {
+      val log = ChangeLog.base(s, dir)
+      val mx = maxLsn(log)
+      val snap = Snapshot.initial(Lww.applyState(log).select(payload: _*), mx)
+      Transforms.readToInsert(snap).select(col("repo"), col("path"), col("op"), col("lsn"))
+    }),
+    // §2.1 chunked snapshot: PK-range chunked scan (repartitionByRange =
+    // the ChunkBoundaryCalculator analog); content is chunk-invariant.
+    "q51_cdc_chunked_snapshot" -> ((s, dir) => {
+      val state = Lww.applyState(ChangeLog.base(s, dir)).select(payload: _*)
+      Snapshot.chunked(state, numChunks = 8, keys = Seq(col("repo"), col("path")))
+        .select(payload: _*)
+    }),
+    // §2.2 ExtractSchemaToNewRecord: schema metadata copied into payload
+    // columns (`__debezium.source.column.type` analog).
+    "q52_smt_schema_extract" -> ((s, dir) =>
+      Transforms.extractSchemaToNewRecord(ChangeLog.flat(s, dir), Seq("content", "lsn"))
+        .select(col("repo"), col("path"), col("lsn"),
+          col("__content_type"), col("__lsn_type"))),
+    // §2.2 TimezoneConverter with per-field include/exclude lists: only the
+    // included-and-not-excluded epoch-ms fields are re-rendered in the
+    // target zone (Asia/Kolkata: fixed +05:30, DST-free — deterministic).
+    "q53_smt_timezone" -> ((s, dir) =>
+      Transforms.convertTimezones(ChangeLog.flat(s, dir), "Asia/Kolkata",
+          include = Some(Seq("ts_ms", "lsn", "absent_col")), exclude = Seq("lsn"))
+        .select(col("repo"), col("path"), col("lsn"),
+          date_format(col("ts_ms"), "yyyy-MM-dd HH:mm:ss").as("ts_kolkata"))),
+
     // ---- training-data pipeline over documents/embeddings ----
     // Exact dedup: content-sha groups, canonical id, copy counts.
     "q20_dedup_exact" -> ((s, dir) =>
@@ -688,6 +744,45 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY repo ORDER BY commit DESC, lsn DESC) AS rn
          |  FROM routed WHERE sink_table = 'heads_rest') t
          |WHERE rn = 1 AND op <> 'd'""".stripMargin,
+
+    "q46_smt_table_filter" ->
+      s"""$cte
+         |SELECT repo, path, lsn, op, concat('files_', lang) AS source_table
+         |FROM ev WHERE regexp_matches(concat('files_', lang), 'files_(en|de)')""".stripMargin,
+    "q47_smt_projection" ->
+      s"""$cte
+         |SELECT repo, path, op, part, lsn, ts_ms FROM ev""".stripMargin,
+    "q48_smt_scripting_filter" ->
+      s"""$cte
+         |SELECT repo, path, lsn, lang, CAST(length(content) AS BIGINT) AS n_chars
+         |FROM ev WHERE op = 'u' AND length(content) > 80 AND lang IN ('en', 'fr')""".stripMargin,
+    "q49_smt_record_size" ->
+      s"""$cte
+         |SELECT repo, path, lsn, op,
+         |       CAST(octet_length(encode(content)) AS BIGINT) AS payload_bytes
+         |FROM ev WHERE content IS NULL OR octet_length(encode(content)) <= 120""".stripMargin,
+    "q50_smt_read_to_insert" ->
+      s"""$cte
+         |SELECT repo, path, 'c' AS op, (SELECT max(lsn) FROM ev0) AS lsn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |  FROM ev0) t
+         |WHERE rn = 1 AND op <> 'd'""".stripMargin,
+    "q51_cdc_chunked_snapshot" ->
+      s"""$cte
+         |SELECT repo, path, commit, lang, content FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |  FROM ev0) t
+         |WHERE rn = 1 AND op <> 'd'""".stripMargin,
+    "q52_smt_schema_extract" ->
+      s"""$cte
+         |SELECT repo, path, lsn,
+         |       'STRING' AS __content_type, 'BIGINT' AS __lsn_type
+         |FROM ev""".stripMargin,
+    "q53_smt_timezone" ->
+      s"""$cte
+         |SELECT repo, path, lsn,
+         |       strftime(epoch_ms(ts_ms + 19800000), '%Y-%m-%d %H:%M:%S') AS ts_kolkata
+         |FROM ev""".stripMargin,
 
     "q20_dedup_exact" ->
       s"""WITH ${Corpus.Sql.corpus}
