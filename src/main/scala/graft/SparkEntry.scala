@@ -401,6 +401,17 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), k = 5, planes = 4)
         .select(col("qid"), col("nid"), col("cos"))
     }),
+    // ANN IVF top-k (inverted-file scale path: literal-centroid list
+    // assignment, nprobe nearest lists exact-scored).
+    "q54_ann_ivf" -> ((s, dir) => {
+      val emb = Corpus.embsWithDups(s, dir)
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5, nlist = 8, nprobe = 2)
+        .select(col("qid"), col("nid"), col("cos"))
+    }),
+    // §2.1 heartbeat: per-partition liveness markers for quiet intervals,
+    // carrying the partition's current offset.
+    "q55_cdc_heartbeat" -> ((s, dir) =>
+      sources.Heartbeat.emit(ChangeLog.base(s, dir), intervalMs = 10000L)),
     // Language ID (stopword/char heuristic).
     "q27_text_langid" -> ((s, dir) =>
       Corpus.documents(s, dir)
@@ -882,6 +893,52 @@ object SparkEntry {
          |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
          |  FROM scored) t
          |WHERE rk <= 5""".stripMargin,
+    "q54_ann_ivf" ->
+      s"""WITH ${Corpus.Sql.emb}
+         |, cents AS (SELECT vec_id AS ccid, embedding AS cv FROM emb ORDER BY vec_id LIMIT 8)
+         |, sa AS (
+         |  SELECT vec_id, va AS v, cid, ($embDot) / (${embNorm("va")} * ${embNorm("vb")}) AS ccos
+         |  FROM (SELECT e.vec_id, e.embedding AS va, c.ccid AS cid, c.cv AS vb
+         |        FROM emb e CROSS JOIN cents c))
+         |, assign AS (
+         |  SELECT vec_id, v, cid AS list_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM sa) t
+         |  WHERE rn = 1)
+         |, probes AS (
+         |  SELECT vec_id AS qid, cid AS list_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |    FROM sa WHERE vec_id < 10) t
+         |  WHERE rn <= 2)
+         |, cand AS (
+         |  SELECT p.qid, a.vec_id AS nid, q.v AS va, a.v AS vb
+         |  FROM probes p
+         |  JOIN assign a ON a.list_id = p.list_id
+         |  JOIN assign q ON q.vec_id = p.qid
+         |  WHERE a.vec_id <> p.qid)
+         |SELECT qid, nid, cos FROM (
+         |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM (SELECT qid, nid, $embCos AS cos FROM cand) s) t
+         |WHERE rk <= 5""".stripMargin,
+    "q55_cdc_heartbeat" ->
+      s"""$cte
+         |, b AS (SELECT min(ts_ms) AS lo, max(ts_ms) AS hi FROM ev0)
+         |, perbucket AS (
+         |  SELECT part, (ts_ms - (SELECT lo FROM b)) // 10000 AS i, max(lsn) AS bucket_max
+         |  FROM ev0 GROUP BY 1, 2)
+         |, intervals AS (
+         |  SELECT unnest(generate_series(0, (SELECT (hi - lo) // 10000 FROM b))) AS i)
+         |, grid AS (
+         |  SELECT p.part, iv.i, (SELECT lo FROM b) + iv.i * 10000 AS heartbeat_ts, pb.bucket_max
+         |  FROM (SELECT DISTINCT part FROM ev0) p
+         |  CROSS JOIN intervals iv
+         |  LEFT JOIN perbucket pb ON pb.part = p.part AND pb.i = iv.i)
+         |SELECT part, heartbeat_ts, last_lsn FROM (
+         |  SELECT part, heartbeat_ts, bucket_max,
+         |         max(bucket_max) OVER (
+         |           PARTITION BY part ORDER BY i
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_lsn
+         |  FROM grid) t
+         |WHERE bucket_max IS NULL AND last_lsn IS NOT NULL""".stripMargin,
     "q27_text_langid" -> {
       val langs = Seq("en" -> 4, "de" -> 3, "fr" -> 2, "es" -> 1)
       val scores = langs.map { case (l, prio) =>

@@ -109,4 +109,76 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
+
+  // -------------------------------------------------------------------- IVF
+
+  /** Coarse-quantizer centroids: the `nlist` corpus vectors with the
+    * smallest ids (deterministic seeding; a k-means refinement would
+    * iterate assign→mean over the same join shape). Centroids are MODEL
+    * PARAMETERS — bounded by nlist, collected once, and inlined as array
+    * literals so the per-row assignment is pure codegen with no join (the
+    * same treatment as [[lshBucket]]'s hyperplanes, except learned from
+    * data instead of hashed).
+    */
+  def ivfCentroids(
+      corpus: DataFrame,
+      nlist: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[(Long, Seq[Double])] =
+    corpus
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .orderBy(col("id")).limit(nlist)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+  /** The `nprobe` centroid ids nearest (by cosine) to `vec`, nearest
+    * first; deterministic tie-break on centroid id. `nprobe = 1` is the
+    * inverted-list assignment.
+    */
+  def ivfProbes(vec: Column, cents: Seq[(Long, Seq[Double])], nprobe: Int): Column = {
+    val scored = array(cents.map { case (cid, cv) =>
+      struct(cosine(vec, typedlit(cv)).as("cos"), lit(cid).as("cid"))
+    }: _*)
+    val sorted = array_sort(scored, (l, r) =>
+      when(l.getField("cos") > r.getField("cos"), -1)
+        .when(l.getField("cos") < r.getField("cos"), 1)
+        .when(l.getField("cid") < r.getField("cid"), -1)
+        .when(l.getField("cid") > r.getField("cid"), 1)
+        .otherwise(0))
+    slice(transform(sorted, x => x.getField("cid")), 1, nprobe)
+  }
+
+  /** IVF (inverted-file) ANN: corpus vectors are assigned to their nearest
+    * centroid's inverted list (a narrow, codegen'd map — no shuffle);
+    * each query probes its `nprobe` nearest lists and exact cosine
+    * re-ranks only those candidates. Expected work per query is
+    * nprobe/nlist of the corpus vs the brute-force full scan.
+    *
+    * Scale: the corpus is scanned once with a literal-centroid argmax and
+    * joined to the broadcast probe set on `list_id` — no corpus shuffle;
+    * the `row_number ≤ k` rank filter is a WindowGroupLimit with a partial
+    * per-partition pass (SPARK-37099), so only |queries|×k rows per
+    * partition reach the exchange. Recall grows with nprobe (multi-probe),
+    * nlist with corpus size (≈√N lists keeps lists and probe cost balanced).
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nlist: Int = 8,
+      nprobe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(corpus, nlist, idCol, vecCol)
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      element_at(ivfProbes(col(vecCol), cents, 1), 1).as("list_id"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      explode(ivfProbes(col(vecCol), cents, nprobe)).as("list_id"))
+    val scored = c.join(broadcast(q), "list_id")
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), round(cosine(col("qv"), col("nv")), 4).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
 }

@@ -166,6 +166,27 @@ class TdpSpec extends SparkSpec {
     assert(fp === expectedMin)
   }
 
+  test("IVF ANN: no self-pairs, k respected, planted scaled dups found, decent recall") {
+    val emb = Corpus.embsWithDups(spark, sf)
+    val q = emb.where(col("vec_id") < 10)
+    val ivf = Similarity.ivfTopK(emb, q, k = 5, nlist = 8, nprobe = 2).cache()
+    assert(ivf.where(col("qid") === col("nid")).count() === 0)
+    assert(ivf.groupBy("qid").count().where(col("count") > 5).count() === 0)
+    // the ×1.01-scaled plant has cosine 1 with its original AND the same
+    // centroid ordering, so it shares the original's list — must be top-k
+    val plantedQs = q.where(col("vec_id") % 5 === 0).count()
+    val found = ivf.where(col("qid") % 5 === 0 &&
+      col("nid") === col("qid") + 1000000L && col("cos") >= 0.9999).count()
+    assert(found === plantedQs, s"found $found of $plantedQs scaled plants")
+    // recall@5 vs the exact baseline with nprobe=2 of nlist=8
+    val bf = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val iv = ivf.select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(iv.intersect(bf).size >= bf.size * 3 / 10,
+      s"recall ${iv.intersect(bf).size}/${bf.size}")
+    ivf.unpersist()
+  }
+
   test("FieldToEmbedding: deterministic unit-norm vectors; identical text → identical embedding") {
     import graft.operators.AiSmt
     val out = AiSmt.fieldToEmbedding(corpus.select(col("doc_id"), col("text")), "text", dims = 16).cache()
