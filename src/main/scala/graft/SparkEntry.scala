@@ -401,6 +401,13 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), k = 5, planes = 4)
         .select(col("qid"), col("nid"), col("cos"))
     }),
+    // ANN multi-probe LSH top-k (finer bucketing, hamming-1 probe fan-out
+    // recovers recall).
+    "q56_ann_lsh_multiprobe" -> ((s, dir) => {
+      val emb = Corpus.embsWithDups(s, dir)
+      Similarity.lshTopKMultiProbe(emb, emb.where(col("vec_id") < 10), k = 5, planes = 6)
+        .select(col("qid"), col("nid"), col("cos"))
+    }),
     // ANN IVF top-k (inverted-file scale path: literal-centroid list
     // assignment, nprobe nearest lists exact-scored).
     "q54_ann_ivf" -> ((s, dir) => {
@@ -889,6 +896,26 @@ object SparkEntry {
          |         $embCos AS cos
          |  FROM base c JOIN (SELECT * FROM base WHERE vec_id < 10) q ON c.bkt = q.bkt
          |  WHERE q.vec_id <> c.vec_id)
+         |SELECT qid, nid, cos FROM (
+         |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM scored) t
+         |WHERE rk <= 5""".stripMargin,
+    "q56_ann_lsh_multiprobe" ->
+      s"""WITH ${Corpus.Sql.emb}
+         |, base AS (SELECT vec_id, embedding, ${lshBucketSql("embedding", 6)} AS bkt FROM emb)
+         |, probes AS (
+         |  SELECT vec_id AS qid, embedding AS qv,
+         |         CASE WHEN i = 0 THEN bkt
+         |              ELSE concat(substr(bkt, 1, i - 1),
+         |                          CASE WHEN substr(bkt, i, 1) = '1' THEN '0' ELSE '1' END,
+         |                          substr(bkt, i + 1, 6 - i)) END AS bkt
+         |  FROM (SELECT * FROM base WHERE vec_id < 10),
+         |       (SELECT unnest(generate_series(0, 6)) AS i))
+         |, scored AS (
+         |  SELECT p.qid, c.vec_id AS nid, p.qv AS va, c.embedding AS vb,
+         |         $embCos AS cos
+         |  FROM base c JOIN probes p ON c.bkt = p.bkt
+         |  WHERE p.qid <> c.vec_id)
          |SELECT qid, nid, cos FROM (
          |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
          |  FROM scored) t

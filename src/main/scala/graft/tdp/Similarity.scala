@@ -110,6 +110,45 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
 
+  /** Multi-probe key set: the exact bucket plus every hamming-1 variant
+    * (one flipped plane bit). Probing neighbor buckets recovers the recall
+    * a finer bucketing (more planes) gives up — the standard multi-probe
+    * LSH trade: planes↑ shrinks candidate lists, probes↑ restores recall,
+    * candidate count ≈ (planes+1)/2^planes of the corpus per query.
+    */
+  def multiProbeKeys(vec: Column, planes: Int): Column = {
+    val b = lshBucket(vec, planes)
+    array((b +: (1 to planes).map { i =>
+      concat(
+        substring(b, 1, i - 1),
+        when(substring(b, i, 1) === "1", "0").otherwise("1"),
+        substring(b, i + 1, planes - i))
+    }): _*)
+  }
+
+  /** Multi-probe LSH ANN: the corpus keeps its single exact bucket (one
+    * narrow pass, no shuffle); each query fans out to its probe set and
+    * joins on the bucket key. Same scale shape as [[lshTopK]] — the
+    * broadcast side just carries planes+1 rows per query.
+    */
+  def lshTopKMultiProbe(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      planes: Int = 6,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      explode(multiProbeKeys(col(vecCol), planes)).as("bkt"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      lshBucket(col(vecCol), planes).as("bkt"))
+    val scored = c.join(broadcast(q), "bkt")
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), round(cosine(col("qv"), col("nv")), 4).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
   // -------------------------------------------------------------------- IVF
 
   /** Coarse-quantizer centroids: the `nlist` corpus vectors with the

@@ -187,6 +187,26 @@ class TdpSpec extends SparkSpec {
     ivf.unpersist()
   }
 
+  test("multi-probe LSH: probe set = exact bucket + hamming-1; recall ≥ single-probe at same planes") {
+    val emb = Corpus.embsWithDups(spark, sf)
+    val q = emb.where(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val single = Similarity.lshTopK(emb, q, k = 5, planes = 6)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val multi = Similarity.lshTopKMultiProbe(emb, q, k = 5, planes = 6)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(multi.intersect(bf).size >= single.intersect(bf).size,
+      s"multi ${multi.intersect(bf).size} < single ${single.intersect(bf).size}")
+    // every single-probe candidate set is a subset of the probe fan-out
+    assert(single.subsetOf(multi) || multi.intersect(bf).size > single.intersect(bf).size)
+    // probe keys: planes+1 distinct keys, each differing by ≤1 bit
+    val keys = q.limit(1).select(Similarity.multiProbeKeys(col("embedding"), 6)).as[Seq[String]].head()
+    assert(keys.size === 7 && keys.distinct.size === 7)
+    val exact = keys.head
+    keys.tail.foreach(k => assert(k.zip(exact).count { case (a, b) => a != b } === 1))
+  }
+
   test("FieldToEmbedding: deterministic unit-norm vectors; identical text → identical embedding") {
     import graft.operators.AiSmt
     val out = AiSmt.fieldToEmbedding(corpus.select(col("doc_id"), col("text")), "text", dims = 16).cache()
