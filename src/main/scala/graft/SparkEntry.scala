@@ -419,6 +419,51 @@ object SparkEntry {
     // carrying the partition's current offset.
     "q55_cdc_heartbeat" -> ((s, dir) =>
       sources.Heartbeat.emit(ChangeLog.base(s, dir), intervalMs = 10000L)),
+    // §2.2 geometry SMTs: WKB→EWKB format conversion then axis swap on
+    // STRUCT<wkb,srid> payloads, byte-level codegen'd expressions; results
+    // decoded back to integers so DuckDB can verify without spatial fns.
+    "q57_smt_geometry" -> ((s, dir) => {
+      import graft.operators.GeometryExprs._
+      val d = Corpus.documents(s, dir).select(col("doc_id"))
+      val dd = col("doc_id").cast("double")
+      val srid = when(pmod(col("doc_id"), lit(2)) === 0, 4326).otherwise(3857).cast("int")
+      val geo = d
+        .withColumn("geom", struct(wkb_point(dd * 1.5, dd * 0.25).as("wkb"), srid.as("srid")))
+        .withColumn("ls", struct(
+          wkb_linestring(array((0 to 5).map(i => dd + i): _*)).as("wkb"),
+          lit(4326).as("srid")))
+      val ew = Transforms.geometryFormat(geo, "geom", "ewkb")
+      val sw = Transforms.swapGeometryCoordinates(
+        Transforms.swapGeometryCoordinates(ew, "geom", Seq(4326)), "ls", Seq(4326))
+      sw.select(col("doc_id"),
+        (wkb_point_x(col("geom.wkb")) * 4).cast("long").as("x4"),
+        (wkb_point_y(col("geom.wkb")) * 4).cast("long").as("y4"),
+        wkb_is_extended(col("geom.wkb")).as("is_ext"),
+        ewkb_srid(col("geom.wkb"), lit(-1)).as("srid_out"),
+        (octet_length(col("geom.wkb")) - lit(21)).cast("int").as("len_delta"),
+        wkb_coord_sum(col("ls.wkb"), lit(0)).cast("long").as("ls_sx"),
+        wkb_coord_sum(col("ls.wkb"), lit(1)).cast("long").as("ls_sy"))
+    }),
+    // §2.2 TimescaleDb SMT: chunk → hypertable/aggregate rename + routed
+    // topic + chunk-identity headers, via one broadcast catalog join.
+    "q58_smt_timescaledb" -> ((s, dir) => {
+      import s.implicits._
+      val d = Corpus.documents(s, dir).select(col("doc_id"),
+        lit("_timescaledb_internal").as("sch"),
+        concat(lit("_hyper_"), (pmod(col("doc_id"), lit(3)) + 1).cast("string"),
+          lit("_"), col("doc_id").cast("string"), lit("_chunk")).as("tbl"))
+      val cat = Seq(
+        (1, "public", "conditions", Option.empty[String], Option.empty[String]),
+        (2, "public", "metrics", Option.empty[String], Option.empty[String]),
+        (3, "_timescaledb_internal", "_materialized_hypertable_3",
+          Option("public"), Option("conditions_summary")))
+        .toDF("hypertable_id", "hyper_schema", "hyper_table", "agg_schema", "agg_table")
+      Transforms.timescaleDb(d, cat, "ts", schemaCol = col("sch"), tableCol = col("tbl"))
+        .select(col("doc_id"), col("__topic").as("topic"),
+          col("__ts_schema").as("out_schema"), col("__ts_table").as("out_table"),
+          col("__ts_chunk_table").as("chunk_table"),
+          col("__ts_hypertable_table").as("hypertable_table"))
+    }),
     // Language ID (stopword/char heuristic).
     "q27_text_langid" -> ((s, dir) =>
       Corpus.documents(s, dir)
@@ -966,6 +1011,36 @@ object SparkEntry {
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_lsn
          |  FROM grid) t
          |WHERE bucket_max IS NULL AND last_lsn IS NOT NULL""".stripMargin,
+    // Geometry pipeline algebra: point (1.5d, 0.25d) srid-alternating —
+    // even docs (srid 4326) get swapped, odd (3857) don't; EWKB adds 4
+    // bytes; linestring (d,d+1),(d+2,d+3),(d+4,d+5) swapped → x-sum is
+    // the original y-sum 3d+9 and vice versa.
+    "q57_smt_geometry" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id ELSE 6 * doc_id END AS BIGINT) AS x4,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 6 * doc_id ELSE doc_id END AS BIGINT) AS y4,
+        |  true AS is_ext,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4326 ELSE 3857 END AS INT) AS srid_out,
+        |  CAST(4 AS INT) AS len_delta,
+        |  CAST(3 * doc_id + 9 AS BIGINT) AS ls_sx,
+        |  CAST(3 * doc_id + 6 AS BIGINT) AS ls_sy
+        |FROM documents""".stripMargin,
+    "q58_smt_timescaledb" ->
+      """WITH m AS (
+        |  SELECT doc_id, doc_id % 3 + 1 AS h,
+        |         '_hyper_' || CAST(doc_id % 3 + 1 AS VARCHAR) || '_' ||
+        |           CAST(doc_id AS VARCHAR) || '_chunk' AS chunk_table
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE h WHEN 1 THEN 'ts.public.conditions'
+        |         WHEN 2 THEN 'ts.public.metrics'
+        |         ELSE 'ts.public.conditions_summary' END AS topic,
+        |  'public' AS out_schema,
+        |  CASE h WHEN 1 THEN 'conditions' WHEN 2 THEN 'metrics'
+        |         ELSE 'conditions_summary' END AS out_table,
+        |  chunk_table,
+        |  CASE h WHEN 3 THEN '_materialized_hypertable_3' END AS hypertable_table
+        |FROM m""".stripMargin,
     "q27_text_langid" -> {
       val langs = Seq("en" -> 4, "de" -> 3, "fr" -> 2, "es" -> 1)
       val scores = langs.map { case (l, prio) =>

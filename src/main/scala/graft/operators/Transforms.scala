@@ -341,4 +341,95 @@ object Transforms {
         lit(0L), (acc, c) => acc + c),
       lit(n.toLong))
   }
+
+  // ------------------------------------------------------------- geometry
+
+  /** Convert a `STRUCT<wkb BINARY, srid INT>` geometry column (§1.4's
+    * `io.debezium.data.geometry.Geometry` mapping) between WKB and EWKB.
+    * Reference: `GeometryFormatTransformer.java:172-199` — WKB→EWKB
+    * splices the srid into the byte stream (failing when srid is null,
+    * `:183-186`); EWKB→WKB strips it. Unlike the reference (which
+    * toggles off the detected input format), `target` here is directed:
+    * payloads already in the target format pass through unchanged.
+    * Codegen'd byte-level expressions — no UDF, stays in whole-stage.
+    */
+  def geometryFormat(df: DataFrame, geomCol: String, target: String): DataFrame = {
+    import GeometryExprs._
+    val g = col(geomCol)
+    val converted = target match {
+      case "ewkb" =>
+        when(g.isNull, g.getField("wkb"))
+          .when(g.getField("srid").isNull && !wkb_is_extended(g.getField("wkb")),
+            raise_error(lit("Cannot convert to EWKB when SRID is null")))
+          .otherwise(wkb_to_ewkb(g.getField("wkb"), g.getField("srid")))
+      case "wkb" => ewkb_to_wkb(g.getField("wkb"))
+      case other => throw new IllegalArgumentException(s"target must be wkb|ewkb, got $other")
+    }
+    df.withColumn(geomCol, when(g.isNull, g)
+      .otherwise(struct(converted.as("wkb"), g.getField("srid").as("srid"))))
+  }
+
+  /** Swap x/y coordinates of geometries whose srid is in `srids`
+    * (EPSG↔GIS axis-order fix). Reference:
+    * `SwapGeometryCoordinates.java:120-135` — null srid passes through
+    * unchanged; default srid list 4326/3857/4269 (`:45`). The byte
+    * stream is rewritten in place shape-preservingly (same schema).
+    */
+  def swapGeometryCoordinates(
+      df: DataFrame,
+      geomCol: String,
+      srids: Seq[Int] = Seq(4326, 3857, 4269)): DataFrame = {
+    import GeometryExprs._
+    val g = col(geomCol)
+    val swapped = when(g.getField("srid").isin(srids.map(Integer.valueOf): _*),
+      wkb_swap_xy(g.getField("wkb"))).otherwise(g.getField("wkb"))
+    df.withColumn(geomCol, when(g.isNull, g)
+      .otherwise(struct(swapped.as("wkb"), g.getField("srid").as("srid"))))
+  }
+
+  // ----------------------------------------------------------- timescaledb
+
+  /** TimescaleDb SMT: map physical chunk tables
+    * (`_timescaledb_internal._hyper_<H>_<N>_chunk`) back to their logical
+    * hypertable — or, for materialized continuous aggregates, to the
+    * aggregate — rewriting `source.schema`/`source.table`, computing the
+    * routed topic `prefix.schema.table`, and keeping the original chunk
+    * identity as header columns. Reference:
+    * `debezium-connector-postgres/.../transforms/timescaledb/TimescaleDb.java:68-136`
+    * (catalog lookups `:93-106`, topic `:124-126`, headers `:128-136`).
+    * The reference queries the information schema per record; here the
+    * catalog is a small DataFrame broadcast-joined once per batch — the
+    * Spark-shaped equivalent of its metadata cache.
+    *
+    * `catalog` schema: hypertable_id INT, hyper_schema, hyper_table,
+    * agg_schema, agg_table (nullable strings).
+    */
+  def timescaleDb(
+      df: DataFrame,
+      catalog: DataFrame,
+      topicPrefix: String,
+      schemaCol: Column = col("source.schema"),
+      tableCol: Column = col("source.table"),
+      internalSchema: String = "_timescaledb_internal"): DataFrame = {
+    val hyperId = regexp_extract(tableCol, "^_hyper_(\\d+)_\\d+_chunk$", 1)
+    val keyed = df
+      .withColumn("__ts_chunk_schema", schemaCol)
+      .withColumn("__ts_chunk_table", tableCol)
+      .withColumn("__hyper_id",
+        when(schemaCol === internalSchema && hyperId =!= "", hyperId.cast("int")))
+    val joined = keyed.join(broadcast(catalog), keyed("__hyper_id") === catalog("hypertable_id"), "left")
+    val outSchema = coalesce(col("agg_schema"), col("hyper_schema"), col("__ts_chunk_schema"))
+    val outTable = coalesce(col("agg_table"), col("hyper_table"), col("__ts_chunk_table"))
+    joined
+      .withColumn("__ts_hypertable_schema",
+        when(col("agg_schema").isNotNull, col("hyper_schema")))
+      .withColumn("__ts_hypertable_table",
+        when(col("agg_table").isNotNull, col("hyper_table")))
+      .withColumn("__topic",
+        when(col("hyper_table").isNotNull,
+          concat_ws(".", lit(topicPrefix), outSchema, outTable)))
+      .withColumn("__ts_schema", outSchema)
+      .withColumn("__ts_table", outTable)
+      .drop("hypertable_id", "hyper_schema", "hyper_table", "agg_schema", "agg_table", "__hyper_id")
+  }
 }
