@@ -281,6 +281,21 @@ class LakeTableSpec extends SparkSpec {
     assert(out.length === (stateRows + (("repo0", "p0.txt"))).size, "full-outer key coverage")
   }
 
+  test("bucketed-state registration is reused for repeated reads of one commit") {
+    val log = randomLog(5, 200)
+    val table = new LakeTable(tmp(), numBuckets = 4)
+    CdcPipeline.replay(spark, log.toDF(), table, numBatches = 2)
+    val ci = table.lastCommit().get
+    val before = table.registrations
+    val rows1 = table.bucketedState(spark, ci, None, ci.schema).get.count()
+    val rows2 = table.bucketedState(spark, ci, None, ci.schema).get.count()
+    assert(rows1 === rows2)
+    assert(table.registrations === before + 1, "second read of the same version must reuse the entry")
+    // a different bucket selection or a new commit invalidates the cache
+    table.bucketedState(spark, ci, Some(Set(0, 1)), ci.schema).foreach(_.count())
+    assert(table.registrations === before + 2)
+  }
+
   test("merge-on-read: append-only apply converges (incl. truncate), fences hold, compaction collapses") {
     val log = randomLog(12, 400, withTruncate = true)
     val table = new LakeTable(tmp(), numBuckets = 8, mergeOnRead = true)
