@@ -23,6 +23,19 @@ import graft.core.RepoEvent
   */
 object StreamingLww {
 
+  /** Session confs for the RocksDB state-store provider — the deployment
+    * knob once live-key cardinality outgrows the default HDFS-backed
+    * (executor-heap) store, ~10^8+ keys at the north-rule scale. Changelog
+    * checkpointing ships per-batch deltas instead of full SST snapshots,
+    * keeping commit cost O(changed keys). Set these on the SparkSession
+    * BEFORE starting the query; the provider is fixed per checkpoint
+    * location for the query's lifetime.
+    */
+  val RocksDbStateStoreConf: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+
   private def pos(e: RepoEvent): (String, Long) = (e.commit, e.lsn)
 
   /** Update-mode winners stream: one output row per key per microbatch in

@@ -37,4 +37,45 @@ class StreamingLwwSpec extends SparkSpec {
       assert(latest === Map(("r1", "a") -> 5L, ("r1", "b") -> 7L))
     } finally q.stop()
   }
+
+  test("RocksDB state store provider: same winners semantics, state survives a checkpoint restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rocksdb-ckpt").toString
+    val prev = StreamingLww.RocksDbStateStoreConf.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    StreamingLww.RocksDbStateStoreConf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val in = MemoryStream[RepoEvent]
+      // The memory sink cannot recover from a checkpoint; foreachBatch can.
+      val emitted = new java.util.concurrent.ConcurrentLinkedQueue[RepoEvent]
+      def start() = StreamingLww.winners(in.toDS())
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[RepoEvent], _: Long) =>
+          batch.collect().foreach(emitted.add)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update()).start()
+
+      val q1 = start()
+      in.addData(ev(("r1", "a"), 1, "c"), ev(("r1", "a"), 5, "u"), ev(("r1", "b"), 2, "c"))
+      q1.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(emitted.asScala.map(e => (e.repo, e.path) -> e.lsn).toMap ===
+        Map(("r1", "a") -> 5L, ("r1", "b") -> 2L))
+      q1.stop()
+
+      // Restart from the checkpoint: the RocksDB store must restore
+      // (r1,a)->5, so the stale lsn=3 event cannot regress the winner.
+      val q2 = start()
+      in.addData(ev(("r1", "a"), 3, "u"), ev(("r1", "b"), 7, "u"))
+      q2.processAllAvailable()
+      val latest = emitted.asScala.toSeq.groupBy(e => (e.repo, e.path))
+        .view.mapValues(_.maxBy(_.lsn).lsn).toMap
+      assert(latest === Map(("r1", "a") -> 5L, ("r1", "b") -> 7L))
+      q2.stop()
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
