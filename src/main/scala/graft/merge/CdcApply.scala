@@ -254,7 +254,7 @@ object CdcApply {
             else alignedFenced
           val batchW = Lww.reducePartitioned(pre, table.keyCols, table.numBuckets)
           fastState match {
-            case Some(st) => Lww.mergeCoPartitioned(st, batchW, table.keyCols)
+            case Some(st) => Lww.mergeCoPartitioned(st, batchW, table.keyCols, smj = table.sortedBuckets)
             case None     => batchW.withColumn("__src", lit(1))
           }
         } else {

@@ -90,21 +90,29 @@ object Lww {
     * output; batchWinners is a completed LWW reduce). The batch wins ties
     * (a tie is an exact duplicate replay, so either row is identical).
     *
-    * The SHUFFLE_HASH hint keeps the big state side unsorted (hash-join
-    * with the small batch as build side) instead of SMJ sorting millions
-    * of state rows per bucket every microbatch.
+    * Join strategy per the table's physical layout:
+    *  - default (`smj = false`): SHUFFLE_HASH — keeps the big state side
+    *    unsorted (hash-join with the small batch as build side) instead of
+    *    SMJ sorting millions of state rows per bucket every microbatch;
+    *  - `smj = true` (sorted-bucket tables): SORT-MERGE — the state scan
+    *    already reports per-bucket key ordering (files written sorted,
+    *    ≤1 file per bucket), so the SMJ plans NO state-side sort and only
+    *    sorts the small batch side. Trades the SHJ build's O(batch
+    *    winners/partition) memory for streaming merge — the escape valve
+    *    when executor memory pressure shows up at scale (SURVEY §9 item 3).
     */
   def mergeCoPartitioned(
       state: DataFrame,
       batchWinners: DataFrame,
-      keyCols: Seq[String] = Envelope.keyCols): DataFrame = {
+      keyCols: Seq[String] = Envelope.keyCols,
+      smj: Boolean = false): DataFrame = {
     val fields = state.columns.toSeq
     require(fields == batchWinners.columns.toSeq,
       s"state/batch schemas must align: $fields vs ${batchWinners.columns.toSeq}")
     val s = state.alias("s")
     val b = batchWinners.alias("b")
     val cond = keyCols.map(k => col(s"s.$k") === col(s"b.$k")).reduce(_ && _)
-    val joined = s.join(b.hint("shuffle_hash"), cond, "full_outer")
+    val joined = s.join(b.hint(if (smj) "merge" else "shuffle_hash"), cond, "full_outer")
     val batchWins = col(s"b.${keyCols.head}").isNotNull &&
       (col(s"s.${keyCols.head}").isNull ||
         struct(col("b.commit"), col("b.lsn")) >= struct(col("s.commit"), col("s.lsn")))

@@ -72,7 +72,11 @@ final class LakeTable(
     val root: String,
     val numBuckets: Int = 32,
     val keyCols: Seq[String] = Envelope.keyCols,
-    val mergeOnRead: Boolean = false) {
+    val mergeOnRead: Boolean = false,
+    val sortedBuckets: Boolean = false) {
+  require(!(sortedBuckets && mergeOnRead),
+    "sortedBuckets needs the ≤1-file-per-bucket CoW invariant (Spark only " +
+      "reports bucket sort order for single-file buckets); merge-on-read stacks files")
   private def commitsDir: Path = Paths.get(root, "_commits")
 
   /** Bucket assignment — a pure function of the key, never stored.
@@ -300,10 +304,24 @@ final class LakeTable(
     gcBucketedDirs(keepFrom = ci.version)
 
     spark.sql(s"DROP TABLE IF EXISTS $catalogName")
+    // SORTED BY: with sortedBuckets, stage() wrote every bucket file sorted
+    // by the key, and CoW keeps ≤1 file per bucket, so the scan also
+    // reports per-bucket outputOrdering — an SMJ against it needs neither
+    // an exchange NOR a sort on the state side (SURVEY §9 item 3: trades
+    // the SHJ hash-build memory for a one-time sort at write). Scan-side
+    // ordering is gated behind a conf (off by default since SPARK-28632
+    // because it costs a files-per-bucket check at planning); Spark still
+    // independently verifies exactly-one-file-per-bucket before trusting
+    // the order, so enabling it is safe — and free for non-sorted tables.
+    val sortedClause =
+      if (sortedBuckets) {
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        s"SORTED BY (${keyCols.map(k => s"`$k`").mkString(", ")}) "
+      } else ""
     spark.sql(
       s"""CREATE TABLE $catalogName (${StructType(readSchema.fields.map(_.copy(nullable = true))).toDDL})
          |USING parquet
-         |CLUSTERED BY (${keyCols.map(k => s"`$k`").mkString(", ")}) INTO $numBuckets BUCKETS
+         |CLUSTERED BY (${keyCols.map(k => s"`$k`").mkString(", ")}) ${sortedClause}INTO $numBuckets BUCKETS
          |LOCATION '${dir.toAbsolutePath}'""".stripMargin)
     registrations += 1
     registeredState = Some(cacheKey)
@@ -381,7 +399,13 @@ final class LakeTable(
   def stage(df: DataFrame, batchId: Long, schemaIdx: Int, attempt: Long = 0L): Seq[FileEntry] = {
     val dir = f"data/b$batchId%06d-a$attempt"
     val abs = s"$root/$dir"
-    df.write.mode("overwrite").parquet(abs)
+    // sortedBuckets: each bucket file is written key-sorted (a narrow
+    // per-partition sort — the bucket layout is untouched) so the bucketed
+    // scan can declare SORTED BY. When the input is already key-ordered
+    // (e.g. the output of a sort-merge join), Catalyst's EliminateSorts
+    // drops this node.
+    val out = if (sortedBuckets) df.sortWithinPartitions(keyCols.map(col): _*) else df
+    out.write.mode("overwrite").parquet(abs)
     val part = "part-(\\d{5})".r
     Files.list(Paths.get(abs)).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))

@@ -281,6 +281,30 @@ class LakeTableSpec extends SparkSpec {
     assert(out.length === (stateRows + (("repo0", "p0.txt"))).size, "full-outer key coverage")
   }
 
+  test("sorted buckets: SMJ merge converges, state side plans neither exchange nor sort") {
+    val log = randomLog(21, 300)
+    val table = new LakeTable(tmp(), numBuckets = 8, sortedBuckets = true)
+    CdcPipeline.replay(spark, log.toDF(), table, numBatches = 3)
+    assert(tableState(table) === foldOracle(log), "sorted-bucket table converges to the fold oracle")
+
+    val ci = table.lastCommit().get
+    val state = table.bucketedState(spark, ci, None, ci.schema).get
+    val upd = FlatEvent.mk(("repo0", "p0.txt"), 999, "u")
+    val batchW = graft.operators.Lww.reducePartitioned(
+      graft.table.SchemaEvolution.align(Seq(upd).toDF(), ci.schema), numPartitions = 8)
+    val merged = graft.operators.Lww.mergeCoPartitioned(state, batchW, smj = true)
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"sorted-bucket merge must plan SMJ:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"state scan must report the bucket layout:\n$plan")
+    assert("Exchange".r.findAllMatchIn(plan).size === 1,
+      s"exactly one exchange — the batch reduce; state must not re-shuffle:\n$plan")
+    assert("(?m)^\\s*[+:]?-? ?\\*?\\(?\\d*\\)? ?Sort ".r.findAllMatchIn(plan).size === 1,
+      s"exactly one Sort — the batch side; the sorted bucket scan provides state ordering:\n$plan")
+    val out = merged.collect()
+    val byKey = out.map(r => (r.getAs[String]("repo"), r.getAs[String]("path")) -> r).toMap
+    assert(byKey(("repo0", "p0.txt")).getAs[Long]("lsn") === 999L, "batch winner applied")
+  }
+
   test("bucketed-state registration is reused for repeated reads of one commit") {
     val log = randomLog(5, 200)
     val table = new LakeTable(tmp(), numBuckets = 4)
