@@ -364,15 +364,18 @@ object Bench {
     // merge-on-read and legacy (union+reduce, state re-shuffled) A/B legs
     // when budget allows. Least marginal evidence (stable across runs), so
     // it runs last.
+    // Entry gate at 0.80: the fast leg alone takes ~12-16% of the default
+    // budget, so entering later than this overshoots the envelope (observed
+    // +18 s on a 1200 s run entering at 0.86).
     if (sys.env.getOrElse("SPARK_GRAFT_STATE_HEAVY", "1") == "1" &&
-      System.currentTimeMillis() < deadlineAt(0.90)) {
+      System.currentTimeMillis() < deadlineAt(0.80)) {
       val s = session(cpus, aqe = false, shufflePartitions = Some(NumBuckets))
       try {
         val (stateEv, batchEv, nb) = (baseEvents, baseEvents / 32, 6)
         val (_, thrFast, mbFast) = stateHeavy(s, stateEv, batchEv, nb, legacy = false)
         System.err.println(f"[bench] state-heavy fast: $thrFast%.0f ev/s, $mbFast%.1f MB shuffled")
         val thrMor =
-          if (System.currentTimeMillis() < deadlineAt(0.94)) {
+          if (System.currentTimeMillis() < deadlineAt(0.88)) {
             val (_, t, mb) = stateHeavy(s, stateEv, batchEv, nb, legacy = false, mor = true)
             System.err.println(f"[bench] state-heavy merge-on-read: $t%.0f ev/s, $mb%.1f MB shuffled")
             t
