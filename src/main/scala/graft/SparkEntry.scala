@@ -55,11 +55,13 @@ object SparkEntry {
     }),
     // Merge-on-read replay: apply appends only per-batch winner files
     // (zero state scan); the snapshot read resolves LWW across each
-    // bucket's file stack. Same oracle as q03/q04 — both table modes
-    // converge to the declarative fold.
+    // bucket's file stack, and depth-triggered partial compaction
+    // (autoCompactDepth) rewrites any bucket whose stack outgrows 3 files
+    // between batches. Same oracle as q03/q04 — both table modes converge
+    // to the declarative fold, with or without mid-replay compactions.
     "q45_cdc_mor_replay" -> ((s, dir) => {
       val root = java.nio.file.Files.createTempDirectory("graft-mor").toString
-      val table = new LakeTable(root, numBuckets = 16, mergeOnRead = true)
+      val table = new LakeTable(root, numBuckets = 16, mergeOnRead = true, autoCompactDepth = 3)
       CdcPipeline.replay(s, ChangeLog.flat(s, dir), table, numBatches = 6, salt = 4)
       withSha(table.snapshot(s).get)
     }),

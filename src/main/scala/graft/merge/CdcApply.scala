@@ -285,6 +285,12 @@ object CdcApply {
       table.commit(CommitInfo(version, commitBatchId, newWm, newFence, schemas, schemaIdx,
         untouchedFiles ++ staged), prev = last)
 
+      // Between-batch maintenance (single-writer slot): depth-triggered
+      // partial compaction keeps MoR read fan-in bounded by rewriting only
+      // the buckets whose stack outgrew autoCompactDepth.
+      if (table.autoCompactDepth > 0)
+        table.compactDeepBuckets(spark, table.autoCompactDepth)
+
       var winnersCount = -1L
       if (writeMetrics) {
         // Job 3: applied batch winners per source partition, off the cached

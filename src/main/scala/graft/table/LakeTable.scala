@@ -73,7 +73,8 @@ final class LakeTable(
     val numBuckets: Int = 32,
     val keyCols: Seq[String] = Envelope.keyCols,
     val mergeOnRead: Boolean = false,
-    val sortedBuckets: Boolean = false) {
+    val sortedBuckets: Boolean = false,
+    val autoCompactDepth: Int = 0) {
   require(!(sortedBuckets && mergeOnRead),
     "sortedBuckets needs the ≤1-file-per-bucket CoW invariant (Spark only " +
       "reports bucket sort order for single-file buckets); merge-on-read stacks files")
@@ -367,18 +368,59 @@ final class LakeTable(
     * repartition-by-key rewrite applies.
     */
   def compact(spark: SparkSession, tombstoneRetention: Option[LogPos] = None): Option[CommitInfo] =
+    compactBuckets(spark, (0 until numBuckets).toSet, tombstoneRetention)
+
+  /** Files per bucket in a commit — the MoR stack depth a reader must
+    * LWW-reduce across (driver-side manifest fold, no data touched).
+    */
+  def stackDepths(ci: CommitInfo): Map[Int, Int] =
+    ci.files.groupBy(_.bucket).view.mapValues(_.size).toMap
+
+  /** PARTIAL compaction (Iceberg rewrite-data-files-with-filter analog):
+    * rewrite only `buckets`, carrying every other bucket's manifest
+    * entries over untouched. The rewrite resolves LWW across each
+    * selected bucket's file stack and lands one file per bucket at the
+    * current table schema; tombstones at-or-below `tombstoneRetention`
+    * are dropped in the REWRITTEN buckets only. At 100 TB this is the
+    * difference between a maintenance pass sized to the hot buckets and
+    * one sized to the table.
+    */
+  def compactBuckets(
+      spark: SparkSession,
+      buckets: Set[Int],
+      tombstoneRetention: Option[LogPos] = None): Option[CommitInfo] =
     lastCommit().flatMap { ci =>
-      resolved(spark, ci, None).map { df =>
+      resolved(spark, ci, Some(buckets).filter(_.size < numBuckets)).map { df =>
         val pruned = tombstoneRetention.fold(df) { p =>
           df.where(col("op") =!= Envelope.OpDelete ||
             struct(col("commit"), col("lsn")) > struct(lit(p.commit), lit(p.lsn)))
         }
         val laid = pruned.repartition(numBuckets, keyCols.map(col): _*)
         val staged = stage(laid, ci.batchId, ci.schemaIdx, attempt = ci.version + 1)
-        val next = ci.copy(version = ci.version + 1, files = staged)
+        val untouched = ci.files.filterNot(f => buckets.contains(f.bucket))
+        val next = ci.copy(version = ci.version + 1, files = untouched ++ staged)
         commit(next, prev = Some(ci))
         next
       }
+    }
+
+  /** Depth-TRIGGERED stack maintenance (SURVEY §9 round-3 item): compact
+    * only the buckets whose file stack exceeds `maxDepth`, bounding the
+    * read-side LWW fan-in of a merge-on-read table while rewriting the
+    * minimum set of buckets. No-op (None) when every stack is shallow.
+    * Scheduling: the single-writer invariant (one commit log) means
+    * maintenance serializes with applies — [[graft.merge.CdcApply]] runs
+    * it between microbatches when [[autoCompactDepth]] > 0, which on a
+    * cluster is exactly where Structured Streaming foreachBatch puts
+    * table maintenance.
+    */
+  def compactDeepBuckets(
+      spark: SparkSession,
+      maxDepth: Int,
+      tombstoneRetention: Option[LogPos] = None): Option[CommitInfo] =
+    lastCommit().flatMap { ci =>
+      val deep = stackDepths(ci).collect { case (b, d) if d > maxDepth => b }.toSet
+      if (deep.isEmpty) None else compactBuckets(spark, deep, tombstoneRetention)
     }
 
   /** Stage a DataFrame under data/, returning the manifest entries.

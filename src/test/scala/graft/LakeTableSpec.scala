@@ -340,6 +340,46 @@ class LakeTableSpec extends SparkSpec {
     assert(tableState(table) === before)
   }
 
+  test("depth-triggered partial compaction: only deep buckets rewritten, state preserved") {
+    val log = randomLog(17, 500)
+    val table = new LakeTable(tmp(), numBuckets = 8, mergeOnRead = true)
+    CdcPipeline.replay(spark, log.toDF(), table, numBatches = 6, writeMetrics = false)
+    val before = table.lastCommit().get
+    val depths = table.stackDepths(before)
+    assert(depths.values.max > 3, "the replay must have grown stacks past the threshold")
+    val shallow = depths.collect { case (b, d) if d <= 3 => b }.toSet
+
+    val after = table.compactDeepBuckets(spark, maxDepth = 3).get
+    // deep buckets collapsed to one file each, at the head of the commit
+    assert(table.stackDepths(after).values.max <= 3)
+    table.stackDepths(after).foreach { case (b, d) =>
+      if (!shallow.contains(b)) assert(d === 1, s"compacted bucket $b must hold one file")
+    }
+    // shallow buckets' manifest entries are carried over UNTOUCHED
+    val beforeShallow = before.files.filter(f => shallow.contains(f.bucket)).toSet
+    val afterShallow = after.files.filter(f => shallow.contains(f.bucket)).toSet
+    assert(afterShallow === beforeShallow, "untouched buckets must keep their exact file entries")
+    assert(tableState(table) === foldOracle(log), "compaction must preserve the fold state")
+    // every stack already shallow → no-op
+    assert(table.compactDeepBuckets(spark, maxDepth = 3).isEmpty)
+  }
+
+  test("autoCompactDepth bounds MoR stacks during a replay and converges") {
+    val log = randomLog(18, 500, withTruncate = true)
+    val auto = new LakeTable(tmp(), numBuckets = 8, mergeOnRead = true, autoCompactDepth = 2)
+    CdcPipeline.replay(spark, log.toDF(), auto, numBatches = 8, writeMetrics = false)
+    assert(tableState(auto) === foldOracle(log), "auto-compacted MoR resolves to the fold oracle")
+    // after the post-batch maintenance slot, no stack exceeds depth+1
+    // (a batch appends one file before the trigger fires)
+    assert(table_maxDepth(auto) <= 3)
+    // replays stay fenced across the interleaved compaction commits
+    val r2 = CdcPipeline.replay(spark, log.toDF(), auto, numBatches = 8)
+    assert(r2.forall(x => !x.committed && x.reason == "batchId-fenced"))
+  }
+
+  private def table_maxDepth(t: LakeTable): Int =
+    t.stackDepths(t.lastCommit().get).values.max
+
   test("merge-on-read resolved read plans ZERO exchanges (bucketed scan satisfies the reduce)") {
     val log = randomLog(13, 200)
     val table = new LakeTable(tmp(), numBuckets = 8, mergeOnRead = true)
