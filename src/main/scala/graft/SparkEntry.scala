@@ -510,6 +510,21 @@ object SparkEntry {
       Multimodal.decode(Multimodal.mediaTable(s, dir)).toDF()
         .select(col("doc_id"), col("media_type"), col("byte_len"),
           col("payload_sha"), col("width"), col("height"), col("frames"))),
+
+    // §2.3 CRDT counters (io.debezium.crdt PNCounter): per-repo live-row
+    // PN counts over the change log — increments (c/r) and decrements (d)
+    // tracked apart, merged order-independently (a distributed aggregate
+    // IS the state-based CRDT merge).
+    "q59_crdt_pn_counter" -> ((s, dir) =>
+      operators.Crdt.pnCounts(ChangeLog.flat(s, dir), Seq("repo"),
+        operators.Crdt.opDelta())),
+    // §2.3 DeltaCounter: per-interval changes + running PN totals (the
+    // `getChanges()`/`get()` pair at each reset boundary); interval = lsn
+    // epochs of 500 — the periodic-reset cadence of the reference's
+    // StateBasedPNDeltaCounter metrics use.
+    "q60_crdt_delta_counter" -> ((s, dir) =>
+      operators.Crdt.deltaCounts(ChangeLog.flat(s, dir), Seq("repo"),
+        operators.Crdt.opDelta(), floor(col("lsn") / 500).cast("long"))),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1125,5 +1140,25 @@ object SparkEntry {
          |       CAST(64 + len % 320 AS INT) AS height,
          |       CAST(CASE WHEN doc_id % 3 = 2 THEN len % 30 + 1 ELSE 1 END AS INT) AS frames
          |FROM t""".stripMargin,
+    "q59_crdt_pn_counter" ->
+      s"""$cte
+         |SELECT repo,
+         |       CAST(sum(CASE WHEN op IN ('c','r') THEN 1 ELSE 0 END) AS BIGINT) AS increments,
+         |       CAST(sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS decrements,
+         |       CAST(sum(CASE WHEN op IN ('c','r') THEN 1 WHEN op = 'd' THEN -1 ELSE 0 END) AS BIGINT) AS "value"
+         |FROM ev GROUP BY repo""".stripMargin,
+    "q60_crdt_delta_counter" ->
+      s"""$cte
+         |, per AS (
+         |  SELECT repo, CAST(lsn // 500 AS BIGINT) AS "interval",
+         |         CAST(sum(CASE WHEN op IN ('c','r') THEN 1 ELSE 0 END) AS BIGINT) AS inc_delta,
+         |         CAST(sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS dec_delta
+         |  FROM ev GROUP BY 1, 2)
+         |SELECT repo, "interval", inc_delta, dec_delta,
+         |       inc_delta - dec_delta AS change,
+         |       CAST(sum(inc_delta) OVER w AS BIGINT) AS increments,
+         |       CAST(sum(dec_delta) OVER w AS BIGINT) AS decrements,
+         |       CAST(sum(inc_delta) OVER w - sum(dec_delta) OVER w AS BIGINT) AS "value"
+         |FROM per WINDOW w AS (PARTITION BY repo ORDER BY "interval" ROWS UNBOUNDED PRECEDING)""".stripMargin,
   )
 }

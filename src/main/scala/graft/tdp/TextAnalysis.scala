@@ -119,8 +119,17 @@ object TextAnalysis {
     * value as DuckDB's `list_reduce` (whose init is the first element),
     * because 0*31 + c0 = c0; every step applies the mod so both engines
     * stay in exact int64 range.
+    *
+    * Codegen'd streaming kernel ([[TextExprs.rolling_hash]]): one pass,
+    * O(1) memory — the declarative form below materialized an O(len)
+    * per-char array per row (round-1 verdict: heavy on MB-size docs).
     */
-  def rollingHash(text: Column): Column =
+  def rollingHash(text: Column): Column = TextExprs.rolling_hash(text)
+
+  /** The original declarative formulation — kept as the semantic oracle
+    * for the kernel (TdpSpec cross-checks them on the corpus).
+    */
+  def rollingHashDeclarative(text: Column): Column =
     aggregate(
       transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1))).cast("long")),
       lit(0L),
@@ -130,8 +139,17 @@ object TextAnalysis {
     * character k-grams — stable under local edits anywhere except the
     * minimizing window (a 1-window winnow; the full winnowing algorithm
     * keeps per-window minima, same primitive).
+    *
+    * Codegen'd streaming kernel ([[TextExprs.min_kgram_md5]]): reused
+    * digest + running minimum over UTF-8 byte windows — no per-window
+    * md5-hex-string array (O(len · 32) bytes per row in the declarative
+    * form below).
     */
   def minKgramFingerprint(text: Column, k: Int = 16): Column =
+    TextExprs.min_kgram_md5(text, lit(k))
+
+  /** Declarative twin of [[minKgramFingerprint]] (spec cross-check). */
+  def minKgramFingerprintDeclarative(text: Column, k: Int = 16): Column =
     array_min(transform(
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => md5(text.substr(i, lit(k)))))

@@ -166,6 +166,21 @@ class TdpSpec extends SparkSpec {
     assert(fp === expectedMin)
   }
 
+  test("fingerprint kernels match their declarative twins on the corpus (+ unicode, short, null)") {
+    val docs = Corpus.documents(spark, sf).select(col("text"))
+      .unionAll(Seq("héllo wörld ünïcode ☃ text", "short", "ab", "",
+        "日本語のテキストです。これは指紋のテストです。").toDF("text"))
+      .unionAll(Seq(Option.empty[String]).toDF("text"))
+    val mismatches = docs.select(
+      TextAnalysis.rollingHash(col("text")).as("k1"),
+      TextAnalysis.rollingHashDeclarative(col("text")).as("d1"),
+      TextAnalysis.minKgramFingerprint(col("text"), 16).as("k2"),
+      TextAnalysis.minKgramFingerprintDeclarative(col("text"), 16).as("d2"))
+      .where(!(col("k1") <=> col("d1")) || !(col("k2") <=> col("d2")))
+      .count()
+    assert(mismatches === 0L)
+  }
+
   test("IVF ANN: no self-pairs, k respected, planted scaled dups found, decent recall") {
     val emb = Corpus.embsWithDups(spark, sf)
     val q = emb.where(col("vec_id") < 10)
