@@ -305,6 +305,11 @@ object Bench {
         f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$replayJson$scalingJson$shJson,"budget_s":$budgetS,"elapsed_s":$elapsed%.1f,"status":"$status"}""")
     }
 
+    // Parse insurance: one JSON line before any work, so even a driver
+    // kill during the first (mandatory, deadline-exempt) headline rep
+    // leaves a parseable last line instead of round-1's `parsed: null`.
+    emit("started")
+
     // Stage 1: headline — the north-rule number at full parallelism.
     val headlineEv = baseEvents * 2
     val (hSec, hThr) = measuredReplay(headlineEv, cpus, reps, deadlineAt(0.25))

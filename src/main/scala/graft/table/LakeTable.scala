@@ -66,7 +66,9 @@ final case class CommitInfo(
   * Commit files are incremental manifests (delta + roll-up every
   * [[LakeTable.FullManifestEvery]]): driver metadata per commit is
   * O(touched buckets), not O(table files). At 100 TB raise `numBuckets` so
-  * one bucket ~ a few GB.
+  * one bucket ~ a few GB, and set `maxFileRows` so each bucket is a STACK
+  * of size-bounded files rather than one monolith (the read side — bucketed
+  * scan, MoR resolve, compaction — is multi-file-per-bucket native).
   */
 final class LakeTable(
     val root: String,
@@ -74,10 +76,14 @@ final class LakeTable(
     val keyCols: Seq[String] = Envelope.keyCols,
     val mergeOnRead: Boolean = false,
     val sortedBuckets: Boolean = false,
-    val autoCompactDepth: Int = 0) {
+    val autoCompactDepth: Int = 0,
+    val maxFileRows: Long = 0L) {
   require(!(sortedBuckets && mergeOnRead),
     "sortedBuckets needs the ≤1-file-per-bucket CoW invariant (Spark only " +
       "reports bucket sort order for single-file buckets); merge-on-read stacks files")
+  require(!(sortedBuckets && maxFileRows > 0),
+    "sortedBuckets needs the ≤1-file-per-bucket CoW invariant; " +
+      "maxFileRows splits a bucket write into size-bounded files")
   private def commitsDir: Path = Paths.get(root, "_commits")
 
   /** Bucket assignment — a pure function of the key, never stored.
@@ -447,7 +453,16 @@ final class LakeTable(
     // (e.g. the output of a sort-merge join), Catalyst's EliminateSorts
     // drops this node.
     val out = if (sortedBuckets) df.sortWithinPartitions(keyCols.map(col): _*) else df
-    out.write.mode("overwrite").parquet(abs)
+    // maxFileRows > 0: size-bounded files per bucket (SURVEY §9 round-3
+    // item — at 100 TB one bucket is many GB; one multi-GB parquet file
+    // per bucket makes every downstream task, retry, and compaction move
+    // that whole file). Spark splits a partition's write at the row bound
+    // into part-NNNNN-…-c000/c001/… files that all keep the partition
+    // index — so the partition-id==bucket contract, the manifest, and the
+    // bucketed-state registration (which already reads multi-file buckets
+    // for MoR stacks) are unchanged; there are just ≥1 entries per bucket.
+    val writer = if (maxFileRows > 0) out.write.option("maxRecordsPerFile", maxFileRows) else out.write
+    writer.mode("overwrite").parquet(abs)
     val part = "part-(\\d{5})".r
     Files.list(Paths.get(abs)).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))

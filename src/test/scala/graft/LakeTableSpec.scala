@@ -390,6 +390,36 @@ class LakeTableSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"the read-side LWW reduce must not shuffle:\n$plan")
   }
 
+  test("multi-file buckets: size-bounded files, state scan still bucketed, one exchange") {
+    // Wide key space (200 keys / 4 buckets ≈ 50 live rows per bucket) so
+    // the 10-row file bound actually splits each bucket's rewrite.
+    val rnd = new scala.util.Random(23)
+    val keys = for (r <- 0 until 10; p <- 0 until 20) yield (s"repo$r", s"p$p.txt")
+    val log = (1 to 400).map { i =>
+      FlatEvent.mk(keys(rnd.nextInt(keys.size)), i.toLong, Seq("c", "u", "r")(rnd.nextInt(3)))
+    }
+    val table = new LakeTable(tmp(), numBuckets = 4, maxFileRows = 10L)
+    CdcPipeline.replay(spark, log.toDF(), table, numBatches = 3, writeMetrics = false)
+    assert(tableState(table) === foldOracle(log), "split-file table converges to the fold oracle")
+
+    val ci = table.lastCommit().get
+    assert(ci.files.size > table.numBuckets, "buckets must have split into multiple files")
+    assert(ci.files.groupBy(_.bucket).values.exists(_.size > 1), "some bucket holds a file stack")
+    ci.files.foreach(f => assert(f.rows <= 10L, s"file ${f.path} exceeds maxFileRows: ${f.rows}"))
+
+    val state = table.bucketedState(spark, ci, None, ci.schema).get
+    val upd = FlatEvent.mk(("repo0", "p0.txt"), 999, "u")
+    val batchW = graft.operators.Lww.reducePartitioned(
+      graft.table.SchemaEvolution.align(Seq(upd).toDF(), ci.schema), numPartitions = 4)
+    val merged = graft.operators.Lww.mergeCoPartitioned(state, batchW)
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), s"multi-file state scan must report the bucket layout:\n$plan")
+    assert("Exchange".r.findAllMatchIn(plan).size === 1,
+      s"exactly one exchange — the batch reduce; multi-file state must not re-shuffle:\n$plan")
+    val byKey = merged.collect().map(r => (r.getAs[String]("repo"), r.getAs[String]("path")) -> r).toMap
+    assert(byKey(("repo0", "p0.txt")).getAs[Long]("lsn") === 999L, "batch winner applied")
+  }
+
   test("structured streaming with checkpoint: two waves + restart, exactly-once") {
     val inDir = tmp(); val ckpt = tmp()
     val table = new LakeTable(tmp(), numBuckets = 8)
