@@ -525,6 +525,27 @@ object SparkEntry {
     "q60_crdt_delta_counter" -> ((s, dir) =>
       operators.Crdt.deltaCounts(ChangeLog.flat(s, dir), Seq("repo"),
         operators.Crdt.opDelta(), floor(col("lsn") / 500).cast("long"))),
+
+    // §2.2 SchemaChangeEventFilter: the multi-table catalog's schema-change
+    // event feed, filtered by table exclude list (tableFilter — the same
+    // RelationalTableFilters semantics the reference SMT applies to the
+    // schema-change topic). Batch 1 adds a column, so each table logs its
+    // base schema and the widened one; the heads_rest rows are excluded.
+    "q61_smt_schema_change_filter" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-scf").toString
+      val reg = new merge.MultiTable.Registry(root, Seq(
+        merge.MultiTable.TableDef("files_en", Seq("repo", "path"), numBuckets = 8),
+        merge.MultiTable.TableDef("heads_rest", Seq("repo"), numBuckets = 4)))
+      val log = ChangeLog.base(s, dir)
+        .withColumn("route", when(col("lang") === "en", "files_en").otherwise("heads_rest"))
+      val mid = maxLsn(log) / 2
+      merge.MultiTable.applyBatch(s, reg, log.where(col("lsn") <= mid), "route", batchId = 0)
+      merge.MultiTable.applyBatch(s, reg,
+        log.where(col("lsn") > mid).withColumn("n_chars", length(col("content"))),
+        "route", batchId = 1)
+      Transforms.tableFilter(merge.MultiTable.schemaChangeEvents(s, reg),
+        exclude = Some("heads_.*"), tableCol = col("sink_table"))
+    }),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1160,5 +1181,22 @@ object SparkEntry {
          |       CAST(sum(dec_delta) OVER w AS BIGINT) AS decrements,
          |       CAST(sum(inc_delta) OVER w - sum(dec_delta) OVER w AS BIGINT) AS "value"
          |FROM per WINDOW w AS (PARTITION BY repo ORDER BY "interval" ROWS UNBOUNDED PRECEDING)""".stripMargin,
+    // Mirrors the engine: per-table version = commit ordinal over the
+    // batches that routed rows there; schema 0 has the 9 base envelope
+    // fields, batch 1 adds n_chars; exclude list drops heads_rest.
+    "q61_smt_schema_change_filter" ->
+      s"""$cte
+         |, routed AS (
+         |  SELECT CASE WHEN lang = 'en' THEN 'files_en' ELSE 'heads_rest' END AS sink_table,
+         |         CASE WHEN lsn <= (SELECT max(lsn) // 2 FROM ev0) THEN 0 ELSE 1 END AS batch_id
+         |  FROM ev0)
+         |, per AS (SELECT sink_table, batch_id FROM routed GROUP BY 1, 2)
+         |SELECT sink_table,
+         |       CAST(row_number() OVER (PARTITION BY sink_table ORDER BY batch_id) AS BIGINT) AS version,
+         |       CAST(batch_id AS BIGINT) AS batch_id,
+         |       CAST(batch_id AS INT) AS schema_idx,
+         |       CAST(9 + batch_id AS INT) AS n_fields
+         |FROM per
+         |WHERE NOT regexp_matches(sink_table, 'heads_.*')""".stripMargin,
   )
 }

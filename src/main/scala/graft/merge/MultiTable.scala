@@ -81,6 +81,25 @@ object MultiTable {
     } finally cached.unpersist()
   }
 
+  /** Schema-change events across the catalog: one row per commit that
+    * changed a table's schema, tagged with the table name — the
+    * schema-change-topic feed that `transforms/SchemaChangeEventFilter.java`
+    * filters (by table include/exclude lists; apply
+    * [[graft.operators.Transforms.tableFilter]] on `sink_table` for exactly
+    * those semantics). Driver-side manifest fold, like
+    * [[graft.table.LakeTable.schemaLog]] — schema history is metadata.
+    */
+  def schemaChangeEvents(spark: SparkSession, registry: Registry): DataFrame = {
+    import spark.implicits._
+    registry.defs.flatMap { d =>
+      val cs = registry(d.name).commits()
+      cs.zip(None +: cs.map(Some(_))).collect {
+        case (c, prev) if !prev.exists(_.schemaIdx == c.schemaIdx) =>
+          (d.name, c.version, c.batchId, c.schemaIdx, c.schema.fields.length)
+      }
+    }.toDF("sink_table", "version", "batch_id", "schema_idx", "n_fields")
+  }
+
   /** Union of all live table states, tagged with `sink_table`. Columns are
     * aligned by name across tables (schemas may have diverged).
     */

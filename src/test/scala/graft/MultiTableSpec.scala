@@ -69,5 +69,17 @@ class MultiTableSpec extends SparkSpec {
     assert(reg("a").lastCommit().get.schema.fieldNames.contains("stars"))
     assert(!reg("b").lastCommit().get.schema.fieldNames.contains("stars"),
       "empty slice must not leak the wider batch schema into table b")
+
+    // schema-change event feed: one row per schema transition per table;
+    // tableFilter applies the SchemaChangeEventFilter exclude semantics
+    val ev = MultiTable.schemaChangeEvents(spark, reg)
+      .orderBy("sink_table", "version").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(4)))
+    val nBase = Seq(FlatEvent.mk(("r1", "x"), 1, "c")).toDF().schema.fields.length
+    assert(ev.toSeq === Seq(("a", 1L, nBase), ("a", 2L, nBase + 1), ("b", 1L, nBase)))
+    val kept = graft.operators.Transforms.tableFilter(
+      MultiTable.schemaChangeEvents(spark, reg), exclude = Some("b"),
+      tableCol = col("sink_table")).select("sink_table").distinct().collect()
+    assert(kept.map(_.getString(0)).toSeq === Seq("a"))
   }
 }
