@@ -526,6 +526,18 @@ object SparkEntry {
       operators.Crdt.deltaCounts(ChangeLog.flat(s, dir), Seq("repo"),
         operators.Crdt.opDelta(), floor(col("lsn") / 500).cast("long"))),
 
+    // §2.4 bucket-layout evolution: replay into 8 buckets, rebucket to 32
+    // (the 100 TB maintenance op when the original count grew too small),
+    // state byte-identical after the layout change; the new layout is
+    // recorded in the commit log and adopted by LakeTable.open.
+    "q62_cdc_rebucket" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-rebucket").toString
+      val table = new LakeTable(root, numBuckets = 8)
+      CdcPipeline.replay(s, ChangeLog.flat(s, dir), table, numBatches = 4, salt = 4)
+      val next = table.rebucket(s, 32).get
+      withSha(graft.table.LakeTable.open(next.root).snapshot(s).get)
+    }),
+
     // §2.2 SchemaChangeEventFilter: the multi-table catalog's schema-change
     // event feed, filtered by table exclude list (tableFilter — the same
     // RelationalTableFilters semantics the reference SMT applies to the
@@ -710,6 +722,7 @@ object SparkEntry {
          |SELECT repo, path, commit, 'tombstone' AS op, lsn FROM ev WHERE op = 'd'""".stripMargin,
 
     "q16_cdc_compact" -> s"$cte\n$applyStateSql",
+    "q62_cdc_rebucket" -> s"$cte\n$applyStateSql",
     "q45_cdc_mor_replay" -> s"$cte\n$applyStateSql",
     "q17_smt_reselect" ->
       s"""$cte

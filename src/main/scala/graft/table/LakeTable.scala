@@ -25,7 +25,8 @@ final case class CommitInfo(
     fence: Option[LogPos],             // latest truncate position
     schemas: Seq[String],              // distinct StructType jsons, append-only
     schemaIdx: Int,                    // current table schema
-    files: Seq[FileEntry]) {
+    files: Seq[FileEntry],
+    numBuckets: Int = 0) {             // bucket layout at this commit (0 = pre-layout-tracking commit)
   def schema: StructType = DataType.fromJson(schemas(schemaIdx)).asInstanceOf[StructType]
 }
 
@@ -96,10 +97,25 @@ final class LakeTable(
     pmod(hash(keyCols.map(col): _*), lit(numBuckets))
 
   def lastCommit(): Option[CommitInfo] =
-    commitPaths().lastOption.map(materialize)
+    commitPaths().lastOption.map(materialize).map(validateLayout)
 
   /** All commits, oldest first — the table's history / schema log. */
-  def commits(): Seq[CommitInfo] = commitPaths().map(materialize)
+  def commits(): Seq[CommitInfo] = commitPaths().map(materialize).map(validateLayout)
+
+  /** Fail fast on a bucket-layout mismatch: `bucketCol` is a pure function
+    * of `numBuckets`, so an instance opened with the wrong count would
+    * silently route keys to the wrong buckets (wrong merges, wrong bucketed
+    * scan). The commit log records the layout ([[rebucket]] evolves it);
+    * use [[LakeTable.open]] to adopt whatever the table currently has.
+    */
+  private def validateLayout(ci: CommitInfo): CommitInfo = {
+    if (ci.numBuckets > 0 && ci.numBuckets != numBuckets)
+      throw new IllegalStateException(
+        s"bucket-layout mismatch: table at $root has numBuckets=${ci.numBuckets} " +
+          s"(commit v${ci.version}) but this instance was constructed with $numBuckets; " +
+          "re-open via LakeTable.open(root) after a rebucket")
+    ci
+  }
 
   private def commitPaths(): Seq[Path] = {
     if (!Files.isDirectory(commitsDir)) return Nil
@@ -124,7 +140,7 @@ final class LakeTable(
           val base = Option(resolved.get(d.base)).getOrElse(
             materialize(commitsDir.resolve(f"v${d.base}%020d.json")))
           val files = base.files.filterNot(f => d.removedPaths.contains(f.path)) ++ d.added
-          val ci = CommitInfo(d.version, d.batchId, d.watermark, d.fence, d.schemas, d.schemaIdx, files)
+          val ci = CommitInfo(d.version, d.batchId, d.watermark, d.fence, d.schemas, d.schemaIdx, files, d.numBuckets)
           resolved.put(ci.version, ci); trimMemo(ci.version); ci
         }
     }
@@ -158,7 +174,10 @@ final class LakeTable(
     * resolution chain (Iceberg manifest-list analog). Keeps the driver's
     * per-batch commit cost flat as the table and the batch count grow.
     */
-  def commit(ci: CommitInfo, prev: Option[CommitInfo] = None): Unit = {
+  def commit(ci0: CommitInfo, prev: Option[CommitInfo] = None): Unit = {
+    // Stamp the bucket layout (callers construct CommitInfo without it;
+    // rebucket passes the NEW count explicitly).
+    val ci = if (ci0.numBuckets > 0) ci0 else ci0.copy(numBuckets = numBuckets)
     Files.createDirectories(commitsDir)
     val target = commitsDir.resolve(f"v${ci.version}%020d.json")
     val tmp = commitsDir.resolve(f".v${ci.version}%020d.json.tmp")
@@ -429,6 +448,32 @@ final class LakeTable(
       if (deep.isEmpty) None else compactBuckets(spark, deep, tombstoneRetention)
     }
 
+  /** Bucket-layout EVOLUTION (Iceberg `REPLACE PARTITION FIELD bucket(N,k)`
+    * analog): rewrite the whole table into `newNumBuckets` hash buckets and
+    * record the new layout in the commit — the 100 TB answer to "the
+    * original bucket count is now too small" (buckets should stay a few GB;
+    * a table that grew 100× needs more of them, not bigger ones). One
+    * repartition of the resolved state (the same single-shuffle shape as a
+    * full compaction), full manifest, exactly-once metadata carried over.
+    *
+    * Returns a NEW LakeTable bound to the new layout; THIS instance's
+    * `bucketCol` no longer matches the table, so its next read fails fast
+    * ([[validateLayout]]) instead of silently mis-bucketing. Single-writer:
+    * run it in the between-batch maintenance slot like compaction.
+    */
+  def rebucket(spark: SparkSession, newNumBuckets: Int): Option[LakeTable] =
+    lastCommit().flatMap { ci =>
+      resolved(spark, ci, None).map { df =>
+        val next = new LakeTable(root, newNumBuckets, keyCols, mergeOnRead,
+          sortedBuckets, autoCompactDepth, maxFileRows)
+        val laid = df.repartition(newNumBuckets, keyCols.map(col): _*)
+        val staged = next.stage(laid, ci.batchId, ci.schemaIdx, attempt = ci.version + 1)
+        next.commit(ci.copy(version = ci.version + 1, files = staged,
+          numBuckets = newNumBuckets))
+        next
+      }
+    }
+
   /** Stage a DataFrame under data/, returning the manifest entries.
     *
     * CONTRACT: the input must be laid out one-partition-per-bucket —
@@ -494,6 +539,31 @@ final class LakeTable(
 object LakeTable {
   private val mapper = new ObjectMapper()
 
+  /** Open an existing table, ADOPTING the bucket layout recorded in its
+    * commit log (safe across [[LakeTable.rebucket]] evolutions — a
+    * hardcoded count would fail validation after one).
+    */
+  def open(
+      root: String,
+      keyCols: Seq[String] = Envelope.keyCols,
+      mergeOnRead: Boolean = false,
+      sortedBuckets: Boolean = false,
+      autoCompactDepth: Int = 0,
+      maxFileRows: Long = 0L): LakeTable = {
+    val dir = Paths.get(root, "_commits")
+    require(Files.isDirectory(dir), s"no commit log at $root")
+    val last = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.matches("v\\d+\\.json"))
+      .toSeq.sortBy(_.getFileName.toString).lastOption
+      .getOrElse(throw new IllegalStateException(s"empty commit log at $root"))
+    val n = parse(Files.readString(last)) match {
+      case Right(full) => full.numBuckets
+      case Left(d)     => d.numBuckets
+    }
+    require(n > 0, s"commit log at $root predates bucket-layout tracking")
+    new LakeTable(root, n, keyCols, mergeOnRead, sortedBuckets, autoCompactDepth, maxFileRows)
+  }
+
   /** Full-manifest roll-up period: a commit whose version is a multiple of
     * this always stores the complete file list, bounding the delta chain a
     * reader must fold.
@@ -510,7 +580,8 @@ object LakeTable {
       schemaIdx: Int,
       base: Long,
       added: Seq[FileEntry],
-      removedPaths: Set[String])
+      removedPaths: Set[String],
+      numBuckets: Int = 0)
 
   /** Parse a commit file: Right = full manifest, Left = delta. */
   def parse(s: String): Either[DeltaCommit, CommitInfo] = {
@@ -536,6 +607,7 @@ object LakeTable {
     val ss = o.putArray("schemas")
     ci.schemas.foreach(ss.add)
     o.put("schemaIdx", ci.schemaIdx)
+    o.put("numBuckets", ci.numBuckets)
     val d = o.putObject("delta")
     d.put("base", prev.version)
     val fs = d.putArray("added")
@@ -568,7 +640,8 @@ object LakeTable {
         FileEntry(f.get("path").asText(), f.get("bucket").asInt(),
           f.get("schemaIdx").asInt(), f.get("rows").asLong())
       }.toSeq,
-      removedPaths = arr(d.get("removed")).map(_.asText()).toSet)
+      removedPaths = arr(d.get("removed")).map(_.asText()).toSet,
+      numBuckets = Option(o.get("numBuckets")).map(_.asInt()).getOrElse(0))
   }
 
   def toJson(ci: CommitInfo): String = {
@@ -585,6 +658,7 @@ object LakeTable {
     val ss = o.putArray("schemas")
     ci.schemas.foreach(ss.add)
     o.put("schemaIdx", ci.schemaIdx)
+    o.put("numBuckets", ci.numBuckets)
     val fs = o.putArray("files")
     ci.files.foreach { f =>
       val fo = fs.addObject()
@@ -611,6 +685,7 @@ object LakeTable {
       files = arr(o.get("files")).map { f =>
         FileEntry(f.get("path").asText(), f.get("bucket").asInt(),
           f.get("schemaIdx").asInt(), f.get("rows").asLong())
-      }.toSeq)
+      }.toSeq,
+      numBuckets = Option(o.get("numBuckets")).map(_.asInt()).getOrElse(0))
   }
 }

@@ -420,6 +420,30 @@ class LakeTableSpec extends SparkSpec {
     assert(byKey(("repo0", "p0.txt")).getAs[Long]("lsn") === 999L, "batch winner applied")
   }
 
+  test("bucket-layout evolution: rebucket preserves state, records layout, stale handles fail fast") {
+    val log = randomLog(29, 400)
+    val table = new LakeTable(tmp(), numBuckets = 4)
+    CdcPipeline.replay(spark, log.toDF(), table, numBatches = 3, writeMetrics = false)
+    val before = tableState(table)
+
+    val next = table.rebucket(spark, 16).get
+    assert(next.numBuckets === 16)
+    assert(tableState(next) === before, "rebucket must preserve the fold state")
+    val ci = next.lastCommit().get
+    assert(ci.numBuckets === 16, "commit must record the new layout")
+    assert(ci.files.map(_.bucket).max >= 4, "keys must spread into the widened bucket range")
+
+    // open() adopts the recorded layout; applies continue correctly
+    val opened = graft.table.LakeTable.open(next.root)
+    assert(opened.numBuckets === 16)
+    val extra = FlatEvent.mk(("repo0", "p0.txt"), 9999, "u")
+    CdcApply.applyBatch(spark, opened, Seq(extra).toDF(), batchId = 99, writeMetrics = false)
+    assert(tableState(opened) === before + ((("repo0", "p0.txt")) -> extra))
+
+    // the stale 4-bucket handle fails fast instead of silently mis-bucketing
+    intercept[IllegalStateException] { table.lastCommit() }
+  }
+
   test("structured streaming with checkpoint: two waves + restart, exactly-once") {
     val inDir = tmp(); val ckpt = tmp()
     val table = new LakeTable(tmp(), numBuckets = 8)
