@@ -489,6 +489,14 @@ object SparkEntry {
         col("doc_id"),
         TextAnalysis.rollingHash(col("text")).as("roll_hash"),
         TextAnalysis.minKgramFingerprint(col("text"), 16).as("min_kgram"))),
+    // FULL winnowing fingerprint set (MOSS): sorted distinct w-window
+    // minima over the k-gram md5 sequence; joined to one string for an
+    // engine-exact compare.
+    "q65_text_winnow" -> ((s, dir) =>
+      Corpus.documents(s, dir).select(
+        col("doc_id"),
+        size(TextAnalysis.winnowFingerprints(col("text"), 16, 8)).as("n_fps"),
+        array_join(TextAnalysis.winnowFingerprints(col("text"), 16, 8), "|").as("fps"))),
     // FieldToEmbedding SMT: append a deterministic hash-projection
     // embedding of the text field (fake model, real plumbing); output
     // quantized to 1e-6 for engine-exact comparison.
@@ -536,6 +544,24 @@ object SparkEntry {
       CdcPipeline.replay(s, ChangeLog.flat(s, dir), table, numBatches = 4, salt = 4)
       val next = table.rebucket(s, 32).get
       withSha(graft.table.LakeTable.open(next.root).snapshot(s).get)
+    }),
+
+    // §2.4 time travel: live rows as of commit version 2 of a 4-batch
+    // replay (every commit is a complete immutable manifest — VERSION AS OF
+    // is a manifest pick, not a reconstruction).
+    "q63_cdc_time_travel" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-tt").toString
+      val table = new LakeTable(root, numBuckets = 16)
+      CdcPipeline.replay(s, ChangeLog.flat(s, dir), table, numBatches = 4, salt = 4)
+      withSha(table.snapshotAt(s, 2L).get)
+    }),
+    // §2.4 point lookup: one key's live row via a driver-computed bucket —
+    // reads ONE bucket's files (O(1) fraction of the table at any scale).
+    "q64_cdc_point_lookup" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-lkp").toString
+      val table = new LakeTable(root, numBuckets = 16)
+      CdcPipeline.replay(s, ChangeLog.flat(s, dir), table, numBatches = 4, salt = 4)
+      withSha(table.lookup(s, Seq("repo01", "src/f1.txt")).get)
     }),
 
     // §2.2 SchemaChangeEventFilter: the multi-table catalog's schema-change
@@ -723,6 +749,21 @@ object SparkEntry {
 
     "q16_cdc_compact" -> s"$cte\n$applyStateSql",
     "q62_cdc_rebucket" -> s"$cte\n$applyStateSql",
+    // replay slices are lsn ranges of width (hi-lo)//4 + 1; version 2 holds
+    // the fold of the first two slices.
+    "q63_cdc_time_travel" ->
+      s"""$cte
+         |, cut AS (SELECT min(lsn) + 2 * ((max(lsn) - min(lsn)) // 4 + 1) AS c FROM ev)
+         |SELECT repo, path, commit, lang, content, sha256(content) AS content_sha FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |  FROM ev WHERE lsn < (SELECT c FROM cut)) t
+         |WHERE rn = 1 AND op <> 'd'""".stripMargin,
+    "q64_cdc_point_lookup" ->
+      s"""$cte
+         |SELECT repo, path, commit, lang, content, sha256(content) AS content_sha FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |  FROM ev WHERE repo = 'repo01' AND path = 'src/f1.txt') t
+         |WHERE rn = 1 AND op <> 'd'""".stripMargin,
     "q45_cdc_mor_replay" -> s"$cte\n$applyStateSql",
     "q17_smt_reselect" ->
       s"""$cte
@@ -1144,6 +1185,17 @@ object SparkEntry {
          |       list_aggregate([md5(substr(text, i, 16)) for i in generate_series(1, greatest(length(text) - 15, 1))],
          |                      'min') AS min_kgram
          |FROM documents""".stripMargin,
+    "q65_text_winnow" ->
+      s"""WITH grams AS (
+         |  SELECT doc_id,
+         |         [md5(substr(text, i, 16)) for i in generate_series(1, greatest(length(text) - 15, 1))] AS g
+         |  FROM documents)
+         |, mins AS (
+         |  SELECT doc_id,
+         |         list_sort(list_distinct(
+         |           [list_min(g[i:i+least(8, len(g))-1]) for i in generate_series(1, greatest(len(g) - 7, 1))])) AS fp
+         |  FROM grams)
+         |SELECT doc_id, CAST(len(fp) AS INT) AS n_fps, array_to_string(fp, '|') AS fps FROM mins""".stripMargin,
     "q41_field_to_embedding" ->
       """WITH raw AS (
         |  SELECT doc_id,

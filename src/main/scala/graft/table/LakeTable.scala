@@ -99,14 +99,19 @@ final class LakeTable(
   def lastCommit(): Option[CommitInfo] =
     commitPaths().lastOption.map(materialize).map(validateLayout)
 
-  /** All commits, oldest first — the table's history / schema log. */
-  def commits(): Seq[CommitInfo] = commitPaths().map(materialize).map(validateLayout)
+  /** All commits, oldest first — the table's history / schema log. NOT
+    * layout-validated: history may span a [[rebucket]] (time travel and the
+    * schema log read old layouts through the layout-independent aligned
+    * read; [[bucketedState]] refuses them itself).
+    */
+  def commits(): Seq[CommitInfo] = commitPaths().map(materialize)
 
-  /** Fail fast on a bucket-layout mismatch: `bucketCol` is a pure function
-    * of `numBuckets`, so an instance opened with the wrong count would
-    * silently route keys to the wrong buckets (wrong merges, wrong bucketed
-    * scan). The commit log records the layout ([[rebucket]] evolves it);
-    * use [[LakeTable.open]] to adopt whatever the table currently has.
+  /** Fail fast on a bucket-layout mismatch of the HEAD commit: `bucketCol`
+    * is a pure function of `numBuckets`, so an instance opened with the
+    * wrong count would silently route keys to the wrong buckets (wrong
+    * merges, wrong bucketed scan). The commit log records the layout
+    * ([[rebucket]] evolves it); use [[LakeTable.open]] to adopt whatever
+    * the table currently has.
     */
   private def validateLayout(ci: CommitInfo): CommitInfo = {
     if (ci.numBuckets > 0 && ci.numBuckets != numBuckets)
@@ -244,6 +249,49 @@ final class LakeTable(
     lastCommit().flatMap(ci => resolved(spark, ci, None))
       .map(_.where(col("op") =!= Envelope.OpDelete))
 
+  /** Time travel (Iceberg `VERSION AS OF` analog): live rows as of a past
+    * commit version. Free by construction — every commit is a complete,
+    * immutable manifest; data files are only removed by compaction GC, so
+    * any retained version resolves exactly like the head did.
+    */
+  def snapshotAt(spark: SparkSession, version: Long): Option[DataFrame] =
+    commits().find(_.version == version)
+      .flatMap(ci => resolved(spark, ci, None))
+      .map(_.where(col("op") =!= Envelope.OpDelete))
+
+  /** Point lookup: live row(s) for ONE key, reading only the key's bucket —
+    * O(table-size/numBuckets) data touched regardless of table size (the
+    * serving-path read; at 100 TB with buckets of a few GB this is one
+    * file-stack scan, not a table scan). The bucket is computed driver-side
+    * with the same Murmur3 pmod as [[bucketCol]]; within the bucket a
+    * key-equality filter (pushed to parquet) selects the row.
+    */
+  def lookup(spark: SparkSession, key: Seq[Any]): Option[DataFrame] = {
+    require(key.size == keyCols.size, s"key must match $keyCols")
+    val row = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+      key.map {
+        case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        case other     => other
+      })
+    val schema = StructType(keyCols.zip(key).map {
+      case (n, _: String) => StructField(n, StringType)
+      case (n, _: Int)    => StructField(n, IntegerType)
+      case (n, _: Long)   => StructField(n, LongType)
+      case (n, v)         => throw new IllegalArgumentException(s"unsupported key type for $n: $v")
+    })
+    // seed 42 = the `functions.hash` / HashPartitioning seed, so the
+    // driver-side bucket equals `bucketCol` exactly.
+    val hash = new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        org.apache.spark.sql.catalyst.expressions.BoundReference(i, f.dataType, nullable = false)
+      }.toIndexedSeq)
+    val bucket = java.lang.Math.floorMod(hash.eval(row).asInstanceOf[Int], numBuckets)
+    lastCommit()
+      .flatMap(ci => resolved(spark, ci, Some(Set(bucket))))
+      .map(_.where(keyCols.zip(key).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
+        .where(col("op") =!= Envelope.OpDelete))
+  }
+
   // ---------------------------------------------------------------------
   // Storage-partitioned state read (round-2 fix for VERDICT "What's wrong"
   // #3): expose the on-disk hash-bucket layout to Catalyst so the merge
@@ -299,6 +347,10 @@ final class LakeTable(
       ci: CommitInfo,
       buckets: Option[Set[Int]],
       readSchema: StructType): Option[DataFrame] = {
+    // A commit written under a DIFFERENT bucket layout (pre-rebucket
+    // history) cannot be registered against this instance's bucket count —
+    // the caller falls back to the layout-independent aligned read.
+    if (ci.numBuckets > 0 && ci.numBuckets != numBuckets) return None
     val wanted = ci.files.filter(f => buckets.forall(_.contains(f.bucket)))
     if (wanted.isEmpty) return None
     val compatible = wanted.map(_.schemaIdx).distinct.forall { idx =>

@@ -420,6 +420,64 @@ class LakeTableSpec extends SparkSpec {
     assert(byKey(("repo0", "p0.txt")).getAs[Long]("lsn") === 999L, "batch winner applied")
   }
 
+  test("time travel: snapshotAt(version) reproduces each historical state") {
+    val log = randomLog(31, 300)
+    val table = new LakeTable(tmp(), numBuckets = 8)
+    CdcPipeline.replay(spark, log.toDF(), table, numBatches = 3, writeMetrics = false)
+    val versions = table.commits().map(_.version)
+    assert(versions.size === 3)
+    // each version's state equals the fold of the log prefix applied by then
+    val bounds = log.map(_.lsn)
+    val (lo, hi) = (bounds.min, bounds.max)
+    val width = math.max(1L, (hi - lo) / 3 + 1)
+    versions.zipWithIndex.foreach { case (v, i) =>
+      val upTo = lo + (i + 1) * width
+      val expected = foldOracle(log.filter(_.lsn < upTo))
+      val got = table.snapshotAt(spark, v).map(_.as[FlatEvent].collect()).getOrElse(Array.empty)
+        .map(e => (e.repo, e.path) -> e).toMap
+      assert(got === expected, s"version $v must equal the fold of lsn < $upTo")
+    }
+    assert(table.snapshotAt(spark, 999).isEmpty, "unknown version yields None")
+  }
+
+  test("point lookup: driver-computed bucket matches the layout; only one bucket read") {
+    val log = randomLog(33, 300)
+    val table = new LakeTable(tmp(), numBuckets = 8)
+    CdcPipeline.replay(spark, log.toDF(), table, numBatches = 2, writeMetrics = false)
+    val oracle = foldOracle(log)
+    // every live key resolves via lookup to exactly its fold-oracle row
+    oracle.take(10).foreach { case ((r, p), e) =>
+      val rows = table.lookup(spark, Seq(r, p)).get.as[FlatEvent].collect()
+      assert(rows.toSeq === Seq(e), s"lookup($r,$p)")
+    }
+    // a deleted / absent key yields zero rows
+    val deleted = log.map(e => (e.repo, e.path)).distinct.filterNot(oracle.contains)
+    deleted.headOption.foreach { case (r, p) =>
+      assert(table.lookup(spark, Seq(r, p)).forall(_.count() === 0L))
+    }
+    // merge-on-read table: lookup resolves LWW across the bucket's stack
+    val mor = new LakeTable(tmp(), numBuckets = 8, mergeOnRead = true)
+    CdcPipeline.replay(spark, log.toDF(), mor, numBatches = 4, writeMetrics = false)
+    oracle.take(5).foreach { case ((r, p), e) =>
+      assert(mor.lookup(spark, Seq(r, p)).get.as[FlatEvent].collect().toSeq === Seq(e), s"MoR lookup($r,$p)")
+    }
+    // the driver-side bucket equals the engine's bucketCol for every key
+    val buckets = log.map(e => (e.repo, e.path)).distinct.toDF("repo", "path")
+      .withColumn("b", table.bucketCol).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Murmur3Hash}
+    import org.apache.spark.unsafe.types.UTF8String
+    buckets.foreach { case ((r, p), expected) =>
+      val h = new Murmur3Hash(Seq(
+        BoundReference(0, org.apache.spark.sql.types.StringType, nullable = false),
+        BoundReference(1, org.apache.spark.sql.types.StringType, nullable = false)))
+      val got = java.lang.Math.floorMod(
+        h.eval(InternalRow(UTF8String.fromString(r), UTF8String.fromString(p))).asInstanceOf[Int], 8)
+      assert(got === expected, s"driver bucket of ($r,$p)")
+    }
+  }
+
   test("bucket-layout evolution: rebucket preserves state, records layout, stale handles fail fast") {
     val log = randomLog(29, 400)
     val table = new LakeTable(tmp(), numBuckets = 4)
@@ -442,6 +500,13 @@ class LakeTableSpec extends SparkSpec {
 
     // the stale 4-bucket handle fails fast instead of silently mis-bucketing
     intercept[IllegalStateException] { table.lastCommit() }
+
+    // time travel ACROSS the layout boundary: the pre-rebucket version is
+    // still readable from the new handle (layout-independent aligned read)
+    val preVersion = ci.version - 1
+    val past = opened.snapshotAt(spark, preVersion).get.as[FlatEvent].collect()
+      .map(e => (e.repo, e.path) -> e).toMap
+    assert(past === before, "pre-rebucket version must read correctly after the layout change")
   }
 
   test("structured streaming with checkpoint: two waves + restart, exactly-once") {
