@@ -171,6 +171,62 @@ object Similarity {
       .collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
 
+  /** Partial-mean state for [[VecMeanAgg]]. */
+  final case class VecSum(sum: Seq[Double], n: Long)
+
+  /** Elementwise vector-mean aggregation function — the centroid-update
+    * step of a distributed Lloyd's iteration as a Spark `Aggregator`:
+    * per-task partial sums combine map-side, so the shuffle moves one
+    * (dims, count) pair per (task × list), never the vectors. The
+    * posexplode-and-regroup alternative would shuffle corpus × dims rows.
+    */
+  final class VecMeanAgg extends org.apache.spark.sql.expressions.Aggregator[Seq[Double], VecSum, Seq[Double]] {
+    override def zero: VecSum = VecSum(Nil, 0L)
+    override def reduce(b: VecSum, v: Seq[Double]): VecSum =
+      if (b.n == 0L) VecSum(v, 1L)
+      else VecSum(b.sum.zip(v).map { case (a, x) => a + x }, b.n + 1)
+    override def merge(a: VecSum, b: VecSum): VecSum =
+      if (a.n == 0L) b
+      else if (b.n == 0L) a
+      else VecSum(a.sum.zip(b.sum).map { case (x, y) => x + y }, a.n + b.n)
+    override def finish(r: VecSum): Seq[Double] = r.sum.map(_ / r.n)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[VecSum] =
+      org.apache.spark.sql.Encoders.product[VecSum]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Lloyd's-refined IVF centroids: start from the deterministic seeds
+    * ([[ivfCentroids]]) and iterate assign → mean. Each iteration is ONE
+    * map-side-combined aggregate over the corpus (the assignment is the
+    * same literal-centroid argmax the query path uses — no join, no corpus
+    * shuffle beyond nlist×tasks partial rows). Means are rounded to 1e-9 so
+    * the learned model is stable against float-summation order; an empty
+    * list keeps its previous centroid (standard k-means practice).
+    */
+  def ivfCentroidsKmeans(
+      corpus: DataFrame,
+      nlist: Int,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[(Long, Seq[Double])] = {
+    var cents = ivfCentroids(corpus, nlist, idCol, vecCol)
+    val vecs = corpus.select(transform(col(vecCol), x => x.cast("double")).as("v"))
+    val mean = udaf(new VecMeanAgg)
+    (0 until iters).foreach { _ =>
+      val means = vecs
+        .select(element_at(ivfProbes(col("v"), cents, 1), 1).as("list_id"), col("v"))
+        .groupBy("list_id").agg(mean(col("v")).as("m"))
+        .collect()
+        .map(r => r.getAs[Long]("list_id") -> r.getSeq[Double](r.fieldIndex("m")))
+        .toMap
+      cents = cents.map { case (cid, old) =>
+        cid -> means.get(cid).map(_.map(x => math.rint(x * 1e9) / 1e9)).getOrElse(old)
+      }
+    }
+    cents
+  }
+
   /** The `nprobe` centroid ids nearest (by cosine) to `vec`, nearest
     * first; deterministic tie-break on centroid id. `nprobe = 1` is the
     * inverted-list assignment.
@@ -208,8 +264,11 @@ object Similarity {
       nlist: Int = 8,
       nprobe: Int = 2,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val cents = ivfCentroids(corpus, nlist, idCol, vecCol)
+      vecCol: String = "embedding",
+      kmeansIters: Int = 0): DataFrame = {
+    val cents =
+      if (kmeansIters > 0) ivfCentroidsKmeans(corpus, nlist, kmeansIters, idCol, vecCol)
+      else ivfCentroids(corpus, nlist, idCol, vecCol)
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
       element_at(ivfProbes(col(vecCol), cents, 1), 1).as("list_id"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),

@@ -153,4 +153,31 @@ object TextAnalysis {
     array_min(transform(
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => md5(text.substr(i, lit(k)))))
+
+  /** FULL winnowing fingerprint set (Schleimer/Wilkerson/Aiken 2003, the
+    * MOSS primitive): the sorted distinct minima of every `w`-window over
+    * the k-gram md5 sequence. Guarantees of the scheme: any match of
+    * length ≥ w+k-1 between two documents shares at least one selected
+    * fingerprint, and no match shorter than k is detected. Codegen'd
+    * streaming kernel ([[TextExprs.winnow_fingerprints]]): monotonic-deque
+    * sliding minimum, O(len) total, no per-window arrays.
+    */
+  def winnowFingerprints(text: Column, k: Int = 16, w: Int = 8): Column =
+    TextExprs.winnow_fingerprints(text, lit(k), lit(w))
+
+  /** Declarative twin of [[winnowFingerprints]] (spec cross-check; the
+    * transform(slice(...)) form materializes O(len·w) work per row — the
+    * kernel is the scale path).
+    */
+  def winnowFingerprintsDeclarative(text: Column, k: Int = 16, w: Int = 8): Column = {
+    val grams = transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => md5(text.substr(i, lit(k))))
+    val mins = transform(
+      sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
+      i => array_min(slice(grams, i, least(lit(w), size(grams)))))
+    // null gate: greatest()/array_min skip SQL NULLs, so a null text would
+    // otherwise yield [null] instead of NULL (the kernel is null-intolerant)
+    when(text.isNotNull, array_sort(array_distinct(mins)))
+  }
 }

@@ -5,9 +5,9 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlShim
 import org.apache.spark.sql.GraftSqlShim.AbstractType
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Streaming document-fingerprint kernels (SURVEY §8.2) as static
@@ -45,16 +45,10 @@ object TextOps {
     acc
   }
 
-  /** Minimum md5 (lowercase hex) over all code-point k-gram windows.
-    * Works directly on the UTF-8 byte buffer: one pass marks the byte
-    * offset of each code point, then each window digests its byte range.
-    * Hex comparison == unsigned byte comparison, so the minimum is taken
-    * on the raw digests and hex-encoded once.
+  /** Byte offset of each code-point start (UTF-8 continuation bytes are
+    * 10xxxxxx), plus a sentinel end offset.
     */
-  def minKgramMd5(s: UTF8String, k: Int): UTF8String = {
-    val bytes = s.getBytes
-    // Byte offset of each code-point start (UTF-8 continuation bytes are
-    // 10xxxxxx), plus a sentinel end offset.
+  private def codePointOffsets(bytes: Array[Byte]): Array[Int] = {
     var n = 0
     var i = 0
     while (i < bytes.length) { if ((bytes(i) & 0xc0) != 0x80) n += 1; i += 1 }
@@ -66,21 +60,73 @@ object TextOps {
       i += 1
     }
     offs(n) = bytes.length
+    offs
+  }
 
+  /** md5 digests of all code-point k-gram windows (≥1: short strings hash
+    * whole), digested straight off the UTF-8 byte ranges with one reused
+    * MessageDigest.
+    */
+  private def kgramDigests(bytes: Array[Byte], k: Int): Array[Array[Byte]] = {
+    val offs = codePointOffsets(bytes)
+    val n = offs.length - 1
     val windows = math.max(n - k + 1, 1)
     val md = MessageDigest.getInstance("MD5")
-    var best: Array[Byte] = null
+    val grams = new Array[Array[Byte]](windows)
     var w = 0
     while (w < windows) {
       val from = offs(w)
       val until = offs(math.min(w + k, n))
       md.reset()
       md.update(bytes, from, until - from)
-      val d = md.digest()
-      if (best == null || unsignedLess(d, best)) best = d
+      grams(w) = md.digest()
+      w += 1
+    }
+    grams
+  }
+
+  /** Minimum md5 (lowercase hex) over all code-point k-gram windows.
+    * Hex comparison == unsigned byte comparison, so the minimum is taken
+    * on the raw digests and hex-encoded once.
+    */
+  def minKgramMd5(s: UTF8String, k: Int): UTF8String = {
+    val grams = kgramDigests(s.getBytes, k)
+    var best: Array[Byte] = null
+    var w = 0
+    while (w < grams.length) {
+      if (best == null || unsignedLess(grams(w), best)) best = grams(w)
       w += 1
     }
     UTF8String.fromString(hex(best))
+  }
+
+  /** FULL winnowing (the MOSS fingerprint primitive, Schleimer/Wilkerson/
+    * Aiken 2003): the distinct minima of every w-window over the k-gram
+    * digest sequence, sorted — the document's fingerprint SET, stable
+    * under local edits outside the minimizing windows. One streaming pass:
+    * a monotonic deque yields each window's minimum in O(1) amortized; no
+    * per-window array, no per-window re-scan. Returns sorted distinct hex
+    * digests (hex order == unsigned digest order).
+    */
+  def winnow(s: UTF8String, k: Int, w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val grams = kgramDigests(s.getBytes, k)
+    val windows = grams.length
+    val span = math.min(math.max(w, 1), windows) // short docs: one window over all
+    val selected = new java.util.TreeSet[String]()
+    val dq = new java.util.ArrayDeque[Int]()
+    var i = 0
+    while (i < windows) {
+      while (!dq.isEmpty && !unsignedLess(grams(dq.peekLast), grams(i))) dq.pollLast()
+      dq.addLast(i)
+      if (dq.peekFirst <= i - span) dq.pollFirst()
+      if (i >= span - 1) selected.add(hex(grams(dq.peekFirst)))
+      i += 1
+    }
+    val out = new Array[Any](selected.size)
+    val it = selected.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
@@ -132,9 +178,24 @@ object TextExprs {
       copy(left = l, right = r)
   }
 
+  case class Winnow(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with ExpectsInputTypes {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def inputTypes: Seq[AbstractType] = Seq(StringType, IntegerType, IntegerType)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(s: Any, k: Any, w: Any): Any =
+      TextOps.winnow(s.asInstanceOf[UTF8String], k.asInstanceOf[Int], w.asInstanceOf[Int])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b, c) => s"graft.tdp.TextOps.winnow($a, $b, $c)")
+    override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+  }
+
   private def c(e: Expression): Column = GraftSqlShim.column(e)
   private def x(col: Column): Expression = GraftSqlShim.expression(col)
 
   def rolling_hash(text: Column): Column = c(RollingHash(x(text)))
   def min_kgram_md5(text: Column, k: Column): Column = c(MinKgramMd5(x(text), x(k)))
+  def winnow_fingerprints(text: Column, k: Column, w: Column): Column =
+    c(Winnow(x(text), x(k), x(w)))
 }

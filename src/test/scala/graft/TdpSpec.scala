@@ -175,10 +175,31 @@ class TdpSpec extends SparkSpec {
       TextAnalysis.rollingHash(col("text")).as("k1"),
       TextAnalysis.rollingHashDeclarative(col("text")).as("d1"),
       TextAnalysis.minKgramFingerprint(col("text"), 16).as("k2"),
-      TextAnalysis.minKgramFingerprintDeclarative(col("text"), 16).as("d2"))
-      .where(!(col("k1") <=> col("d1")) || !(col("k2") <=> col("d2")))
+      TextAnalysis.minKgramFingerprintDeclarative(col("text"), 16).as("d2"),
+      TextAnalysis.winnowFingerprints(col("text"), 16, 8).as("k3"),
+      TextAnalysis.winnowFingerprintsDeclarative(col("text"), 16, 8).as("d3"))
+      .where(!(col("k1") <=> col("d1")) || !(col("k2") <=> col("d2")) ||
+        !(col("k3") <=> col("d3")))
       .count()
     assert(mismatches === 0L)
+  }
+
+  test("winnowing guarantee: a shared run of length >= w+k-1 shares a fingerprint") {
+    // Two documents with a long common substring embedded in different
+    // contexts must share at least one winnow-selected fingerprint.
+    val common = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val a = s"PREFIX AAA $common SUFFIX BBB"
+    val b = s"totally different opening text here $common and a different closing"
+    val fps = Seq(a, b).toDF("text")
+      .select(TextAnalysis.winnowFingerprints(col("text"), 16, 8).as("fp"))
+      .collect().map(_.getSeq[String](0).toSet)
+    assert(fps(0).intersect(fps(1)).nonEmpty, "documents sharing a long run must share a fingerprint")
+    // and two unrelated documents (no common 16-gram) share none
+    val unrelated = Seq("abcdefghijklmnopqrstuvwxyz 0123456789", "ZYXWVUTSRQPONMLKJIHGFEDCBA !@#$%^&*")
+      .toDF("text")
+      .select(TextAnalysis.winnowFingerprints(col("text"), 16, 8).as("fp"))
+      .collect().map(_.getSeq[String](0).toSet)
+    assert(unrelated(0).intersect(unrelated(1)).isEmpty)
   }
 
   test("IVF ANN: no self-pairs, k respected, planted scaled dups found, decent recall") {
@@ -194,6 +215,32 @@ class TdpSpec extends SparkSpec {
       col("nid") === col("qid") + 1000000L && col("cos") >= 0.9999).count()
     assert(found === plantedQs, s"found $found of $plantedQs scaled plants")
     // recall@5 vs the exact baseline with nprobe=2 of nlist=8
+    val bf = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val iv = ivf.select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(iv.intersect(bf).size >= bf.size * 3 / 10,
+      s"recall ${iv.intersect(bf).size}/${bf.size}")
+    ivf.unpersist()
+  }
+
+  test("IVF with Lloyd's refinement: deterministic, planted dups still found, recall holds") {
+    val emb = Corpus.embsWithDups(spark, sf)
+    val q = emb.where(col("vec_id") < 10)
+    // refined centroids are deterministic (rounded means, fixed seeds)
+    val c1 = Similarity.ivfCentroidsKmeans(emb, nlist = 8, iters = 2)
+    val c2 = Similarity.ivfCentroidsKmeans(emb, nlist = 8, iters = 2)
+    assert(c1 === c2, "k-means refinement must be deterministic")
+    assert(c1.map(_._1) === Similarity.ivfCentroids(emb, 8).map(_._1), "list ids stable")
+
+    val ivf = Similarity.ivfTopK(emb, q, k = 5, nlist = 8, nprobe = 2, kmeansIters = 2).cache()
+    assert(ivf.where(col("qid") === col("nid")).count() === 0)
+    assert(ivf.groupBy("qid").count().where(col("count") > 5).count() === 0)
+    // the ×1.01-scaled plant has cosine 1 with its original, so it lands in
+    // the same refined list — must be found
+    val plantedQs = q.where(col("vec_id") % 5 === 0).count()
+    val found = ivf.where(col("qid") % 5 === 0 &&
+      col("nid") === col("qid") + 1000000L && col("cos") >= 0.9999).count()
+    assert(found === plantedQs, s"found $found of $plantedQs scaled plants")
     val bf = Similarity.bruteForceTopK(emb, q, k = 5)
       .select("qid", "nid").as[(Long, Long)].collect().toSet
     val iv = ivf.select("qid", "nid").as[(Long, Long)].collect().toSet
