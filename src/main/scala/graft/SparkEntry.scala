@@ -497,6 +497,49 @@ object SparkEntry {
         col("doc_id"),
         size(TextAnalysis.winnowFingerprints(col("text"), 16, 8)).as("n_fps"),
         array_join(TextAnalysis.winnowFingerprints(col("text"), 16, 8), "|").as("fps"))),
+    // C4-style line-level cleaning (Raffel et al. 2020 §2.2): sentence-
+    // split the doc into lines, keep only terminal-punctuated lines with
+    // >= 3 words, rejoin.
+    "q66_text_c4_filter" -> ((s, dir) => {
+      // the word-soup corpus has no sentence punctuation — build a
+      // deterministic multi-line doc with varied line endings: kept
+      // (terminal punct + >=3 words), dropped (no punct), dropped (<3 words)
+      val lined = concat(
+        substring(col("text"), 1, 40), lit(".\n"),
+        substring(col("text"), 41, 30), lit("\n"),
+        substring(col("text"), 71, 40), lit("!\n"),
+        lit("tiny.\n"),
+        substring(col("text"), 111, 40), lit("?"))
+      Corpus.documents(s, dir).select(
+        col("doc_id"),
+        tdp.Cleaning.c4LineFilter(lined, minWords = 3).as("cleaned"),
+        size(split(tdp.Cleaning.c4LineFilter(lined, minWords = 3), "\n")).as("n_lines"))
+    }),
+    // PII / secret scrub: emails, URLs, long hex runs, long digit runs ->
+    // stable tags (deterministic plants appended so the op provably fires).
+    "q67_text_pii_scrub" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or "),
+        lit("https://ex.com/d/"), col("doc_id"),
+        lit(" key deadbeefcafebabe1234 acct 9876543210"))
+      Corpus.documents(s, dir).select(
+        col("doc_id"), tdp.Cleaning.scrubPii(planted).as("scrubbed"))
+    }),
+    // Gopher document-quality rules (Rae et al. 2021, table A1 shapes):
+    // independent per-rule flags + the composite keep verdict.
+    "q68_text_gopher" -> ((s, dir) => {
+      val flags = tdp.Cleaning.gopherFlags(col("text"), minWords = 10)
+      Corpus.documents(s, dir).select(
+        (col("doc_id") +: flags.map { case (n, c) => c.as(n) }) :+
+          tdp.Cleaning.gopherKeep(col("text"), minWords = 10).as("keep"): _*)
+    }),
+    // Gopher repetition rule: duplicate word-3-gram fraction per document
+    // (degenerate/boilerplate detector) + the keep verdict.
+    "q69_text_repetition" -> ((s, dir) =>
+      Corpus.documents(s, dir).select(
+        col("doc_id"),
+        tdp.Cleaning.dupNgramFraction(col("text"), 3).as("dup3_frac"),
+        tdp.Cleaning.repetitionOk(col("text"), 3).as("repetition_ok"))),
     // FieldToEmbedding SMT: append a deterministic hash-projection
     // embedding of the text field (fake model, real plumbing); output
     // quantized to 1e-6 for engine-exact comparison.
@@ -1196,6 +1239,71 @@ object SparkEntry {
          |           [list_min(g[i:i+least(8, len(g))-1]) for i in generate_series(1, greatest(len(g) - 7, 1))])) AS fp
          |  FROM grams)
          |SELECT doc_id, CAST(len(fp) AS INT) AS n_fps, array_to_string(fp, '|') AS fps FROM mins""".stripMargin,
+    "q66_text_c4_filter" ->
+      s"""WITH lined AS (
+         |  SELECT doc_id,
+         |         substr(text, 1, 40) || '.' || chr(10) ||
+         |         substr(text, 41, 30) || chr(10) ||
+         |         substr(text, 71, 40) || '!' || chr(10) ||
+         |         'tiny.' || chr(10) ||
+         |         substr(text, 111, 40) || '?' AS t
+         |  FROM documents)
+         |, kept AS (
+         |  SELECT doc_id,
+         |         coalesce(array_to_string([l for l in string_split(t, chr(10))
+         |                          if regexp_matches(l, '[.!?"'']\\s*$$')
+         |                          and len(string_split_regex(trim(l), '\\s+')) >= 3
+         |                          and trim(l) <> ''], chr(10)), '') AS cleaned
+         |  FROM lined)
+         |SELECT doc_id, cleaned,
+         |       CAST(len(string_split(cleaned, chr(10))) AS INT) AS n_lines
+         |FROM kept""".stripMargin,
+    "q67_text_pii_scrub" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or '
+         |              || 'https://ex.com/d/' || CAST(doc_id AS VARCHAR)
+         |              || ' key deadbeefcafebabe1234 acct 9876543210' AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |       regexp_replace(
+         |         regexp_replace(
+         |           regexp_replace(
+         |             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         |             'https?://[^\\s]+', '[URL]', 'g'),
+         |           '\\b[0-9a-fA-F]{16,}\\b', '[HEX]', 'g'),
+         |         '\\b[0-9]{9,}\\b', '[NUM]', 'g') AS scrubbed
+         |FROM planted""".stripMargin,
+    "q68_text_gopher" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, text,
+         |         string_split_regex(trim(text), '\\s+') AS ws,
+         |         string_split(text, chr(10)) AS lines,
+         |         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS nchars
+         |  FROM documents)
+         |, f AS (
+         |  SELECT doc_id,
+         |         (len(ws) >= 10 AND len(ws) <= 100000) AS word_count_ok,
+         |         (nchars / len(ws) >= 3.0 AND nchars / len(ws) <= 10.0) AS mean_word_len_ok,
+         |         (CAST(len([l for l in lines if regexp_matches(trim(l), '^[-*•]')]) AS DOUBLE) / len(lines) <= 0.3) AS bullet_ratio_ok,
+         |         (CAST(len([l for l in lines if regexp_matches(l, '(\\.\\.\\.|…)\\s*$$')]) AS DOUBLE) / len(lines) <= 0.3) AS ellipsis_ratio_ok,
+         |         (CAST(len([x for x in ws if regexp_matches(x, '[A-Za-z]')]) AS DOUBLE) / len(ws) >= 0.6) AS alpha_word_ratio_ok,
+         |         (CAST(length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS DOUBLE) / len(ws) <= 0.1) AS symbol_ratio_ok
+         |  FROM w)
+         |SELECT *,
+         |       (word_count_ok AND mean_word_len_ok AND bullet_ratio_ok AND ellipsis_ratio_ok
+         |        AND alpha_word_ratio_ok AND symbol_ratio_ok) AS keep
+         |FROM f""".stripMargin,
+    // 3-shingles in lock-step with the dedup oracles' `shingled` helper
+    "q69_text_repetition" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |         [array_to_string(words[i:i+2], ' ') for i in generate_series(1, greatest(len(words)-2, 1))] AS grams
+         |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words FROM documents))
+         |SELECT doc_id,
+         |       round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4) AS dup3_frac,
+         |       (round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4) <= 0.18) AS repetition_ok
+         |FROM g""".stripMargin,
     "q41_field_to_embedding" ->
       """WITH raw AS (
         |  SELECT doc_id,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.tdp.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.tdp.{Cleaning, Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators: dedup family, similarity search,
   * text analysis, multimodal plumbing. Uses the sf0.001 corpus with
@@ -221,6 +221,37 @@ class TdpSpec extends SparkSpec {
     assert(iv.intersect(bf).size >= bf.size * 3 / 10,
       s"recall ${iv.intersect(bf).size}/${bf.size}")
     ivf.unpersist()
+  }
+
+  test("cleaning suite: C4 line filter, PII scrub, Gopher rules behave on planted cases") {
+    // C4: keeps terminal-punctuated >=3-word lines, drops the rest
+    val c4 = Seq("Good sentence stays here.\nshort.\nno terminal punct line\nAnother keeper is this!")
+      .toDF("text").select(Cleaning.c4LineFilter(col("text"), 3).as("c")).head.getString(0)
+    assert(c4 === "Good sentence stays here.\nAnother keeper is this!")
+    // PII scrub: all four tags fire, ordinary words survive
+    val scrubbed = Seq("mail a.b@x.io see https://x.io/p?q=1 tok deadbeefcafebabe99 id 123456789 ok")
+      .toDF("text").select(Cleaning.scrubPii(col("text")).as("s")).head.getString(0)
+    assert(scrubbed === "mail [EMAIL] see [URL] tok [HEX] id [NUM] ok")
+    // Gopher: a clean paragraph keeps; a bullet list and a too-short doc drop
+    val docs = Seq(
+      "This paragraph has plenty of ordinary readable words and it keeps flowing nicely for a while longer today.",
+      "- one\n- two\n- three\n- four",
+      "too short").toDF("text")
+    val keeps = docs.select(Cleaning.gopherKeep(col("text"), minWords = 10).as("k"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(keeps === Seq(true, false, false))
+    // per-rule flags isolate the failure cause
+    val flags = docs.select(Cleaning.gopherFlags(col("text"), minWords = 10)
+      .map { case (n, c) => c.as(n) }: _*).collect()
+    assert(!flags(1).getAs[Boolean]("bullet_ratio_ok") || !flags(1).getAs[Boolean]("word_count_ok"))
+    assert(!flags(2).getAs[Boolean]("word_count_ok"))
+    // repetition: a degenerate doc scores high, clean prose near zero
+    val rep = Seq(
+      "spam spam spam spam spam spam spam spam spam spam",
+      "every word in this sentence differs from all the others completely")
+      .toDF("text").select(Cleaning.dupNgramFraction(col("text"), 3).as("f"))
+      .collect().map(_.getDouble(0))
+    assert(rep(0) > 0.8 && rep(1) === 0.0)
   }
 
   test("IVF with Lloyd's refinement: deterministic, planted dups still found, recall holds") {
