@@ -358,6 +358,11 @@ object Bench {
             case e: Throwable =>
               System.err.println(s"[bench] query $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
               -1.0
+          } finally {
+            // Some operators return persist()ed results (e.g. the dedup
+            // pair queries, cached for caller reuse); drop them between
+            // queries so the sweep's memory profile stays flat.
+            qSession.catalog.clearCache()
           }
         }
       queriesRes = queriesRes :+ (name -> v)

@@ -843,15 +843,15 @@ object SparkEntry {
     "q43_cdc_tx_events" ->
       s"""$cte
          |, base AS (SELECT lsn // 10 AS tx_id, repo AS coll, lsn FROM ev0)
-         |SELECT 'event' AS kind, tx_id, lsn,
+         |SELECT 'event' AS kind, CAST(1 AS INT) AS ord, tx_id, lsn,
          |       CAST(row_number() OVER (PARTITION BY tx_id ORDER BY lsn) AS BIGINT) AS total_order,
          |       CAST(row_number() OVER (PARTITION BY tx_id, coll ORDER BY lsn) AS BIGINT) AS data_collection_order,
          |       CAST(NULL AS BIGINT) AS event_count
          |FROM base
          |UNION ALL
-         |SELECT 'begin', tx_id, min(lsn), NULL, NULL, NULL FROM base GROUP BY tx_id
+         |SELECT 'begin', CAST(0 AS INT), tx_id, min(lsn), NULL, NULL, NULL FROM base GROUP BY tx_id
          |UNION ALL
-         |SELECT 'end', tx_id, max(lsn), NULL, NULL, count(*) FROM base GROUP BY tx_id""".stripMargin,
+         |SELECT 'end', CAST(2 AS INT), tx_id, max(lsn), NULL, NULL, count(*) FROM base GROUP BY tx_id""".stripMargin,
     "q44_cdc_readonly_incremental" ->
       s"""$cte
          |, b AS (SELECT min(lsn) - 1 AS lo0, max(lsn) AS mx,

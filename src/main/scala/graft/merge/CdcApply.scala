@@ -126,10 +126,12 @@ object CdcApply {
       val arrived = oldFence.fold(wmPred)(f => wmPred && posCol > posLit(f))
       val wellFormed = isWellFormed(table.keyCols)
       val freshPred = arrived && wellFormed
-      // Malformed rows can null out the fence predicates (null commit/lsn ⇒
-      // SQL NULL, not false) — the quarantine gate treats unknown-arrival
-      // malformed rows as arrived so they never vanish silently.
-      val quarantined = coalesce(arrived, lit(true)) && !wellFormed
+      // Malformed rows can null out BOTH predicates (null commit/lsn ⇒ the
+      // fences are SQL NULL; null op ⇒ isin() is SQL NULL) — the quarantine
+      // gate coalesces both so unknown-arrival / unknown-wellformedness
+      // rows are quarantined, never silently dropped while the watermark
+      // advances past them.
+      val quarantined = coalesce(arrived, lit(true)) && !coalesce(wellFormed, lit(false))
       // Message ('m') events are control-plane passthrough, not row state;
       // they advance offsets but never merge (Envelope.java:37-62).
       val isData = col("op") =!= Envelope.OpTruncate &&

@@ -303,9 +303,11 @@ object Transforms {
     * (`TransactionMonitor.dataEvent/transactionStartedEvent/
     * transactionEndedEvent`, `pipeline/txmetadata/TransactionMonitor.java:75-121`
     * — round 1 shipped only the batch summary; this is the interleaved
-    * stream shape). Consumers order by (lsn, kind): a BEGIN sorts at its
-    * transaction's first event position, the END at its last, with
-    * `event_count` on the END as in the reference.
+    * stream shape). Consumers order by (lsn, ord): `ord` ranks BEGIN(0) <
+    * event(1) < END(2), so at a shared lsn the BEGIN precedes the
+    * transaction's first event and the END follows its last — sorting by
+    * the kind STRING would malform the interleave ('end' < 'event'). The
+    * END carries `event_count` as in the reference.
     */
   def transactionEvents(df: DataFrame, txCol: Column, collectionCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -314,15 +316,15 @@ object Transforms {
     val wColl = Window.partitionBy(col("tx_id"), col("__coll")).orderBy(col("lsn"))
     val nulls = lit(null).cast("long")
     val data = base.select(
-      lit("event").as("kind"), col("tx_id"), col("lsn"),
+      lit("event").as("kind"), lit(1).as("ord"), col("tx_id"), col("lsn"),
       row_number().over(wTx).cast("long").as("total_order"),
       row_number().over(wColl).cast("long").as("data_collection_order"),
       nulls.as("event_count"))
     val bounds = base.groupBy(col("tx_id"))
       .agg(min(col("lsn")).as("b"), max(col("lsn")).as("e"), count(lit(1)).as("n"))
-    val begins = bounds.select(lit("begin").as("kind"), col("tx_id"), col("b").as("lsn"),
+    val begins = bounds.select(lit("begin").as("kind"), lit(0).as("ord"), col("tx_id"), col("b").as("lsn"),
       nulls.as("total_order"), nulls.as("data_collection_order"), nulls.as("event_count"))
-    val ends = bounds.select(lit("end").as("kind"), col("tx_id"), col("e").as("lsn"),
+    val ends = bounds.select(lit("end").as("kind"), lit(2).as("ord"), col("tx_id"), col("e").as("lsn"),
       nulls.as("total_order"), nulls.as("data_collection_order"), col("n").as("event_count"))
     data.unionByName(begins).unionByName(ends)
   }

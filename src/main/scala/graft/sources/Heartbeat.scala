@@ -45,6 +45,12 @@ object Heartbeat {
     val spark = log.sparkSession
     // Bounded driver literals (two longs), same treatment as merge fences.
     val bounds = log.agg(min(tsCol).as("lo"), max(tsCol).as("hi")).head()
+    // A completely quiet log (no events at all) has no offsets to carry —
+    // emit nothing, typed like a normal result (the reference sends no
+    // heartbeat before the connector has an offset).
+    if (bounds.isNullAt(0))
+      return log.select(partCol.as("part"), tsCol.as("heartbeat_ts"), posCol.as("last_lsn"))
+        .where(lit(false))
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val nIntervals = ((hi - lo) / intervalMs).toInt
 

@@ -235,7 +235,16 @@ final class LakeTable(
     */
   def resolved(spark: SparkSession, ci: CommitInfo, buckets: Option[Set[Int]] = None): Option[DataFrame] = {
     if (!mergeOnRead) return snapshotRaw(spark, ci, buckets)
-    val raw = bucketedState(spark, ci, buckets, ci.schema)
+    // Only the HEAD commit reads through the shared bucketed registration:
+    // registering an older version would be torn down by the next head
+    // read (gcBucketedDirs drops superseded link dirs; the catalog entry
+    // is re-pointed), silently breaking lazy frames held by time travel.
+    // Historical commits take the layout-independent aligned read — the
+    // LWW reduce then shuffles, which is the right trade for a rare
+    // time-travel read.
+    val isHead = commitPaths().lastOption
+      .exists(_.getFileName.toString == f"v${ci.version}%020d.json")
+    val raw = (if (isHead) bucketedState(spark, ci, buckets, ci.schema) else None)
       .orElse(snapshotRaw(spark, ci, buckets))
     raw.map { df =>
       val fenced = ci.fence.fold(df)(f =>
@@ -268,28 +277,25 @@ final class LakeTable(
     */
   def lookup(spark: SparkSession, key: Seq[Any]): Option[DataFrame] = {
     require(key.size == keyCols.size, s"key must match $keyCols")
-    val row = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
-      key.map {
-        case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
-        case other     => other
-      })
-    val schema = StructType(keyCols.zip(key).map {
-      case (n, _: String) => StructField(n, StringType)
-      case (n, _: Int)    => StructField(n, IntegerType)
-      case (n, _: Long)   => StructField(n, LongType)
-      case (n, v)         => throw new IllegalArgumentException(s"unsupported key type for $n: $v")
-    })
-    // seed 42 = the `functions.hash` / HashPartitioning seed, so the
-    // driver-side bucket equals `bucketCol` exactly.
-    val hash = new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
-      schema.fields.zipWithIndex.map { case (f, i) =>
-        org.apache.spark.sql.catalyst.expressions.BoundReference(i, f.dataType, nullable = false)
-      }.toIndexedSeq)
-    val bucket = java.lang.Math.floorMod(hash.eval(row).asInstanceOf[Int], numBuckets)
-    lastCommit()
-      .flatMap(ci => resolved(spark, ci, Some(Set(bucket))))
-      .map(_.where(keyCols.zip(key).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
-        .where(col("op") =!= Envelope.OpDelete))
+    require(key.forall(_ != null), "lookup key elements must be non-null")
+    lastCommit().flatMap { ci =>
+      // Hash with the TABLE's key column types (a caller's Int against a
+      // LongType column would otherwise hash 4 bytes where bucketCol hashed
+      // 8 — wrong bucket, silently empty result). Literal+Cast evaluates
+      // driver-side; seed 42 = the `functions.hash` / HashPartitioning
+      // seed, so the bucket equals `bucketCol` exactly.
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Murmur3Hash}
+      val schema = ci.schema
+      val exprs = keyCols.zip(key).map { case (c, v) =>
+        Cast(Literal(v), schema(c).dataType, Some("UTC")): org.apache.spark.sql.catalyst.expressions.Expression
+      }
+      val bucket = java.lang.Math.floorMod(
+        new Murmur3Hash(exprs).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int],
+        numBuckets)
+      resolved(spark, ci, Some(Set(bucket)))
+        .map(_.where(keyCols.zip(key).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
+          .where(col("op") =!= Envelope.OpDelete))
+    }
   }
 
   // ---------------------------------------------------------------------

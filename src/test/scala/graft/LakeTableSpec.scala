@@ -150,18 +150,20 @@ class LakeTableSpec extends SparkSpec {
     val good = Seq(FlatEvent.mk(("r", "a"), 1, "c"), FlatEvent.mk(("r", "b"), 2, "c"))
     val bad = Seq(
       FlatEvent.mk(("r", "c"), 3, "c").copy(path = null),  // null key column
-      FlatEvent.mk(("r", "d"), 4, "x"))                    // unknown op
+      FlatEvent.mk(("r", "d"), 4, "x"),                    // unknown op
+      FlatEvent.mk(("r", "e"), 5, "c").copy(op = null))    // NULL op (isin ⇒ SQL NULL)
     val table = new LakeTable(tmp(), numBuckets = 4)
     val r = CdcApply.applyBatch(spark, table, (good ++ bad).toDF(), batchId = 0)
     assert(r.committed && r.fresh === 2)
     assert(tableState(table).keySet === Set(("r", "a"), ("r", "b")), "bad rows never merge")
     val dlq = spark.read.parquet(s"${table.root}/_quarantine")
-    assert(dlq.count() === 2)
+    assert(dlq.count() === 3)
     assert(dlq.where(col("op") === "x").count() === 1)
+    assert(dlq.where(col("op").isNull).count() === 1, "NULL-op rows must quarantine, not vanish")
     // watermark advanced past the bad rows: replaying them is a no-op
     val r2 = CdcApply.applyBatch(spark, table, bad.toDF(), batchId = 1)
     assert(r2.reason === "metadata-only")
-    assert(spark.read.parquet(s"${table.root}/_quarantine").count() === 2, "no double quarantine")
+    assert(spark.read.parquet(s"${table.root}/_quarantine").count() === 3, "no double quarantine")
   }
 
   test("compaction drops retained tombstones, canonicalizes schema, preserves state") {
@@ -440,6 +442,20 @@ class LakeTableSpec extends SparkSpec {
     assert(table.snapshotAt(spark, 999).isEmpty, "unknown version yields None")
   }
 
+  test("MoR time travel survives subsequent head reads (no stale bucketed registration)") {
+    val log = randomLog(35, 300)
+    val mor = new LakeTable(tmp(), numBuckets = 8, mergeOnRead = true)
+    CdcPipeline.replay(spark, log.toDF(), mor, numBatches = 3, writeMetrics = false)
+    val past = mor.snapshotAt(spark, 2L).get // lazy frame over the old commit
+    mor.snapshot(spark).get.count() // head read: registers the bucketed state, GCs link dirs
+    // the held frame must still collect, and match the lsn-prefix fold
+    val bounds = log.map(_.lsn)
+    val width = math.max(1L, (bounds.max - bounds.min) / 3 + 1)
+    val expected = foldOracle(log.filter(_.lsn < bounds.min + 2 * width))
+    val got = past.collect().map(r => (r.getAs[String]("repo"), r.getAs[String]("path"))).toSet
+    assert(got === expected.keySet, "pre-head version must read correctly after a head read")
+  }
+
   test("point lookup: driver-computed bucket matches the layout; only one bucket read") {
     val log = randomLog(33, 300)
     val table = new LakeTable(tmp(), numBuckets = 8)
@@ -476,6 +492,16 @@ class LakeTableSpec extends SparkSpec {
         h.eval(InternalRow(UTF8String.fromString(r), UTF8String.fromString(p))).asInstanceOf[Int], 8)
       assert(got === expected, s"driver bucket of ($r,$p)")
     }
+
+    // non-string key: the hash must use the COLUMN type (a caller's Int
+    // against a LongType key would otherwise pick the wrong bucket)
+    val typed = Seq((7L, "x", "c0000000001", 1L, "c", 0, 1700000000000L))
+      .toDF("id", "payload", "commit", "lsn", "op", "part", "ts_ms")
+    val longKeyed = new LakeTable(tmp(), numBuckets = 4, keyCols = Seq("id"))
+    CdcApply.applyBatch(spark, longKeyed, typed, batchId = 0, writeMetrics = false)
+    assert(longKeyed.lookup(spark, Seq(7)).get.count() === 1L, "Int key vs Long column")
+    assert(longKeyed.lookup(spark, Seq(7L)).get.count() === 1L)
+    assert(longKeyed.lookup(spark, Seq(8)).forall(_.count() === 0L))
   }
 
   test("bucket-layout evolution: rebucket preserves state, records layout, stale handles fail fast") {
