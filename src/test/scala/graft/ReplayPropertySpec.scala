@@ -57,10 +57,11 @@ class ReplayPropertySpec extends SparkSpec {
 
   test("replay under ANY batching converges to the fold oracle (both table modes)") {
     check("any-batching", Prop.forAll(genLog(withTruncate = true),
-      Gen.listOfN(3, Gen.choose(0.0, 1.0)), Gen.oneOf(false, true)) { (log, cutsRaw, mor) =>
+      Gen.listOfN(3, Gen.choose(0.0, 1.0)), Gen.oneOf(false, true),
+      Gen.oneOf(0L, 3L)) { (log, cutsRaw, mor, maxRows) =>
       log.isEmpty || {
         val table = new LakeTable(Files.createTempDirectory("prop").toString,
-          numBuckets = 4, mergeOnRead = mor)
+          numBuckets = 4, mergeOnRead = mor, maxFileRows = maxRows)
         val cuts = cutsRaw.map(c => (c * log.size).toInt).sorted
         val batches = (0 +: cuts :+ log.size).sliding(2).map { case Seq(a, b) => log.slice(a, b) }.toSeq
         batches.zipWithIndex.foreach { case (b, i) =>
