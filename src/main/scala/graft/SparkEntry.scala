@@ -540,6 +540,16 @@ object SparkEntry {
         col("doc_id"),
         tdp.Cleaning.dupNgramFraction(col("text"), 3).as("dup3_frac"),
         tdp.Cleaning.repetitionOk(col("text"), 3).as("repetition_ok"))),
+    // int8 embedding quantization: per-vector symmetric scale + codes +
+    // the roundtrip error bound (4x storage cut for 100 TB embedding sets).
+    "q70_embed_quantize" -> ((s, dir) =>
+      Corpus.embeddings(s, dir).select(
+        col("vec_id"),
+        round(tdp.Quantize.int8Scale(col("embedding")), 6).as("scale6"),
+        array_join(tdp.Quantize.int8(col("embedding")), "|").as("codes"),
+        round(tdp.Quantize.int8MaxAbsError(col("embedding")), 6).as("max_err6"),
+        (tdp.Quantize.int8MaxAbsError(col("embedding")) <=
+          tdp.Quantize.int8Scale(col("embedding")) / 2 + lit(1e-12)).as("bound_ok"))),
     // FieldToEmbedding SMT: append a deterministic hash-projection
     // embedding of the text field (fake model, real plumbing); output
     // quantized to 1e-6 for engine-exact comparison.
@@ -830,6 +840,19 @@ object SparkEntry {
         |       concat('[', array_to_string(
         |         [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding], ','), ']') AS vec_json
         |FROM embeddings""".stripMargin,
+    "q70_embed_quantize" ->
+      """WITH base AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings)
+        |, s AS (
+        |  SELECT vec_id, v,
+        |         greatest(list_max([abs(x) for x in v]) / 127.0, 1e-30) AS scale
+        |  FROM base)
+        |SELECT vec_id,
+        |       round(scale, 6) AS scale6,
+        |       array_to_string([CAST(round(x / scale) AS INT) for x in v], '|') AS codes,
+        |       round(list_max([abs(x - round(x / scale) * scale) for x in v]), 6) AS max_err6,
+        |       (list_max([abs(x - round(x / scale) * scale) for x in v]) <= scale / 2 + 1e-12) AS bound_ok
+        |FROM s""".stripMargin,
 
     "q33_cdc_tx_metadata" ->
       s"""$cte

@@ -254,6 +254,27 @@ class TdpSpec extends SparkSpec {
     assert(rep(0) > 0.8 && rep(1) === 0.0)
   }
 
+  test("int8 quantization: codes in range, roundtrip error bounded by scale/2, cosine preserved") {
+    import graft.tdp.Quantize
+    val emb = Corpus.embeddings(spark, sf)
+    val checked = emb.select(
+      col("vec_id"),
+      Quantize.int8Scale(col("embedding")).as("s"),
+      Quantize.int8(col("embedding")).as("q"),
+      Quantize.int8MaxAbsError(col("embedding")).as("err"))
+    val bad = checked.where(
+      exists(col("q"), c => abs(c) > 127) || col("err") > col("s") / 2 + 1e-12).count()
+    assert(bad === 0L, "codes must fit int8 and the error bound must hold")
+    // dequantized vectors preserve cosine structure (quantization noise small)
+    val deq = checked.select(col("vec_id"),
+      Quantize.dequantInt8(col("q"), col("s")).as("dv"))
+    val joined = emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .join(deq, "vec_id")
+      .select(Similarity.cosine(col("v"), col("dv")).as("cos"))
+    assert(joined.where(col("cos") < 0.995).count() === 0L,
+      "dequantized vectors must stay nearly parallel to the originals")
+  }
+
   test("IVF with Lloyd's refinement: deterministic, planted dups still found, recall holds") {
     val emb = Corpus.embsWithDups(spark, sf)
     val q = emb.where(col("vec_id") < 10)
