@@ -1,6 +1,11 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "debeziumspark"
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
+// JSON; sbt's "[success] Total time..." trailer printed after our result
+// line made that parse fail both rounds (BENCH_r02.json `parsed: null`).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything
@@ -11,6 +16,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout RAW: the default LoggedOutput
+// strategy prefixes every line with "[info] ", which breaks the driver's
+// last-line JSON parse of graft.Bench just like the [success] trailer.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -45,9 +45,12 @@ object Crdt {
     */
   final class PNCounterAgg extends Aggregator[Long, PNCount, PNCount] {
     override def zero: PNCount = PNCount.zero
+    // negateExact: delta == Long.MinValue would silently DECREASE
+    // decrements under plain negation (round-2 ADVICE); overflow now
+    // fails loudly like any other counter overflow would.
     override def reduce(b: PNCount, delta: Long): PNCount =
       if (delta >= 0L) PNCount(b.increments + delta, b.decrements)
-      else PNCount(b.increments, b.decrements - delta)
+      else PNCount(b.increments, b.decrements + Math.negateExact(delta))
     override def merge(a: PNCount, b: PNCount): PNCount = a.merge(b)
     override def finish(r: PNCount): PNCount = r
     override def bufferEncoder: Encoder[PNCount] = Encoders.product[PNCount]

@@ -233,7 +233,11 @@ final class LakeTable(
     * required distribution). The truncate fence, burned into the data on
     * the CoW path, applies as a read filter here.
     */
-  def resolved(spark: SparkSession, ci: CommitInfo, buckets: Option[Set[Int]] = None): Option[DataFrame] = {
+  def resolved(
+      spark: SparkSession,
+      ci: CommitInfo,
+      buckets: Option[Set[Int]] = None,
+      isHead: Boolean = true): Option[DataFrame] = {
     if (!mergeOnRead) return snapshotRaw(spark, ci, buckets)
     // Only the HEAD commit reads through the shared bucketed registration:
     // registering an older version would be torn down by the next head
@@ -241,9 +245,10 @@ final class LakeTable(
     // is re-pointed), silently breaking lazy frames held by time travel.
     // Historical commits take the layout-independent aligned read — the
     // LWW reduce then shuffles, which is the right trade for a rare
-    // time-travel read.
-    val isHead = commitPaths().lastOption
-      .exists(_.getFileName.toString == f"v${ci.version}%020d.json")
+    // time-travel read. Head-ness is the CALLER's knowledge (every caller
+    // already resolved the head commit to get `ci`): re-listing _commits
+    // here added an O(commits) directory scan to hot paths like lookup()
+    // (round-2 ADVICE).
     val raw = (if (isHead) bucketedState(spark, ci, buckets, ci.schema) else None)
       .orElse(snapshotRaw(spark, ci, buckets))
     raw.map { df =>
@@ -263,10 +268,13 @@ final class LakeTable(
     * immutable manifest; data files are only removed by compaction GC, so
     * any retained version resolves exactly like the head did.
     */
-  def snapshotAt(spark: SparkSession, version: Long): Option[DataFrame] =
-    commits().find(_.version == version)
-      .flatMap(ci => resolved(spark, ci, None))
+  def snapshotAt(spark: SparkSession, version: Long): Option[DataFrame] = {
+    val cs = commits()
+    val head = cs.lastOption.map(_.version)
+    cs.find(_.version == version)
+      .flatMap(ci => resolved(spark, ci, None, isHead = head.contains(version)))
       .map(_.where(col("op") =!= Envelope.OpDelete))
+  }
 
   /** Point lookup: live row(s) for ONE key, reading only the key's bucket —
     * O(table-size/numBuckets) data touched regardless of table size (the
@@ -283,11 +291,15 @@ final class LakeTable(
       // LongType column would otherwise hash 4 bytes where bucketCol hashed
       // 8 — wrong bucket, silently empty result). Literal+Cast evaluates
       // driver-side; seed 42 = the `functions.hash` / HashPartitioning
-      // seed, so the bucket equals `bucketCol` exactly.
+      // seed, so the bucket equals `bucketCol` exactly. The Cast uses the
+      // SESSION timezone — the same zone the row filter below resolves its
+      // casts with — so a timestamp/date-typed key hashes and filters
+      // consistently under any session TZ (round-2 ADVICE).
       import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Murmur3Hash}
       val schema = ci.schema
+      val sessionTz = spark.sessionState.conf.sessionLocalTimeZone
       val exprs = keyCols.zip(key).map { case (c, v) =>
-        Cast(Literal(v), schema(c).dataType, Some("UTC")): org.apache.spark.sql.catalyst.expressions.Expression
+        Cast(Literal(v), schema(c).dataType, Some(sessionTz)): org.apache.spark.sql.catalyst.expressions.Expression
       }
       val bucket = java.lang.Math.floorMod(
         new Murmur3Hash(exprs).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int],
@@ -379,11 +391,28 @@ final class LakeTable(
     registeredState = None
     if (Files.exists(dir)) deleteTree(dir) // leftover from a failed attempt
     Files.createDirectories(dir)
-    wanted.zipWithIndex.foreach { case (f, i) =>
-      val src = Paths.get(root, f.path)
-      val dst = dir.resolve(f"part-$i%05d-graft_${f.bucket}%05d.parquet")
-      try Files.createLink(dst, src)
-      catch { case _: Exception => Files.copy(src, dst) }
+    // Hardlinks are O(files) METADATA ops — the whole point of the
+    // registration. If the filesystem refuses them (object store,
+    // cross-device _bucketed dir), NEVER fall back to copying data:
+    // a silent per-merge copy of every touched bucket is O(state) I/O
+    // per microbatch — exactly the amplification the storage-partitioned
+    // merge exists to avoid (round-2 VERDICT #1). Warn loudly and return
+    // None; the caller takes the union+reduce merge path instead.
+    try {
+      wanted.zipWithIndex.foreach { case (f, i) =>
+        val src = Paths.get(root, f.path)
+        val dst = dir.resolve(f"part-$i%05d-graft_${f.bucket}%05d.parquet")
+        Files.createLink(dst, src)
+      }
+    } catch {
+      case e: Exception =>
+        System.err.println(
+          s"[graft] WARN bucketedState: hardlink failed (${e.getClass.getSimpleName}: " +
+            s"${e.getMessage}) — skipping the storage-partitioned state read for " +
+            s"$root v${ci.version}; callers fall back to the aligned read / " +
+            "union+reduce merge. Fix: keep _bucketed on the same device as data/.")
+        deleteTree(dir)
+        return None
     }
     gcBucketedDirs(keepFrom = ci.version)
 

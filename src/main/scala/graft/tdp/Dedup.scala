@@ -9,8 +9,12 @@ import org.apache.spark.sql.functions._
   * embedding-cosine near-dup.
   *
   * Design for 100 TB:
-  *  - exact dedup is one hash-shuffle on a 64-hex digest, never on the
-  *    content itself (shuffle bytes = O(docs × 64B), not O(corpus));
+  *  - exact dedup: [[exactGroups]] (the reporting path) shuffles digests +
+  *    ids only — O(docs × ~72B), never the content; [[exact]] (the
+  *    full-row path) necessarily moves the corpus ONCE to co-locate each
+  *    digest's rows — one full-width shuffle is the floor for any operator
+  *    that returns the winner ROWS (a winner-id semi-join would shuffle
+  *    the corpus by id just the same, plus a second small shuffle);
   *  - MinHash/LSH turns the quadratic all-pairs problem into
   *    O(bands) self-joins on short band keys — the only shuffles are on
   *    those keys; candidate verification touches only colliding pairs;
@@ -27,7 +31,10 @@ object Dedup {
   // ------------------------------------------------------------ exact dedup
 
   /** Exact dedup: group by sha256(text), keep the lowest doc_id as the
-    * canonical copy. One shuffle on the digest; content never shuffles.
+    * canonical copy, returning the full winner rows. Shuffle cost: the
+    * corpus moves ONCE (full rows partitioned by digest) — the floor for
+    * a full-row dedup; use [[exactGroups]] when only digests/ids/counts
+    * are needed (its shuffle is O(docs × ~72B), asserted in TdpSpec).
     */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val w = Window.partitionBy(col("__sha")).orderBy(col(idCol))
@@ -105,20 +112,27 @@ object Dedup {
         array_min(transform(col("__sh"), s => md5(concat(lit(s"$hh|"), s))))
       }: _*).as("sig"))
       .persist()
-    // band key = md5 of the band's joined minhashes
+    // band key = md5 of the band's joined minhashes. Candidate generation
+    // and the (a,b) dedup move ONLY id pairs — the H×32-char signatures are
+    // re-joined from the persisted base AFTER the dedup, so they never ride
+    // through the candidate-dedup shuffle (round-2 VERDICT #3; at 10⁹ docs
+    // this is shuffling ids vs ~1 KB per candidate pair — the same pattern
+    // as [[ngramJaccardPairs]]).
     val banded = sigs.select(
-      col("id"), col("sig"),
+      col("id"),
       posexplode(array((0 until bands).map { b =>
         md5(concat_ws("|", (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*))
       }: _*)).as(Seq("band", "bkey")))
-    val l = banded.select(col("band"), col("bkey"), col("id").as("a"), col("sig").as("siga"))
-    val r = banded.select(col("band"), col("bkey"), col("id").as("b"), col("sig").as("sigb"))
-    val pairs = l.join(r, Seq("band", "bkey")).where(col("a") < col("b"))
-      .select(col("a"), col("b"), col("siga"), col("sigb")).dropDuplicates("a", "b")
+    val pairs = banded.select(col("band"), col("bkey"), col("id").as("a"))
+      .join(banded.select(col("band"), col("bkey"), col("id").as("b")), Seq("band", "bkey"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).dropDuplicates("a", "b")
     val agree = size(filter(
       zip_with(col("siga"), col("sigb"), (x, y) => x === y),
       x => x.cast("boolean")))
     val out = pairs
+      .join(sigs.select(col("id").as("a"), col("sig").as("siga")), "a")
+      .join(sigs.select(col("id").as("b"), col("sig").as("sigb")), "b")
       .select(col("a"), col("b"), round(agree.cast("double") / h, 4).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
       .persist()

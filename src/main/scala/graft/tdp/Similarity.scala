@@ -182,13 +182,24 @@ object Similarity {
     */
   final class VecMeanAgg extends org.apache.spark.sql.expressions.Aggregator[Seq[Double], VecSum, Seq[Double]] {
     override def zero: VecSum = VecSum(Nil, 0L)
+    // zip would silently truncate to the shorter vector — a ragged
+    // embedding corpus must fail loudly, not corrupt the centroid means
+    // (round-2 ADVICE).
     override def reduce(b: VecSum, v: Seq[Double]): VecSum =
       if (b.n == 0L) VecSum(v, 1L)
-      else VecSum(b.sum.zip(v).map { case (a, x) => a + x }, b.n + 1)
+      else {
+        require(b.sum.size == v.size,
+          s"ragged embedding: dim ${v.size} vs accumulator dim ${b.sum.size}")
+        VecSum(b.sum.zip(v).map { case (a, x) => a + x }, b.n + 1)
+      }
     override def merge(a: VecSum, b: VecSum): VecSum =
       if (a.n == 0L) b
       else if (b.n == 0L) a
-      else VecSum(a.sum.zip(b.sum).map { case (x, y) => x + y }, a.n + b.n)
+      else {
+        require(a.sum.size == b.sum.size,
+          s"ragged embedding: partial dims ${a.sum.size} vs ${b.sum.size}")
+        VecSum(a.sum.zip(b.sum).map { case (x, y) => x + y }, a.n + b.n)
+      }
     override def finish(r: VecSum): Seq[Double] = r.sum.map(_ / r.n)
     override def bufferEncoder: org.apache.spark.sql.Encoder[VecSum] =
       org.apache.spark.sql.Encoders.product[VecSum]

@@ -112,6 +112,62 @@ class TdpSpec extends SparkSpec {
     assert(lsh.subsetOf(bf) || lsh.intersect(bf).nonEmpty)
   }
 
+  test("minhash LSH: candidate dedup moves id pairs only — no signature crosses its exchange") {
+    import org.apache.spark.sql.catalyst.plans.logical.Deduplicate
+    val df = Dedup.minhashLsh(corpus, bands = 4, rowsPerBand = 4, threshold = 0.7)
+    // The (a,b) dropDuplicates plans a Deduplicate whose input (= what the
+    // dedup exchange carries) must be the bare id pair; the H×32-char
+    // signatures are re-joined ABOVE it (round-2 VERDICT #3). The analyzed
+    // plan is inspected (the returned frame is persisted, so the optimized
+    // plan collapses to the InMemoryRelation); the optimizer can only
+    // PRUNE an aggregate's input, never widen it, so id-only here is
+    // id-only on the wire.
+    val dedups = df.queryExecution.analyzed.collect { case d: Deduplicate => d }
+    assert(dedups.nonEmpty, "candidate dedup node not found in the plan")
+    dedups.foreach { d =>
+      val carried = d.child.output.map(_.name)
+      assert(carried.toSet == Set("a", "b"),
+        s"candidate dedup must carry only the id pair; carried: $carried")
+    }
+    df.unpersist()
+  }
+
+  test("exact-dedup shuffle claims: exactGroups moves digests+ids only; exact moves the corpus once") {
+    def shuffledBytes(action: => Unit): Long = {
+      val bytes = new java.util.concurrent.atomic.AtomicLong
+      val meter = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(meter)
+      try { action; Thread.sleep(1200) } finally spark.sparkContext.removeSparkListener(meter)
+      bytes.get
+    }
+    // Incompressible corpus (hex of md5 chains): the sf0.001 word-soup
+    // lz4-compresses to ~the digest width, hiding the row-width difference
+    // the claim is about; high-entropy text shows it.
+    val wide = spark.range(0, 2000).select(
+      col("id").as("doc_id"),
+      concat_ws("", (0 until 16).map(i =>
+        md5(concat(pmod(col("id"), lit(1500)).cast("string"), lit(s"_$i")))): _*).as("text"))
+      .cache()
+    val docs = wide.count()
+    // noop sink: a bare count() would let Catalyst PRUNE the text column
+    // below the window exchange (correct, but it is exactly the full-row
+    // cost this spec measures); the noop write materializes every column.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val groupsBytes = shuffledBytes(run(Dedup.exactGroups(wide)))
+    val exactBytes = shuffledBytes(run(Dedup.exact(wide)))
+    wide.unpersist()
+    // groups: 64-hex digest + id + partial count ≈ ≤250 B/doc with
+    // row/compression overhead; exact: full rows incl. 512B text (≫ that).
+    assert(groupsBytes > 0 && groupsBytes < docs * 250,
+      s"exactGroups shuffled $groupsBytes B for $docs docs — claim is O(docs × ~72B)")
+    assert(exactBytes > groupsBytes * 3,
+      s"exact ($exactBytes B) should dwarf exactGroups ($groupsBytes B) — full rows move once")
+  }
+
   test("ANN top-k plans a PARTIAL WindowGroupLimit below the exchange (no full-scored-set shuffle)") {
     val queries = embs.where(col("vec_id") < 4L)
     val plan = Similarity.bruteForceTopK(embs, queries, k = 5)
