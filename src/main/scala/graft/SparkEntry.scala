@@ -135,7 +135,10 @@ object SparkEntry {
         chunkExpr = Some(chunkCol))
         .select(payload :+ col("lsn"): _*)
     }),
-    // §2.2 outbox EventRouter: unpack outbox rows, route by aggregate type.
+    // §2.2 outbox EventRouter: unpack outbox rows, route by aggregate
+    // type, with `table.fields.additional.placement` — one extra field per
+    // placement (value / header / envelope), flattened to scalars for the
+    // oracle compare.
     "q12_smt_outbox" -> ((s, dir) => {
       val outbox = Corpus.documents(s, dir).select(
         col("lang").as("aggregatetype"),
@@ -144,8 +147,16 @@ object SparkEntry {
         col("text").as("payload"),
         lit(Envelope.OpCreate).as("op"),
         col("doc_id").as("lsn"),
-        (lit(1700000000000L) + col("doc_id")).as("ts_ms"))
-      Transforms.outboxRouter(outbox)
+        (lit(1700000000000L) + col("doc_id")).as("ts_ms"),
+        length(col("text")).cast("long").as("n_chars"),
+        col("lang"),
+        lit("v1").as("schema_ver"))
+      Transforms.outboxRouter(outbox, additionalFields = Seq(
+        ("n_chars", "value"), ("lang", "header"), ("schema_ver", "envelope")))
+        .select(col("route"), col("key"), col("event_type"), col("payload"),
+          col("lsn"), col("ts_ms"), col("n_chars"),
+          element_at(col("headers"), "lang").as("hdr_lang"),
+          col("additional.schema_ver").as("env_ver"))
     }),
     // §2.4/§7.0-7: schema evolution at batch boundaries — second batch adds
     // an int column; first-batch rows null-fill it on read.
@@ -637,6 +648,41 @@ object SparkEntry {
       Transforms.tableFilter(merge.MultiTable.schemaChangeEvents(s, reg),
         exclude = Some("heads_.*"), tableCol = col("sink_table"))
     }),
+
+    // §2.1 Notification SPI (NotificationService /
+    // IncrementalSnapshotNotificationService): the signal-driven chunk
+    // train emits a queryable started / chunk-progress / completed feed to
+    // `_notifications`, each progress row AFTER its chunk's commit. The
+    // signal carries an SQL chunk expression so the oracle recomputes
+    // membership and per-chunk applied counts.
+    "q71_cdc_notifications" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-notif").toString
+      val table = new LakeTable(root, numBuckets = 16)
+      Envelope.wrap(ChangeLog.flat(s, dir)).repartition(8).write.parquet(s"$root/in")
+      Lww.applyState(ChangeLog.base(s, dir)).select(payload: _*).write.parquet(s"$root/src")
+      val ch = s"$root/signals"
+      sources.Signals.send(ch, sources.Signals.SignalRecord("n1", sources.Signals.ExecuteSnapshot,
+        s"$root/src#4#pmod(cast(regexp_extract(path, 'f([0-9]+)', 1) as bigint), 4)"))
+      CdcPipeline.start(s, s"$root/in", s"$root/ckpt", table,
+        maxFilesPerTrigger = 2, signalChannel = Some(ch)).awaitTermination()
+      sources.Notifications.feed(s, root)
+        .select(col("type"), col("chunk"), col("chunks"), col("rows_applied"))
+    }),
+
+    // §2.4 sink primary-key modes (JdbcSinkConnectorConfig
+    // primary.key.mode + primary.key.fields): the same upsert stream keyed
+    // three ways — record_key (event key), record_value (payload field
+    // list), kafka (transport coordinates) — one LWW reduce each.
+    "q72_sink_pk_modes" -> ((s, dir) => {
+      val log = ChangeLog.flat(s, dir)
+      val cols = Seq("repo", "path", "commit", "lang", "content", "part", "lsn").map(col)
+      def tag(df: DataFrame, m: String) = df.select(lit(m).as("pk_mode") +: cols: _*)
+      tag(merge.SinkModes.upsertKeyed(log, "record_key"), "record_key")
+        .unionByName(tag(
+          merge.SinkModes.upsertKeyed(log, "record_value", fields = Seq("repo", "lang")),
+          "record_value"))
+        .unionByName(tag(merge.SinkModes.upsertKeyed(log, "kafka"), "kafka"))
+    }),
   )
 
   // ------------------------------------------------------------- oracles
@@ -781,7 +827,10 @@ object SparkEntry {
         |       'DocUpdated' AS event_type,
         |       text AS payload,
         |       doc_id AS lsn,
-        |       1700000000000 + doc_id AS ts_ms
+        |       1700000000000 + doc_id AS ts_ms,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       lang AS hdr_lang,
+        |       'v1' AS env_ver
         |FROM documents""".stripMargin,
     "q13_cdc_schema_evolution" ->
       s"""$cte
@@ -1394,5 +1443,33 @@ object SparkEntry {
          |       CAST(9 + batch_id AS INT) AS n_fields
          |FROM per
          |WHERE NOT regexp_matches(sink_table, 'heads_.*')""".stripMargin,
+    "q71_cdc_notifications" ->
+      s"""$cte
+         |, state AS (
+         |  SELECT repo, path,
+         |         CAST(regexp_extract(path, 'f([0-9]+)', 1) AS BIGINT) % 4 AS chunk
+         |  FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |    FROM ev0) t
+         |  WHERE rn = 1 AND op <> 'd')
+         |SELECT 'STARTED' AS type, -1 AS chunk, 4 AS chunks, CAST(-1 AS BIGINT) AS rows_applied
+         |UNION ALL
+         |SELECT 'IN_PROGRESS', CAST(chunk AS INT), 4, count(*) FROM state GROUP BY chunk
+         |UNION ALL
+         |SELECT 'COMPLETED', -1, 4, CAST(-1 AS BIGINT)""".stripMargin,
+    "q72_sink_pk_modes" ->
+      s"""$cte
+         |, up AS (SELECT * FROM ev WHERE op IN ('r', 'c', 'u'))
+         |SELECT 'record_key' AS pk_mode, repo, path, commit, lang, content, part, lsn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |  FROM up) t WHERE rn = 1
+         |UNION ALL
+         |SELECT 'record_value', repo, path, commit, lang, content, part, lsn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY repo, lang ORDER BY commit DESC, lsn DESC) AS rn
+         |  FROM up) t WHERE rn = 1
+         |UNION ALL
+         |SELECT 'kafka', repo, path, commit, lang, content, part, lsn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY part, lsn ORDER BY commit DESC, lsn DESC) AS rn
+         |  FROM up) t WHERE rn = 1""".stripMargin,
   )
 }

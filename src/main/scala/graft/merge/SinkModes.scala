@@ -33,4 +33,42 @@ object SinkModes {
       keyCols: Seq[String] = Envelope.keyCols): DataFrame =
     Lww.reduce(events.where(col("op").isin(Envelope.UpsertOps: _*)), keyCols)
       .join(state.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+
+  /** `primary.key.mode` — how the SINK's upsert key is derived
+    * (`JdbcSinkConnectorConfig.java:145,417`: none/kafka/record_key/
+    * record_value + `primary.key.fields`):
+    *  - `record_key`: the change event's key columns (`fields` optionally
+    *    restricts to a subset, as the reference does for composite keys);
+    *  - `record_value`: the configured payload field list;
+    *  - `kafka`: the transport coordinates — (part, lsn) here, the
+    *    (topic, partition, offset) analog of a single-stream engine;
+    *  - `none`: keyless — upserts degrade to inserts.
+    * Feed the result into a `MultiTable.TableDef(keyCols = ...)` or
+    * [[upsertKeyed]].
+    */
+  def primaryKeyCols(
+      mode: String,
+      recordKeyCols: Seq[String] = Envelope.keyCols,
+      fields: Seq[String] = Nil): Seq[String] = mode match {
+    case "record_key"   => if (fields.isEmpty) recordKeyCols else recordKeyCols.filter(fields.contains)
+    case "record_value" =>
+      require(fields.nonEmpty, "primary.key.fields is required for record_value mode")
+      fields
+    case "kafka" => Seq("part", "lsn")
+    case "none"  => Nil
+    case other   => throw new IllegalArgumentException(s"unknown primary.key.mode: $other")
+  }
+
+  /** Upsert winners under the mode-derived key: one LWW reduce on that key
+    * (single shuffle); `none` keeps every row ([[insert]] semantics).
+    */
+  def upsertKeyed(
+      events: DataFrame,
+      mode: String,
+      recordKeyCols: Seq[String] = Envelope.keyCols,
+      fields: Seq[String] = Nil): DataFrame = {
+    val keys = primaryKeyCols(mode, recordKeyCols, fields)
+    val ups = insert(events)
+    if (keys.isEmpty) ups else Lww.reduce(ups, keys)
+  }
 }

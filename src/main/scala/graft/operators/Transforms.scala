@@ -162,16 +162,38 @@ object Transforms {
     * Reference: `transforms/outbox/EventRouter.java` + `EventRouterDelegate`.
     * Input: flat log whose payload has (aggregatetype, aggregateid,
     * event_type, payload) columns.
+    *
+    * `additionalFields` mirrors `table.fields.additional.placement`
+    * (`EventRouterDelegate.java:80-81,192-196`): (outbox column, placement)
+    * pairs routed into the event —
+    *  - "value": a top-level column of the routed event;
+    *  - "header": an entry of a `headers` map column (the Kafka-header
+    *    analog; string-rendered like the reference's header converter);
+    *  - "envelope": a field of an `additional` struct column (the
+    *    reference nests envelope-placed fields beside the payload).
     */
-  def outboxRouter(df: DataFrame): DataFrame =
+  def outboxRouter(
+      df: DataFrame,
+      additionalFields: Seq[(String, String)] = Nil): DataFrame = {
+    val base = Seq(
+      col("aggregatetype").as("route"),
+      col("aggregateid").as("key"),
+      col("event_type"),
+      col("payload"),
+      col("lsn"),
+      col("ts_ms"))
+    val valueCols = additionalFields.collect { case (c, "value") => col(c) }
+    val headerKvs = additionalFields.collect { case (c, "header") => Seq(lit(c), col(c).cast("string")) }
+    val headerCol = if (headerKvs.isEmpty) Nil else Seq(map(headerKvs.flatten: _*).as("headers"))
+    val envFields = additionalFields.collect { case (c, "envelope") => col(c).as(c) }
+    val envCol = if (envFields.isEmpty) Nil else Seq(struct(envFields: _*).as("additional"))
+    val unknown = additionalFields.collect {
+      case (c, p) if !Set("value", "header", "envelope")(p) => s"$c:$p"
+    }
+    require(unknown.isEmpty, s"unknown placement(s): ${unknown.mkString(", ")}")
     df.where(col("op").isin(Envelope.OpCreate, Envelope.OpRead)) // outbox rows are INSERT-only
-      .select(
-        col("aggregatetype").as("route"),
-        col("aggregateid").as("key"),
-        col("event_type"),
-        col("payload"),
-        col("lsn"),
-        col("ts_ms"))
+      .select(base ++ valueCols ++ headerCol ++ envCol: _*)
+  }
 
   /** TimezoneConverter: re-render an epoch-millis column as a timestamp in
     * a target zone. Reference: `transforms/TimezoneConverter.java:582`.

@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.core.Envelope
 import graft.merge.CdcApply
 import graft.merge.CdcApply.BatchResult
-import graft.sources.{Signals, Snapshot}
+import graft.sources.{Notifications, Signals, Snapshot}
 import graft.table.LakeTable
 
 /** The engine's run loop — the Spark analog of
@@ -69,29 +69,74 @@ object CdcPipeline {
           val ch = signalChannel.get
           s.`type` match {
             case Signals.ExecuteSnapshot =>
-              val (path, chunks) = s.data.split('#') match {
-                case Array(p, n) => (p, n.toInt)
-                case _           => (s.data, 1)
+              // data = <parquet path>[#chunks[#chunkExprSql]]. With an
+              // explicit chunk-index SQL expression the chunks filter the
+              // source directly (oracle-recomputable membership). WITHOUT
+              // one, the source is re-clustered ONCE by key range into
+              // `__chunk=N` directories — each chunk read then prunes to
+              // exactly its slice instead of re-scanning the table per
+              // chunk (`ChunkBoundaryCalculator.java:48-126` reads each PK
+              // range once; the old hash-chunk predicate pruned NOTHING,
+              // so an m-chunk backfill scanned the table m times).
+              val (path, chunks, chunkExpr) = s.data.split('#') match {
+                case Array(p, n, e) => (p, n.toInt, e)
+                case Array(p, n)    => (p, n.toInt, "")
+                case _              => (s.data, 1, "")
               }
-              Signals.initSnapshot(ch, path, chunks)
-            case Signals.PauseSnapshot  => Signals.setSnapshotPaused(ch, paused = true)
-            case Signals.ResumeSnapshot => Signals.setSnapshotPaused(ch, paused = false)
-            case Signals.StopSnapshot   => Signals.clearSnapshot(ch)
+              val staged =
+                if (chunks <= 1 || chunkExpr.nonEmpty) ""
+                else {
+                  val dir = ch + ".snapshot-staged"
+                  sp.read.parquet(path)
+                    .repartitionByRange(chunks, table.keyCols.map(col): _*)
+                    .withColumn("__chunk", spark_partition_id())
+                    .write.partitionBy("__chunk").mode("overwrite").parquet(dir)
+                  dir
+                }
+              Signals.initSnapshot(ch, path, chunks, staged, chunkExpr)
+              Notifications.emit(sp, table.root, Notifications.Started,
+                chunks = math.max(chunks, 1), data = path)
+            case Signals.PauseSnapshot =>
+              Signals.setSnapshotPaused(ch, paused = true)
+              Signals.snapshotState(ch).foreach(st =>
+                Notifications.emit(sp, table.root, Notifications.Paused, st.chunks, st.next))
+            case Signals.ResumeSnapshot =>
+              Signals.setSnapshotPaused(ch, paused = false)
+              Signals.snapshotState(ch).foreach(st =>
+                Notifications.emit(sp, table.root, Notifications.Resumed, st.chunks, st.next))
+            case Signals.StopSnapshot =>
+              val chunks = Signals.snapshotState(ch).map(_.chunks)
+              Signals.clearSnapshot(ch)
+              chunks.foreach(c => Notifications.emit(sp, table.root, Notifications.Aborted, c))
             case Signals.Log            => System.err.println(s"[graft signal] ${s.data}")
             case other                  => System.err.println(s"[graft signal] unknown action: $other")
           }
         }
         // One snapshot chunk per batch boundary, interleaved with the
-        // stream (DBLog); progress advances after the chunk's commit.
+        // stream (DBLog); progress + notifications advance AFTER the
+        // chunk's commit (crash redelivery stays convergent and the feed
+        // never overstates progress).
         signalChannel.flatMap(Signals.snapshotState).foreach { st =>
           if (!st.paused && st.next < st.chunks) {
-            val rows = sp.read.parquet(st.data)
-            val chunk =
-              if (st.chunks == 1) rows
-              else rows.where(pmod(hash(table.keyCols.map(col): _*), lit(st.chunks)) === st.next)
-            CdcApply.applyBatch(sp, table, Snapshot.initial(chunk, snapshotLsn = 0L), batchId,
-              fenceByWatermark = false, fenceByBatchId = false)
+            // A range chunk can be EMPTY (repartitionByRange wrote no
+            // __chunk=N dir for it) — skip the apply, still advance+notify.
+            val chunk: Option[DataFrame] =
+              if (st.staged.nonEmpty) {
+                val dir = java.nio.file.Paths.get(st.staged, s"__chunk=${st.next}")
+                if (java.nio.file.Files.isDirectory(dir)) Some(sp.read.parquet(dir.toString))
+                else None
+              } else if (st.expr.nonEmpty)
+                Some(sp.read.parquet(st.data).where(expr(st.expr) === st.next))
+              else Some(sp.read.parquet(st.data))
+            val fresh = chunk.map { c =>
+              CdcApply.applyBatch(sp, table, Snapshot.initial(c, snapshotLsn = 0L),
+                batchId, fenceByWatermark = false, fenceByBatchId = false).fresh
+            }.getOrElse(0L)
             Signals.advanceSnapshot(signalChannel.get)
+            Notifications.emit(sp, table.root, Notifications.InProgress,
+              st.chunks, st.next, rowsApplied = fresh)
+            if (st.next + 1 >= st.chunks)
+              Notifications.emit(sp, table.root, Notifications.Completed, st.chunks)
           }
         }
         val flat = Envelope.unwrap(envBatch).drop("__deleted")

@@ -28,15 +28,15 @@ class SignalsSpec extends SparkSpec {
       CdcPipeline.start(spark, inDir, ckpt, table, signalChannel = Some(channel)).awaitTermination()
     }
 
-    // backfill snapshot: 9 keys, chunk = pmod(hash(repo,path), 3)
+    // backfill snapshot: 9 keys; chunk membership = KEY RANGES (the
+    // ChunkBoundaryCalculator analog — the signal handler re-clusters the
+    // source once into __chunk=N range dirs, so each chunk read prunes to
+    // its own slice)
     val snapRows = (0 until 9)
       .map(i => (s"snap$i", s"f$i.txt", "c0000000001", "scala", s"backfill $i"))
       .toDF("repo", "path", "commit", "lang", "content")
     val snapPath = s"$sigDir/snap.parquet"
     snapRows.write.parquet(snapPath)
-    val chunkOf = snapRows
-      .select(col("repo"), pmod(hash(col("repo"), col("path")), lit(3)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     def applied(): Set[String] =
       table.snapshot(spark).map(_.where(col("repo").startsWith("snap"))
         .select("repo").as[String].collect().toSet).getOrElse(Set.empty)
@@ -45,7 +45,17 @@ class SignalsSpec extends SparkSpec {
     assert(applied() === Set.empty)
 
     Signals.send(channel, Signals.SignalRecord("s1", Signals.ExecuteSnapshot, s"$snapPath#3"))
-    runBatch() // consumes the signal AND applies chunk 0
+    runBatch() // consumes the signal (stages the range layout) AND applies chunk 0
+    // membership from the staged layout itself (it is the contract)
+    val chunkOf = spark.read.parquet(s"$channel.snapshot-staged")
+      .select(col("repo"), col("__chunk").cast("int").as("c"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(chunkOf.values.toSet === Set(0, 1, 2), "all three range chunks populated")
+    // range semantics: chunks are contiguous key slices — max(key) of chunk
+    // i precedes min(key) of chunk i+1
+    val ordered = chunkOf.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted).toMap
+    (0 until 2).foreach(i => assert(ordered(i).max < ordered(i + 1).min,
+      s"chunk $i must be a key range below chunk ${i + 1}"))
     val afterChunk0 = applied()
     assert(afterChunk0 === chunkOf.filter(_._2 == 0).keySet, "exactly chunk 0 applied")
 
@@ -66,5 +76,23 @@ class SignalsSpec extends SparkSpec {
 
     // the stream itself was never paused
     assert(table.snapshot(spark).get.where(col("repo") === "repoT").count() === 1)
+
+    // Notification feed (NotificationService analog): the whole lifecycle
+    // is visible — started, chunk progress, pause/resume, abort; COMPLETED
+    // never fires for a stopped snapshot.
+    import graft.sources.Notifications
+    val notes = Notifications.feed(spark, table.root)
+      .select(col("type"), col("chunk"), col("rows_applied")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    val types = notes.map(_._1)
+    assert(types.count(_ == Notifications.Started) === 1)
+    assert(types.contains(Notifications.Paused) && types.contains(Notifications.Resumed))
+    assert(types.count(_ == Notifications.Aborted) === 1)
+    assert(!types.contains(Notifications.Completed), "stopped snapshot must not claim completion")
+    val progress = notes.filter(_._1 == Notifications.InProgress)
+    assert(progress.map(_._2).sorted === Seq(0, 1), "progress rows for exactly chunks 0 and 1")
+    progress.foreach { case (_, c, rows) =>
+      assert(rows === chunkOf.count(_._2 == c).toLong, s"chunk $c rows_applied")
+    }
   }
 }

@@ -85,6 +85,50 @@ class SnapshotSpec extends SparkSpec {
     assert(full.select(cols.map(col): _*).exceptAll(merged.select(cols.map(col): _*)).count() === 0)
   }
 
+  test("rangeChunkPredicates: disjoint cover; coarse filter pushes to parquet and prunes the scan") {
+    // Key-clustered parquet (4 range files), like a sorted snapshot.
+    // spark.range partitions are contiguous id ranges and repo is monotone
+    // in id, so the 4 written files are exact, DETERMINISTIC key quartiles
+    // (repartitionByRange would re-sample split points per run and make
+    // the pruning bound flaky).
+    val dir = java.nio.file.Files.createTempDirectory("graft-range").toString + "/t"
+    spark.range(0, 4000, 1, 4).select(
+      concat(lit("repo"), lpad(floor(col("id") / 40).cast("string"), 3, "0")).as("repo"),
+      concat(lit("f"), lpad(col("id").cast("string"), 5, "0"), lit(".txt")).as("path"),
+      md5(col("id").cast("string")).as("content"))
+      .write.parquet(dir)
+    val src = spark.read.parquet(dir)
+    val preds = Snapshot.rangeChunkPredicates(src, 4, Seq("repo", "path"))
+    // disjoint cover: counts sum to the total; pairwise conjunction empty
+    val counts = preds.map(p => src.where(p).count())
+    assert(counts.sum === 4000L, s"chunks must cover every row: $counts")
+    assert(counts.forall(_ > 0), s"sampled boundaries should spread rows: $counts")
+    for (i <- preds.indices; j <- preds.indices if i < j)
+      assert(src.where(preds(i) && preds(j)).count() === 0L, s"chunks $i,$j overlap")
+    // the coarse half reaches the parquet reader
+    val plan = src.where(preds(1)).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(repo"),
+      s"coarse range filter must push down:\n$plan")
+    // and actually prunes: rows READ for one chunk ≪ table rows (row-group
+    // stats skip the other range files) — round-2 VERDICT #2's criterion
+    def recordsRead(action: => Unit): Long = {
+      val n = new java.util.concurrent.atomic.AtomicLong
+      val meter = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          n.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(meter)
+      try { action; Thread.sleep(1200) } finally spark.sparkContext.removeSparkListener(meter)
+      n.get
+    }
+    // A sampled boundary rarely aligns with a file boundary, so one chunk
+    // touches at most ~2 of the 4 range files — still half the table
+    // skipped (vs the hash-chunk predicate reading all of it every chunk).
+    val oneChunkRead = recordsRead(src.where(preds(2)).count())
+    assert(oneChunkRead <= 2500L,
+      s"chunk scan read $oneChunkRead of 4000 rows — range pruning must skip most row groups")
+  }
+
   test("signal channel: append, read, idempotent processing marks") {
     val dir = java.nio.file.Files.createTempDirectory("graft-signals")
     val ch = s"$dir/signals.jsonl"

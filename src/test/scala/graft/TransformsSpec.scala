@@ -157,6 +157,44 @@ class TransformsSpec extends SparkSpec {
     assert(upd.select("lsn").as[Long].head() === 2L)
   }
 
+  test("sink primary-key modes derive the upsert key (primary.key.mode + fields)") {
+    import merge.SinkModes
+    assert(SinkModes.primaryKeyCols("record_key") === Seq("repo", "path"))
+    assert(SinkModes.primaryKeyCols("record_key", fields = Seq("repo")) === Seq("repo"))
+    assert(SinkModes.primaryKeyCols("record_value", fields = Seq("repo", "lang")) === Seq("repo", "lang"))
+    assert(SinkModes.primaryKeyCols("kafka") === Seq("part", "lsn"))
+    assert(SinkModes.primaryKeyCols("none") === Nil)
+    assertThrows[IllegalArgumentException](SinkModes.primaryKeyCols("record_value"))
+    assertThrows[IllegalArgumentException](SinkModes.primaryKeyCols("bogus"))
+    // record_value keyed on (repo, lang): (r1,en) collapses to the lsn=2
+    // winner; (r1,fr) keeps its create (the delete is not an upsert op)
+    val byValue = SinkModes.upsertKeyed(log, "record_value", fields = Seq("repo", "lang"))
+    assert(byValue.count() === 3)
+    assert(byValue.where(col("repo") === "r1" && col("lang") === "en")
+      .select("lsn").as[Long].head() === 2L)
+    // kafka mode: transport coordinates are unique — nothing collapses
+    assert(SinkModes.upsertKeyed(log, "kafka").count() === 4)
+    // none: keyless append (insert semantics)
+    assert(SinkModes.upsertKeyed(log, "none").count() === 4)
+  }
+
+  test("outbox additional fields route into value/header/envelope placements") {
+    val outbox = Seq(
+      ("order", "41", "OrderCreated", "{}", "c", 1L, 1000L, 7L, "eu"),
+      ("order", "42", "OrderCreated", "{}", "d", 2L, 2000L, 8L, "us") // delete: filtered
+    ).toDF("aggregatetype", "aggregateid", "event_type", "payload", "op", "lsn", "ts_ms",
+      "n_items", "region")
+    val routed = Transforms.outboxRouter(outbox, additionalFields = Seq(
+      ("n_items", "value"), ("region", "header"), ("region", "envelope")))
+    assert(routed.count() === 1)
+    val r = routed.head()
+    assert(r.getAs[Long]("n_items") === 7L)
+    assert(r.getAs[Map[String, String]]("headers") === Map("region" -> "eu"))
+    assert(r.getAs[org.apache.spark.sql.Row]("additional").getAs[String]("region") === "eu")
+    assertThrows[IllegalArgumentException](
+      Transforms.outboxRouter(outbox, additionalFields = Seq(("region", "nowhere"))))
+  }
+
   test("cloud event serialization is a valid CloudEvents-shaped JSON string") {
     val ce = log.select(Transforms.toCloudEvent(Seq("repo", "path", "commit", "lang")).as("j"))
       .as[String].head()
