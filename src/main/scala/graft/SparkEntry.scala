@@ -402,6 +402,25 @@ object SparkEntry {
     // Embedding-cosine near-dup pairs, LSH-blocked, exact-verified.
     "q24_dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(Corpus.embsWithDups(s, dir), threshold = 0.98, planes = 6)),
+    // Duplicate-cluster resolution: connected components over the LSH
+    // near-dup pairs (min-label propagation, O(diameter) rounds) — the
+    // step that turns pairwise output into one canonical doc per cluster.
+    "q73_dedup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.minhashLsh(Corpus.docsWithDups(s, dir), bands = 4, rowsPerBand = 4, threshold = 0.7))),
+    // Deterministic corpus mixing + splits: per-language keep rates
+    // (mixing weights) and disjoint train/val/test assignment, both pure
+    // functions of md5(salt||doc_id) — reproducible at any partitioning,
+    // recomputable by the oracle.
+    "q74_corpus_mix_sample" -> ((s, dir) => {
+      val sampled = tdp.Sampling.stratifiedSample(
+        Corpus.documents(s, dir), col("lang"),
+        rates = Seq("en" -> 0.9, "de" -> 0.5, "fr" -> 0.25), defaultRate = 0.1,
+        key = col("doc_id"), salt = "mix1")
+      tdp.Sampling.assignSplits(sampled, col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "split1")
+        .select(col("doc_id"), col("lang"), col("split"))
+    }),
     // ANN brute-force cosine top-k (exact baseline).
     "q25_ann_bruteforce" -> ((s, dir) => {
       val emb = Corpus.embsWithDups(s, dir)
@@ -1081,6 +1100,53 @@ object SparkEntry {
          |  JOIN sigs sa ON sa.doc_id = c.a
          |  JOIN sigs sb ON sb.doc_id = c.b) t
          |WHERE est_jaccard >= 0.7""".stripMargin,
+    // clusters = min-reachable-id per doc over the UNDIRECTED pair graph;
+    // the recursive closure recomputes exactly what min-label propagation
+    // converges to.
+    "q73_dedup_clusters" ->
+      s"""WITH RECURSIVE ${Corpus.Sql.corpus}
+         |, $shingled
+         |, sigs AS (
+         |  SELECT doc_id,
+         |         [list_aggregate([md5(concat(CAST(h AS VARCHAR), '|', s)) for s in sh], 'min')
+         |          for h in generate_series(0, 15)] AS sig
+         |  FROM shingled)
+         |, banded AS (
+         |  SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bkey
+         |  FROM sigs, (VALUES (0),(1),(2),(3)) bs(b))
+         |, cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM banded l JOIN banded r ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
+         |, pairs AS (
+         |  SELECT a, b FROM (
+         |    SELECT c.a, c.b,
+         |           round(len([i for i in generate_series(1, 16) if sa.sig[i] = sb.sig[i]]) / 16.0, 4) AS est_jaccard
+         |    FROM cand c
+         |    JOIN sigs sa ON sa.doc_id = c.a
+         |    JOIN sigs sb ON sb.doc_id = c.b) t
+         |  WHERE est_jaccard >= 0.7)
+         |, edges AS (
+         |  SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs)
+         |, cc AS (
+         |  SELECT s AS doc, d AS reach FROM edges
+         |  UNION
+         |  SELECT cc.doc, e.d FROM cc JOIN edges e ON cc.reach = e.s)
+         |SELECT doc, least(doc, min(reach)) AS cluster FROM cc GROUP BY doc""".stripMargin,
+    "q74_corpus_mix_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |         substr(md5(concat('mix1', CAST(doc_id AS VARCHAR))), 1, 8) AS h1,
+        |         substr(md5(concat('split1', CAST(doc_id AS VARCHAR))), 1, 8) AS h2
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |       CASE WHEN h2 < 'cccccccd' THEN 'train'
+        |            WHEN h2 < 'e6666666' THEN 'val'
+        |            WHEN h2 < 'ffffffff' THEN 'test' END AS split
+        |FROM s
+        |WHERE h1 < CASE lang WHEN 'en' THEN 'e6666666'
+        |                     WHEN 'de' THEN '80000000'
+        |                     WHEN 'fr' THEN '40000000'
+        |                     ELSE '1999999a' END""".stripMargin,
     "q22_dedup_simhash" ->
       s"""WITH ${Corpus.Sql.corpus}
          |SELECT doc_id, $simhashSql AS fp

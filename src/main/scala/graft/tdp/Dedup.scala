@@ -259,6 +259,71 @@ object Dedup {
     out
   }
 
+  // --------------------------------------------------- cluster resolution
+
+  /** Connected components over near-dup candidate PAIRS → one cluster id
+    * (the component's minimum doc id) per involved doc — the step that
+    * turns pairwise dedup output into "keep one doc per duplicate
+    * cluster". Classic min-label propagation: every vertex repeatedly
+    * adopts the minimum label among itself and its neighbors until
+    * fixpoint — O(component diameter) rounds, and near-dup clusters are
+    * shallow (a dup cluster's diameter is small by construction), so the
+    * loop converges in a handful of rounds even at 10⁹ docs.
+    *
+    * Scale shape per round: one shuffle of (edge endpoint, label) pairs —
+    * ids and labels only, never payloads; each round's result is
+    * persisted and the previous round dropped, so lineage stays O(1).
+    * The driver-side loop is bounded (`maxIters`) with an O(1)-row
+    * convergence check (changed-count aggregate).
+    *
+    * Input: (a, b) pairs with a < b (the shape every pair operator here
+    * emits). Output: (doc, cluster) for every doc that appears in a pair;
+    * singleton docs are their own implicit cluster and are not emitted.
+    */
+  def duplicateClusters(
+      pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    // Undirected edge list, both directions (min-label must flow both ways).
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .select(col("doc"), col("doc").as("cluster"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      // candidate label for each doc = min(own, min over neighbors')
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("doc", "src"), "src")
+        .select(col("dst").as("doc"), col("cluster"))
+      val next = labels.unionAll(viaEdges)
+        .groupBy("doc").agg(min(col("cluster")).as("cluster"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("cluster", "prev"), "doc")
+        .where(col("cluster") =!= col("prev")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Corpus-level dedup: drop every non-canonical member of each duplicate
+    * cluster (canonical = the cluster id = the component-min doc id). One
+    * anti-join of the corpus against the small losers set.
+    */
+  def dedupByClusters(
+      docs: DataFrame,
+      clusters: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val losers = clusters.where(col("doc") =!= col("cluster"))
+      .select(col("doc").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------- embedding cosine dedup
 
   /** Near-duplicate pairs by embedding cosine similarity ≥ threshold,

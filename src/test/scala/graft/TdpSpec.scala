@@ -112,6 +112,60 @@ class TdpSpec extends SparkSpec {
     assert(lsh.subsetOf(bf) || lsh.intersect(bf).nonEmpty)
   }
 
+  test("duplicate clusters: min-label propagation equals component minima; corpus dedup keeps canonicals") {
+    import graft.tdp.Dedup
+    // two chains + one triangle + an isolated pair: components
+    // {1,2,3,4}, {10,11,12}, {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("a", "b")
+    val clusters = Dedup.duplicateClusters(pairs)
+    val m = clusters.as[(Long, Long)].collect().toMap
+    assert(m === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    val docs = (1L to 25L).toDF("doc_id").withColumn("text", col("doc_id").cast("string"))
+    val kept = Dedup.dedupByClusters(docs, clusters).select("doc_id").as[Long].collect().toSet
+    // non-canonical members dropped; singletons (5..9, 13..19, 22..25) kept
+    assert(kept === (1L to 25L).toSet -- Set(2L, 3L, 4L, 11L, 12L, 21L))
+    // real pairs: every cluster id is the min of its members
+    val real = Dedup.duplicateClusters(
+      Dedup.minhashLsh(corpus, bands = 4, rowsPerBand = 4, threshold = 0.7))
+    assert(real.where(col("cluster") > col("doc")).count() === 0)
+    // every cluster id is itself a member of its cluster (the canonical)
+    val clusterIds = real.select("cluster").distinct().as[Long].collect().toSet
+    val selfLabeled = real.where(col("doc") === col("cluster")).select("doc").as[Long].collect().toSet
+    assert(clusterIds === selfLabeled)
+  }
+
+  test("sampling: deterministic, stratified rates honored, splits disjoint and exhaustive") {
+    import graft.tdp.Sampling
+    val n = 20000L
+    val ids = spark.range(n).select(col("id").as("doc_id"),
+      element_at(typedlit(Seq("en", "de", "zh")), (pmod(col("id"), lit(3)) + 1).cast("int")).as("lang"))
+    // determinism: two runs pick identical sets
+    val s1 = Sampling.hashSample(ids, col("doc_id"), 0.3, "s").select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.hashSample(ids, col("doc_id"), 0.3, "s").select("doc_id").as[Long].collect().toSet
+    assert(s1 === s2)
+    assert(math.abs(s1.size - n * 0.3) < n * 0.03, s"rate off: ${s1.size}")
+    // stratified: per-language rates within tolerance; unlisted stratum at default
+    val strat = Sampling.stratifiedSample(ids, col("lang"),
+      rates = Seq("en" -> 0.9, "de" -> 0.2), defaultRate = 0.0, key = col("doc_id"))
+    val byLang = strat.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(math.abs(byLang("en") - n / 3 * 0.9) < n * 0.02)
+    assert(math.abs(byLang("de") - n / 3 * 0.2) < n * 0.02)
+    assert(!byLang.contains("zh"))
+    // splits: exhaustive (fractions sum to 1 ⇒ ≤1 row in the 2^-32 sliver),
+    // disjoint by construction, fractions honored
+    val split = Sampling.assignSplits(ids, col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val c = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(c.keySet === Set("train", "val", "test"))
+    assert(c.values.sum >= n - 1)
+    assert(math.abs(c("train") - n * 0.8) < n * 0.02)
+    // independence across salts: overlap of two 30% samples ≈ 9%
+    val other = Sampling.hashSample(ids, col("doc_id"), 0.3, "t").select("doc_id").as[Long].collect().toSet
+    val overlap = s1.intersect(other).size.toDouble / n
+    assert(overlap > 0.06 && overlap < 0.12, s"salted samples must be independent: $overlap")
+  }
+
   test("minhash LSH: candidate dedup moves id pairs only — no signature crosses its exchange") {
     import org.apache.spark.sql.catalyst.plans.logical.Deduplicate
     val df = Dedup.minhashLsh(corpus, bands = 4, rowsPerBand = 4, threshold = 0.7)
