@@ -421,6 +421,41 @@ object SparkEntry {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "split1")
         .select(col("doc_id"), col("lang"), col("split"))
     }),
+    // Corpus-wide frequent terms (heavy hitters): count-min-sketch prune
+    // → exact verify. The sketch pass exchanges one fixed 128 KB array
+    // per task and the tail never reaches the count shuffle; CMS never
+    // undercounts (no false negatives) and the exact pass removes false
+    // positives, so the result EQUALS the plain GROUP BY HAVING the
+    // oracle recomputes. Threshold scales with corpus size (one bounded
+    // driver count, like the fence literals).
+    "q75_heavy_hitters" -> ((s, dir) => {
+      val docs = Corpus.documents(s, dir)
+      val minCount = math.max(5L, docs.count() / 10)
+      tdp.HeavyHitters.frequentTerms(docs, TextAnalysis.words(col("text")), minCount)
+    }),
+    // Value-handling modes (decimal.handling.mode / binary.handling.mode
+    // / time.precision.mode): per-column consumer renderings picked by
+    // config — narrow casts, no shuffle. Decimal inputs are exact
+    // quarters so precise→string is engine-portable.
+    "q76_smt_value_modes" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val amt = (col("event_id") / 4.0).cast("decimal(14,2)")
+      val bin = col("props").cast("binary")
+      val staged = ev.select(
+        col("event_id"),
+        amt.as("dec_dbl"), amt.as("dec_str"),
+        bin.as("bin_b64"), bin.as("bin_b64url"), bin.as("bin_hex"),
+        col("ts").cast("timestamp").as("ts_us"), col("ts").cast("timestamp").as("ts_ms"))
+      val steps: Seq[DataFrame => DataFrame] = Seq(
+        Transforms.decimalHandling(_, Seq("dec_dbl"), "double"),
+        Transforms.decimalHandling(_, Seq("dec_str"), "string"),
+        Transforms.binaryHandling(_, Seq("bin_b64"), "base64"),
+        Transforms.binaryHandling(_, Seq("bin_b64url"), "base64-url-safe"),
+        Transforms.binaryHandling(_, Seq("bin_hex"), "hex"),
+        Transforms.temporalPrecision(_, Seq("ts_us"), "adaptive"),
+        Transforms.temporalPrecision(_, Seq("ts_ms"), "connect"))
+      steps.foldLeft(staged)((d, f) => f(d))
+    }),
     // ANN brute-force cosine top-k (exact baseline).
     "q25_ann_bruteforce" -> ((s, dir) => {
       val emb = Corpus.embsWithDups(s, dir)
@@ -1147,6 +1182,24 @@ object SparkEntry {
         |                     WHEN 'de' THEN '80000000'
         |                     WHEN 'fr' THEN '40000000'
         |                     ELSE '1999999a' END""".stripMargin,
+    "q75_heavy_hitters" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS term FROM documents)
+         |SELECT term, CAST(count(*) AS BIGINT) AS cnt
+         |FROM toks
+         |WHERE term <> ''
+         |GROUP BY term
+         |HAVING count(*) >= greatest(5, (SELECT count(*) FROM documents) // 10)""".stripMargin,
+    "q76_smt_value_modes" ->
+      """SELECT event_id,
+        |       CAST(CAST(event_id / 4.0 AS DECIMAL(14,2)) AS DOUBLE) AS dec_dbl,
+        |       CAST(CAST(event_id / 4.0 AS DECIMAL(14,2)) AS VARCHAR) AS dec_str,
+        |       to_base64(encode(props)) AS bin_b64,
+        |       replace(replace(to_base64(encode(props)), '+', '-'), '/', '_') AS bin_b64url,
+        |       lower(hex(encode(props))) AS bin_hex,
+        |       epoch_us(ts) AS ts_us,
+        |       epoch_ms(ts) AS ts_ms
+        |FROM events""".stripMargin,
     "q22_dedup_simhash" ->
       s"""WITH ${Corpus.Sql.corpus}
          |SELECT doc_id, $simhashSql AS fp

@@ -456,4 +456,51 @@ object Transforms {
       .withColumn("__ts_table", outTable)
       .drop("hypertable_id", "hyper_schema", "hyper_table", "agg_schema", "agg_table", "__hyper_id")
   }
+
+  // ------------------------------------------------------ value handling
+
+  /** `decimal.handling.mode` (reference:
+    * `RelationalDatabaseConnectorConfig.DecimalHandlingMode` — precise /
+    * double / string): how exact-numeric columns are rendered to
+    * consumers. `precise` keeps the decimal; `double` trades precision
+    * for a primitive; `string` keeps the exact rendering (scale
+    * preserved, e.g. "2.00") portable. Narrow per-row casts — no shuffle.
+    */
+  def decimalHandling(df: DataFrame, columns: Seq[String], mode: String): DataFrame = mode match {
+    case "precise" => df
+    case "double"  => columns.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("double")))
+    case "string"  => columns.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("string")))
+    case m         => throw new IllegalArgumentException(s"unknown decimal.handling.mode: $m")
+  }
+
+  /** `binary.handling.mode` (reference:
+    * `CommonConnectorConfig.BinaryHandlingMode` — bytes / base64 /
+    * base64-url-safe / hex): how binary columns are rendered. Hex is
+    * lowercase like the reference's `HexConverter`.
+    */
+  def binaryHandling(df: DataFrame, columns: Seq[String], mode: String): DataFrame = {
+    def render(c: Column): Column = mode match {
+      case "bytes"           => c
+      case "base64"          => base64(c)
+      case "base64-url-safe" => translate(base64(c), "+/", "-_")
+      case "hex"             => lower(hex(c))
+      case m                 => throw new IllegalArgumentException(s"unknown binary.handling.mode: $m")
+    }
+    columns.foldLeft(df)((d, c) => d.withColumn(c, render(col(c))))
+  }
+
+  /** `time.precision.mode` (reference: `TemporalPrecisionMode` —
+    * adaptive / adaptive_time_microseconds / connect): how timestamp
+    * columns are rendered as epoch numbers. `adaptive` keeps source
+    * precision (micros here — the envelope's native resolution);
+    * `connect` forces Kafka Connect's millisecond Timestamp.
+    */
+  def temporalPrecision(df: DataFrame, columns: Seq[String], mode: String): DataFrame = {
+    def render(c: Column): Column = mode match {
+      case "adaptive" | "adaptive_time_microseconds" => unix_micros(c)
+      case "connect"                                 => unix_millis(c)
+      case m => throw new IllegalArgumentException(s"unknown time.precision.mode: $m")
+    }
+    columns.foldLeft(df)((d, c) => d.withColumn(c, render(col(c))))
+  }
 }

@@ -129,20 +129,27 @@ object Snapshot {
     val keyTuple = struct(keyCols.map(col): _*)
     def boundLit(b: Seq[Any]): Column =
       struct(keyCols.zip(b).map { case (c, v) => lit(v).as(c) }: _*)
+    // Duplicate sampled boundaries collapse (skewed keys): the effective
+    // chunk count is bounds.size + 1; the remaining chunk slots are EMPTY
+    // (lit(false)), never unbounded — a None/None slot would cover the
+    // whole table and double-count every row.
     (0 until numChunks).map { i =>
-      val lo = if (i == 0) None else bounds.lift(i - 1)
-      val hi = bounds.lift(i)
-      // Coarse pushable half (first key column only; inclusive hi — the
-      // boundary tuple's first component may split inside one value).
-      val coarse = Seq(
-        lo.map(b => col(keyCols.head) >= lit(b.head)),
-        hi.map(b => col(keyCols.head) <= lit(b.head))).flatten
-        .reduceOption(_ && _).getOrElse(lit(true))
-      val exact = Seq(
-        lo.map(b => keyTuple >= boundLit(b)),
-        hi.map(b => keyTuple < boundLit(b))).flatten
-        .reduceOption(_ && _).getOrElse(lit(true))
-      coarse && exact
+      if (i > bounds.size) lit(false)
+      else {
+        val lo = if (i == 0) None else Some(bounds(i - 1))
+        val hi = bounds.lift(i)
+        // Coarse pushable half (first key column only; inclusive hi — the
+        // boundary tuple's first component may split inside one value).
+        val coarse = Seq(
+          lo.map(b => col(keyCols.head) >= lit(b.head)),
+          hi.map(b => col(keyCols.head) <= lit(b.head))).flatten
+          .reduceOption(_ && _).getOrElse(lit(true))
+        val exact = Seq(
+          lo.map(b => keyTuple >= boundLit(b)),
+          hi.map(b => keyTuple < boundLit(b))).flatten
+          .reduceOption(_ && _).getOrElse(lit(true))
+        coarse && exact
+      }
     }
   }
 
