@@ -136,12 +136,7 @@ object Bench {
     (sec, numEvents / sec)
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit = graft.core.Fs.deleteTree(p)
 
   /** The state ≫ batch regime — the shape the 10^10-event north rule
     * actually lives in (a mature table takes small incremental batches).
@@ -470,6 +465,7 @@ object Bench {
     val pairs = (scaling match {
       case "0"   => Nil
       case "all" => Seq((2, 8), (1, 4), (4, 16), (8, 32))
+      case "28"  => Seq((2, 8)) // single-pair local evidence hunts
       case _     => Seq((2, 8), (1, 4))
     }).map { case (n, n4) => new PairState(n, n4, pairEvents(n)) }
     pairStates = pairs
@@ -523,15 +519,19 @@ object Bench {
     // Stage 3: headline — the north-rule number at full parallelism,
     // sized ~50 s at the probe rate, capped at 2× the configured base
     // (calm: ~16 M, the round-1/2 comparable). First rep mandatory — now
-    // bounded by construction.
-    val headlineEv = clamp(calThr * 50.0, 1000000L, baseEvents * 2)
-    val (hSec, hThr) = measuredReplay(headlineEv, cpus, reps, deadlineAt(0.85))
-    replayRes = Some((headlineEv, hSec, hThr))
-    emit("partial")
+    // bounded by construction. SPARK_GRAFT_HEADLINE=0 skips headline AND
+    // streaming (local pair-evidence hunts only; the driver runs default).
+    val headlineOn = sys.env.getOrElse("SPARK_GRAFT_HEADLINE", "1") != "0"
+    if (headlineOn) {
+      val headlineEv = clamp(calThr * 50.0, 1000000L, baseEvents * 2)
+      val (hSec, hThr) = measuredReplay(headlineEv, cpus, reps, deadlineAt(0.85))
+      replayRes = Some((headlineEv, hSec, hThr))
+      emit("partial")
+    }
 
     // Stage 4: streaming-mode throughput (round-3 VERDICT item 9): the
     // readStream→foreachBatch path with a checkpoint restart mid-input.
-    if (System.currentTimeMillis() < deadlineAt(0.90)) {
+    if (headlineOn && System.currentTimeMillis() < deadlineAt(0.90)) {
       val streamEv = clamp(calThr * 15.0, 200000L, baseEvents)
       val s = session(cpus, aqe = false, shufflePartitions = Some(NumBuckets))
       try {

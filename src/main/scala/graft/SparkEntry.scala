@@ -456,6 +456,17 @@ object SparkEntry {
         Transforms.temporalPrecision(_, Seq("ts_ms"), "connect"))
       steps.foldLeft(staged)((d, f) => f(d))
     }),
+    // Sequence packing: documents → fixed-token-budget training
+    // sequences (contiguous offset-binning within engine-portable hash
+    // groups; one exchange on the group key + an in-partition running
+    // sum — no global sort, no driver state).
+    "q77_seq_packing" -> ((s, dir) => {
+      val docs = Corpus.documents(s, dir)
+      tdp.Packing.packSequences(docs, col("doc_id"),
+        TextAnalysis.bpeIshTokenCount(col("text")), maxTokens = 2048, numGroups = 8)
+        .select(col("doc_id"), col("pack_group"), col("pack_seq"),
+          col("tokens"), col("cum_tokens"))
+    }),
     // ANN brute-force cosine top-k (exact baseline).
     "q25_ann_bruteforce" -> ((s, dir) => {
       val emb = Corpus.embsWithDups(s, dir)
@@ -1176,7 +1187,7 @@ object SparkEntry {
         |SELECT doc_id, lang,
         |       CASE WHEN h2 < 'cccccccd' THEN 'train'
         |            WHEN h2 < 'e6666666' THEN 'val'
-        |            WHEN h2 < 'ffffffff' THEN 'test' END AS split
+        |            ELSE 'test' END AS split
         |FROM s
         |WHERE h1 < CASE lang WHEN 'en' THEN 'e6666666'
         |                     WHEN 'de' THEN '80000000'
@@ -1200,6 +1211,22 @@ object SparkEntry {
         |       epoch_us(ts) AS ts_us,
         |       epoch_ms(ts) AS ts_ms
         |FROM events""".stripMargin,
+    "q77_seq_packing" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         CAST(list_sum([CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) AS BIGINT)
+         |           for i in generate_series(1, 32)]) % 8 AS BIGINT) AS pack_group,
+         |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS tokens
+         |  FROM documents),
+         |cum AS (
+         |  SELECT doc_id, pack_group, tokens,
+         |         sum(tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+         |                           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  FROM toks)
+         |SELECT doc_id, pack_group,
+         |       CAST(floor((cum_tokens - tokens) / 2048.0) AS BIGINT) AS pack_seq,
+         |       tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM cum""".stripMargin,
     "q22_dedup_simhash" ->
       s"""WITH ${Corpus.Sql.corpus}
          |SELECT doc_id, $simhashSql AS fp

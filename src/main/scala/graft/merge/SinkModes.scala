@@ -50,7 +50,17 @@ object SinkModes {
       mode: String,
       recordKeyCols: Seq[String] = Envelope.keyCols,
       fields: Seq[String] = Nil): Seq[String] = mode match {
-    case "record_key"   => if (fields.isEmpty) recordKeyCols else recordKeyCols.filter(fields.contains)
+    case "record_key" =>
+      if (fields.isEmpty) recordKeyCols
+      else {
+        // reject unknown fields at config time like the reference sink —
+        // a silent intersect could empty the key set and quietly degrade
+        // upsert to insert semantics
+        val unknown = fields.filterNot(recordKeyCols.contains)
+        require(unknown.isEmpty,
+          s"primary.key.fields not part of the record key: ${unknown.mkString(", ")}")
+        recordKeyCols.filter(fields.contains)
+      }
     case "record_value" =>
       require(fields.nonEmpty, "primary.key.fields is required for record_value mode")
       fields

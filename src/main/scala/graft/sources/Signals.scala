@@ -102,15 +102,15 @@ object Signals {
       val R = """\{"data":"(.*)","chunks":(\d+),"next":(\d+),"paused":(true|false),"staged":"(.*)","expr":"(.*)"\}""".r
       Files.readString(p).trim match {
         case R(d, c, n, pz, st, ex) =>
-          Some(SnapshotProgress(d, c.toInt, n.toInt, pz.toBoolean, unescState(st), unescState(ex)))
+          Some(SnapshotProgress(unescState(d), c.toInt, n.toInt, pz.toBoolean,
+            unescState(st), unescState(ex)))
         case other => throw new IllegalArgumentException(s"bad snapshot state: $other")
       }
     }
   }
 
   private def escState(s: String): String = LineCodec.esc(s)
-  private def unescState(s: String): String =
-    s.replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\")
+  private def unescState(s: String): String = LineCodec.unesc(s)
 
   private def writeState(channel: String, st: SnapshotProgress): Unit =
     Files.writeString(statePath(channel),
@@ -143,11 +143,7 @@ object Signals {
   }
 
   private def deleteStaged(st: SnapshotProgress): Unit =
-    if (st.staged.nonEmpty) {
-      val p = Paths.get(st.staged)
-      if (Files.exists(p))
-        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
+    if (st.staged.nonEmpty) graft.core.Fs.deleteTree(Paths.get(st.staged))
 
   /** Minimal explicit JSON codec (flat 3-field record; avoids dragging a
     * JSON mapper into executors — this never leaves the driver anyway).
@@ -166,7 +162,26 @@ object Signals {
       case R(i, t, d) => SignalRecord(unesc(i), unesc(t), unesc(d))
       case other => throw new IllegalArgumentException(s"bad signal line: $other")
     }
-    private def unesc(s: String): String =
-      s.replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\")
+    /** Single left-to-right scan: chained `replace` calls would re-scan
+      * earlier replacements' output — `replace("\\n","\n")` first turns a
+      * literal backslash+n (escaped as `\\` `n`) into backslash+NEWLINE,
+      * corrupting any value that contains a backslash before an 'n'.
+      */
+    def unesc(s: String): String = {
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 'n'  => sb.append('\n'); i += 2
+            case '"'  => sb.append('"'); i += 2
+            case '\\' => sb.append('\\'); i += 2
+            case _    => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
   }
 }

@@ -116,12 +116,24 @@ object Snapshot {
     val sample = keyed.sample(withReplacement = false, frac, seed).collect()
     implicit val anyOrd: Ordering[Seq[Any]] = (a: Seq[Any], b: Seq[Any]) =>
       a.zip(b).iterator.map {
-        case (x: Comparable[_], y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
         case (null, null) => 0
         case (null, _) => -1
+        case (_, null) => 1
+        // Strings must sort the way Catalyst compares them — UTF-8 BINARY
+        // order. Java's UTF-16 compareTo disagrees around supplementary
+        // characters (surrogates sort low in UTF-16, high in UTF-8), and
+        // misordered bounds make adjacent chunk predicates OVERLAP.
+        case (x: String, y: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(x)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+        case (x: Comparable[_], y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
         case (_, _) => 1
       }.find(_ != 0).getOrElse(0)
-    val sorted = sample.map(r => keyCols.indices.map(r.get(_)): Seq[Any]).sorted
+    // Null-keyed rows can't participate in range bounds (a bound literal
+    // with a null component makes its chunk predicates NULL for every
+    // nearby row); they are routed to chunk 0 explicitly below.
+    val sorted = sample.map(r => keyCols.indices.map(r.get(_)): Seq[Any])
+      .filter(_.forall(_ != null)).sorted
     val bounds: Seq[Seq[Any]] =
       if (sorted.isEmpty) Nil
       else (1 until numChunks).map(i => sorted((i * sorted.size / numChunks).min(sorted.size - 1)))
@@ -133,6 +145,12 @@ object Snapshot {
     // chunk count is bounds.size + 1; the remaining chunk slots are EMPTY
     // (lit(false)), never unbounded — a None/None slot would cover the
     // whole table and double-count every row.
+    //
+    // Rows with ANY null key component go to chunk 0 EXCLUSIVELY: their
+    // range comparisons evaluate to SQL NULL (dropped by WHERE) — except
+    // when a non-null leading component decides a struct comparison — so
+    // chunk 0 takes `|| anyKeyNull` and every other chunk subtracts it.
+    val anyKeyNull = keyCols.map(col(_).isNull).reduce(_ || _)
     (0 until numChunks).map { i =>
       if (i > bounds.size) lit(false)
       else {
@@ -148,7 +166,8 @@ object Snapshot {
           lo.map(b => keyTuple >= boundLit(b)),
           hi.map(b => keyTuple < boundLit(b))).flatten
           .reduceOption(_ && _).getOrElse(lit(true))
-        coarse && exact
+        if (i == 0) (coarse && exact) || anyKeyNull
+        else coarse && exact && !anyKeyNull
       }
     }
   }

@@ -462,8 +462,7 @@ final class LakeTable(
       .foreach(deleteTree)
   }
 
-  private def deleteTree(p: Path): Unit =
-    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  private def deleteTree(p: Path): Unit = graft.core.Fs.deleteTree(p)
 
   /** Maintenance compaction (Iceberg rewrite-data-files analog): rewrite
     * every bucket to the CURRENT table schema (old-schema files disappear)

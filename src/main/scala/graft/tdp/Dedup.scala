@@ -271,10 +271,17 @@ object Dedup {
     * loop converges in a handful of rounds even at 10⁹ docs.
     *
     * Scale shape per round: one shuffle of (edge endpoint, label) pairs —
-    * ids and labels only, never payloads; each round's result is
-    * persisted and the previous round dropped, so lineage stays O(1).
-    * The driver-side loop is bounded (`maxIters`) with an O(1)-row
-    * convergence check (changed-count aggregate).
+    * ids and labels only, never payloads. Each round's labels are
+    * `localCheckpoint`ed: persist() alone truncates EXECUTION but not
+    * the logical plan, so Catalyst re-analyzes a tree that grows by two
+    * joins per round and the optimizer, not the data, becomes the
+    * bottleneck after a few dozen rounds (observed: iterations slowing
+    * from ~1 s to ~30 s). The checkpoint makes each round's plan a leaf —
+    * constant per-round cost. (On a cluster, localCheckpoint trades
+    * executor-loss recovery for speed — acceptable inside a bounded
+    * retryable job; use reliable checkpointing if the loop must survive
+    * executor churn.) The driver-side loop is bounded (`maxIters`) with
+    * an O(1)-row convergence check (changed-count aggregate).
     *
     * Input: (a, b) pairs with a < b (the shape every pair operator here
     * emits). Output: (doc, cluster) for every doc that appears in a pair;
@@ -286,10 +293,10 @@ object Dedup {
     // Undirected edge list, both directions (min-label must flow both ways).
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .persist()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("doc")).distinct()
       .select(col("doc"), col("doc").as("cluster"))
-      .persist()
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -299,15 +306,21 @@ object Dedup {
         .select(col("dst").as("doc"), col("cluster"))
       val next = labels.unionAll(viaEdges)
         .groupBy("doc").agg(min(col("cluster")).as("cluster"))
-        .persist()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("cluster", "prev"), "doc")
         .where(col("cluster") =!= col("prev")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
+    // A silent non-converged result would let dedupByClusters keep
+    // several "canonical" docs from ONE duplicate cluster — fail loudly;
+    // min-label propagation needs O(component diameter) rounds, so raise
+    // maxIters for graphs with long transitive chains.
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxIters rounds — " +
+          "a component's diameter exceeds maxIters; raise maxIters")
     labels
   }
 

@@ -19,10 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** 8-hex-digit threshold for a keep-rate in [0, 1]. */
+  /** Threshold for a keep-rate in [0, 1]: 8 hex digits, except rate 1.0
+    * (and cumulative cuts reaching 1.0) returns "g" — lexically above
+    * every hex string, so `hash < threshold` keeps ALL rows. A clamped
+    * "ffffffff" with strict `<` would drop rows hashing exactly to it
+    * (~1 in 2^32 — real rows at 10^11-doc scale, and split fractions
+    * summing to 1.0 would leave them split=NULL).
+    */
   private[tdp] def hexThreshold(rate: Double): String = {
-    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1]: $rate")
-    f"${math.round(rate * 4294967296.0).min(4294967295L)}%08x"
+    require(rate >= 0.0 && rate <= 1.0 + 1e-9, s"rate must be in [0,1]: $rate")
+    val n = math.round(rate * 4294967296.0)
+    if (n >= 4294967296L) "g" else f"$n%08x"
   }
 
   /** The sampling hash of a key — first 8 hex digits of md5(salt||key). */

@@ -95,4 +95,25 @@ class SignalsSpec extends SparkSpec {
       assert(rows === chunkOf.count(_._2 == c).toLong, s"chunk $c rows_applied")
     }
   }
+
+  test("snapshot state roundtrips values with backslashes, quotes, newlines") {
+    // regression: chained-replace unescaping turned a literal
+    // backslash+n (e.g. inside a regex chunkExpr) into a newline
+    val channel = java.nio.file.Files.createTempDirectory("graft-sig-esc")
+      .resolve("ch").toString
+    val nasty = Seq(
+      """pmod(hash(path), 4)""",
+      """regexp_like(path, 'a\nb')""", // literal \ then n
+      "quote\" and \\ and\nnewline",
+      """trailing backslash \""",
+      """","chunks":9,"next":0""") // field-delimiter lookalike
+    nasty.foreach { s =>
+      Signals.initSnapshot(channel, data = s, chunks = 3, staged = s, expr = s)
+      val st = Signals.snapshotState(channel).get
+      assert(st.data === s, "data")
+      assert(st.staged === s, "staged")
+      assert(st.expr === s, "expr")
+      Signals.clearSnapshot(channel)
+    }
+  }
 }

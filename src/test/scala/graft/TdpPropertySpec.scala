@@ -30,7 +30,10 @@ class TdpPropertySpec extends SparkSpec {
       skewed <- Gen.listOfN(n, Gen.frequency(
         (3, Gen.const("hot")), // heavy duplicate key
         (5, Gen.alphaNumStr.map(_.take(8))),
-        (1, Gen.const("zzü")) // non-ascii
+        (1, Gen.const("zzü")), // non-ascii
+        (1, Gen.const("a�")), // U+FFFD: sorts HIGH in UTF-16, low-ish in UTF-8
+        (1, Gen.const("a😀")), // supplementary char: UTF-16 surrogates sort LOW, UTF-8 sorts HIGH
+        (1, Gen.const(null: String)) // null keys must land in exactly one chunk
       ))
       paths <- Gen.listOfN(n, Gen.choose(0, 50))
     } yield skewed.zip(paths).map { case (r, p) => (r, s"f$p") }
@@ -71,13 +74,20 @@ class TdpPropertySpec extends SparkSpec {
       sLo.subsetOf(sHi)
     }
     check("rate monotone", rMono)
+    // rate 1.0 keeps EVERY row (strict-< against a clamped "ffffffff"
+    // would drop hash=ffffffff rows), and fractions summing to exactly
+    // 1.0 leave no row unassigned
+    assert(Sampling.hashSample(ids, col("id"), 1.0, "m").count() === 3000L)
+    val full = Sampling.assignSplits(ids, col("id"),
+      Seq("a" -> 0.5, "b" -> 0.5), salt = "full")
+    assert(full.where(col("split").isNull).count() === 0L)
   }
 
   test("duplicateClusters equals a driver-side union-find on any pair graph") {
     val genPairs = for {
-      n <- Gen.choose(1, 60)
-      as <- Gen.listOfN(n, Gen.choose(0L, 40L))
-      bs <- Gen.listOfN(n, Gen.choose(0L, 40L))
+      n <- Gen.choose(1, 45)
+      as <- Gen.listOfN(n, Gen.choose(0L, 30L))
+      bs <- Gen.listOfN(n, Gen.choose(0L, 30L))
     } yield as.zip(bs).collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct
     val prop = Prop.forAll(genPairs) { pairs =>
       pairs.isEmpty || {
@@ -100,5 +110,11 @@ class TdpPropertySpec extends SparkSpec {
       }
     }
     check("connected components", prop)
+  }
+
+  test("duplicateClusters fails loudly when maxIters < component diameter") {
+    val chain = (0L until 10L).sliding(2).map(s => (s.head, s.last)).toSeq
+    intercept[IllegalStateException](
+      Dedup.duplicateClusters(chain.toDF("a", "b"), maxIters = 2).collect())
   }
 }

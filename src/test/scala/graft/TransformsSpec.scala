@@ -166,6 +166,10 @@ class TransformsSpec extends SparkSpec {
     assert(SinkModes.primaryKeyCols("none") === Nil)
     assertThrows[IllegalArgumentException](SinkModes.primaryKeyCols("record_value"))
     assertThrows[IllegalArgumentException](SinkModes.primaryKeyCols("bogus"))
+    // unknown primary.key.fields are a config error, not a silent
+    // intersect (an emptied key set would degrade upsert to insert)
+    assertThrows[IllegalArgumentException](
+      SinkModes.primaryKeyCols("record_key", fields = Seq("repoo")))
     // record_value keyed on (repo, lang): (r1,en) collapses to the lsn=2
     // winner; (r1,fr) keeps its create (the delete is not an upsert op)
     val byValue = SinkModes.upsertKeyed(log, "record_value", fields = Seq("repo", "lang"))
