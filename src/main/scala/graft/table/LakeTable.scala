@@ -595,24 +595,39 @@ final class LakeTable(
     val writer = if (maxFileRows > 0) out.write.option("maxRecordsPerFile", maxFileRows) else out.write
     writer.mode("overwrite").parquet(abs)
     val part = "part-(\\d{5})".r
-    Files.list(Paths.get(abs)).iterator().asScala
+    val staged: Seq[(String, Int, Path)] = Files.list(Paths.get(abs)).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .flatMap { p =>
         val rel = Paths.get(root).relativize(p).toString
-        part.findFirstMatchIn(p.getFileName.toString).map { m =>
-          FileEntry(rel, m.group(1).toInt, schemaIdx, rowCount(p))
-        }
+        part.findFirstMatchIn(p.getFileName.toString).map(m => (rel, m.group(1).toInt, p))
       }.toSeq
+    // Footer reads in PARALLEL on the driver: done serially they are
+    // ~20 ms × numBuckets of pure driver time BETWEEN the write job and
+    // the commit — a serial stage per microbatch that Amdahl-caps the
+    // measured core-count scaling (profiled: ~1.3 s of the ~1.4 s
+    // post-write driver gap at 64 buckets).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(4, math.min(16, Runtime.getRuntime.availableProcessors())))
+    try {
+      val futs = staged.map { case (rel, idx, p) =>
+        (rel, idx, pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = rowCount(p)
+        }))
+      }
+      futs.map { case (rel, idx, f) => FileEntry(rel, idx, schemaIdx, f.get()) }
+    } finally pool.shutdown()
   }
 
   /** Exact row count from the parquet FOOTER (metadata-only — no data
-    * read; ~1 ms/file driver-side). Stored in the manifest so the merge
-    * can choose its physical path from exact state-vs-batch cardinality.
+    * read). Stored in the manifest so the merge can choose its physical
+    * path from exact state-vs-batch cardinality. Uses the shared
+    * [[LakeTable.hadoopConf]]: constructing a Configuration per file is
+    * the dominant cost of a footer read.
     */
   private def rowCount(p: Path): Long =
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(p.toUri), new org.apache.hadoop.conf.Configuration())
+        new org.apache.hadoop.fs.Path(p.toUri), LakeTable.hadoopConf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try r.getRecordCount finally r.close()
     } catch { case _: Exception => -1L }
@@ -624,6 +639,11 @@ final class LakeTable(
   */
 object LakeTable {
   private val mapper = new ObjectMapper()
+
+  /** One shared read-only Hadoop conf for footer reads (XML parsing per
+    * `new Configuration()` costs more than the read itself).
+    */
+  private[table] lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
 
   /** Open an existing table, ADOPTING the bucket layout recorded in its
     * commit log (safe across [[LakeTable.rebucket]] evolutions — a
