@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import graft.sources.SyntheticLog
 import graft.streaming.CdcPipeline
@@ -33,6 +33,9 @@ object ProfReplay {
       val log = SyntheticLog.generate(spark, n, numKeys = n / 20, parts = 32)
       val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
       val events0 = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, String)]()
+      // Per-stage task aggregates: (n, sumRunMs, maxRunMs, gcMs, shufRdB, shufWrB, inB, outB, serMs, deserMs)
+      val stageAgg = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+      val stageDone = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
       val listener = new SparkListener {
         override def onJobStart(e: SparkListenerJobStart): Unit = {
           val site = e.stageInfos.lastOption.map(_.name).getOrElse("?")
@@ -43,6 +46,26 @@ object ProfReplay {
             events0.add((e.jobId, t0, System.nanoTime(), site))
           }
         }
+        override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            val a = stageAgg.computeIfAbsent(e.stageId, _ => new Array[Long](10))
+            a.synchronized {
+              a(0) += 1
+              a(1) += m.executorRunTime
+              a(2) = math.max(a(2), m.executorRunTime)
+              a(3) += m.jvmGCTime
+              a(4) += m.shuffleReadMetrics.totalBytesRead
+              a(5) += m.shuffleWriteMetrics.bytesWritten
+              a(6) += m.inputMetrics.bytesRead
+              a(7) += m.outputMetrics.bytesWritten
+              a(8) += m.resultSerializationTime
+              a(9) += m.executorDeserializeTime
+            }
+          }
+        }
+        override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+          stageDone.add((e.stageInfo.stageId, System.nanoTime(), e.stageInfo.name))
       }
       if (profile) spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
@@ -62,6 +85,17 @@ object ProfReplay {
           prevEnd = math.max(prevEnd, e)
           System.err.println(f"[prof]   job$id%-3d ${(e - s) / 1e9}%6.2f s (gap before: $gap%5.2f s)  $site")
         }
+        val stages = stageDone.asScala.toSeq.sortBy(_._1)
+        stages.foreach { case (sid, _, name) =>
+          Option(stageAgg.get(sid)).foreach { a =>
+            val mb = (b: Long) => b / 1e6
+            System.err.println(
+              f"[prof]   stage$sid%-3d n=${a(0)}%3d sum=${a(1) / 1e3}%6.2fs max=${a(2) / 1e3}%5.2fs " +
+              f"gc=${a(3) / 1e3}%5.2fs deser=${a(9) / 1e3}%5.2fs " +
+              f"sRd=${mb(a(4))}%7.1fMB sWr=${mb(a(5))}%7.1fMB in=${mb(a(6))}%7.1fMB out=${mb(a(7))}%7.1fMB  $name")
+          }
+        }
+        stageAgg.clear(); stageDone.clear()
       }
       graft.core.Fs.deleteTree(root)
       sec
