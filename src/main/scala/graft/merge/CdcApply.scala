@@ -236,6 +236,24 @@ object CdcApply {
         else last.flatMap(ci => table.bucketedState(spark, ci, Some(touched), evolved))
           .map(st => batchFence.fold(st)(f => st.where(posCol > posLit(f))))
 
+      // Bucket-layout LWW reduce: prefer the single-exchange plan with
+      // native map-side combine (Lww.reduceBucketedExact — partial agg
+      // bounds hot keys at one row per map task, no salt stage needed);
+      // fall back to salted-level-1 + repartition when the session's
+      // shuffle-partition count or AQE coalescing can't guarantee the
+      // partition-id==bucket contract.
+      // `exactIn` feeds the partial-agg plan; `fallbackIn` (lazy) feeds the
+      // repartition plan and is where the caller pre-salts ONLY the batch
+      // side (state already holds ≤1 row/key — salting it would add a
+      // pointless state shuffle).
+      def layoutReduce(
+          exactIn: org.apache.spark.sql.DataFrame,
+          fallbackIn: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        Lww.reduceBucketedExact(exactIn, table.keyCols, table.numBuckets)
+          .getOrElse(Lww.reducePartitioned(fallbackIn, table.keyCols, table.numBuckets))
+      def salted(in: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        if (salt > 1) Lww.saltedPartial(in, table.keyCols, salt) else in
+
       // Winners carry __src (1 = the batch side won the key) so the
       // applied-winner metric falls out of the merged result.
       val merged0 =
@@ -245,16 +263,9 @@ object CdcApply {
           // file stack (LakeTable.resolved). O(batch) apply regardless of
           // table size — the incremental-regime answer to copy-on-write
           // amplification.
-          val pre =
-            if (salt > 1) Lww.saltedPartial(alignedFenced, table.keyCols, salt)
-            else alignedFenced
-          Lww.reducePartitioned(pre, table.keyCols, table.numBuckets)
-            .withColumn("__src", lit(1))
+          layoutReduce(alignedFenced, salted(alignedFenced)).withColumn("__src", lit(1))
         } else if (!hasStateFiles || fastState.isDefined) {
-          val pre =
-            if (salt > 1) Lww.saltedPartial(alignedFenced, table.keyCols, salt)
-            else alignedFenced
-          val batchW = Lww.reducePartitioned(pre, table.keyCols, table.numBuckets)
+          val batchW = layoutReduce(alignedFenced, salted(alignedFenced))
           fastState match {
             case Some(st) => Lww.mergeCoPartitioned(st, batchW, table.keyCols, smj = table.sortedBuckets)
             case None     => batchW.withColumn("__src", lit(1))
@@ -266,11 +277,10 @@ object CdcApply {
           // state once; the rewrite puts those buckets back on the
           // join path.
           val tagged = alignedFenced.withColumn("__src", lit(1))
-          val pre = if (salt > 1) Lww.saltedPartial(tagged, table.keyCols, salt) else tagged
           val st = last.flatMap(ci => table.snapshotRaw(spark, ci, Some(touched))).get
           val stAligned = SchemaEvolution.align(st, evolved).withColumn("__src", lit(0))
           val stFenced = batchFence.fold(stAligned)(f => stAligned.where(posCol > posLit(f)))
-          Lww.reducePartitioned(stFenced.unionAll(pre), table.keyCols, table.numBuckets)
+          layoutReduce(stFenced.unionAll(tagged), stFenced.unionAll(salted(tagged)))
         }
       val merged = if (writeMetrics) merged0.persist(StorageLevel.MEMORY_AND_DISK) else merged0
 

@@ -79,6 +79,46 @@ object Lww {
       .select(pre.columns.map(c => if (keyCols.contains(c)) col(c) else col(s"__w.$c").as(c)).toIndexedSeq: _*)
   }
 
+  /** Reduce landing directly in the bucket layout WITH native map-side
+    * combine — the strictly better plan when the session allows it.
+    *
+    * [[reducePartitioned]]'s explicit `repartition(n, keys)` satisfies the
+    * aggregate's distribution, so Catalyst plans ONE complete-mode
+    * aggregate after the exchange — and therefore NO partial aggregate
+    * before it: the exchange carries every raw event, and a hot key's
+    * whole event stream lands on one reducer (why the salted level-1
+    * exists). A plain `groupBy(keys)` instead plans
+    * HashAggregate(partial) → Exchange(keys, spark.sql.shuffle.partitions)
+    * → HashAggregate(final): the partial combine caps any key's shuffle
+    * contribution at one row per map task — the bound salting buys,
+    * without salt's second exchange — and when `shuffle.partitions ==
+    * numBuckets` the exchange's HashPartitioning partition id IS the
+    * bucket id, so the output still honors [[graft.table.LakeTable.stage]]'s
+    * partition-id==bucket contract.
+    *
+    * Returns None when the contract cannot be guaranteed: shuffle
+    * partition count ≠ numBuckets, or AQE partition coalescing is active
+    * (an AQEShuffleRead merging post-shuffle partitions would break
+    * partition-id==bucket). Callers fall back to the salted
+    * repartition shape.
+    */
+  def reduceBucketedExact(df: DataFrame, keyCols: Seq[String], numBuckets: Int): Option[DataFrame] = {
+    val conf = df.sparkSession.sessionState.conf
+    val aqeCoalesce = conf.getConfString("spark.sql.adaptive.enabled", "true").toBoolean &&
+      conf.getConfString("spark.sql.adaptive.coalescePartitions.enabled", "true").toBoolean
+    val shufflePartitions = conf.getConfString("spark.sql.shuffle.partitions", "200").toInt
+    if (shufflePartitions != numBuckets || aqeCoalesce) None
+    else {
+      val others = df.columns.filterNot(keyCols.contains)
+      // Grouping attributes pass through (not re-extracted from the
+      // winner struct) for the same reason as reducePartitioned: the
+      // output must keep the exchange's HashPartitioning.
+      Some(df.groupBy(keyCols.map(col): _*)
+        .agg(max_by(struct(others.map(col): _*), pos).as("__w"))
+        .select(df.columns.map(c => if (keyCols.contains(c)) col(c) else col(s"__w.$c").as(c)).toIndexedSeq: _*))
+    }
+  }
+
   /** Merge per-key state against per-key batch winners when BOTH sides are
     * already hash-clustered on the key with the same partition count —
     * state from a bucketed scan ([[graft.table.LakeTable.bucketedState]]),

@@ -197,6 +197,22 @@ final class LakeTable(
     trimMemo(ci.version)
   }
 
+  /** Run `f` with Spark's parallel-listing threshold raised so a
+    * known-file-list read is listed on the driver (serial getFileStatus
+    * calls) instead of spawning a distributed listing job. Restores the
+    * session's previous setting afterwards.
+    */
+  private def withSerialListing[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "1000000")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Raw state incl. tombstone rows (op='d' retained so late out-of-order
     * events below a delete's position cannot resurrect the row).
     */
@@ -210,7 +226,16 @@ final class LakeTable(
     val bydSchema = wanted.groupBy(_.schemaIdx)
     val parts = bydSchema.toSeq.sortBy(_._1).map { case (idx, fs) =>
       val written = DataType.fromJson(ci.schemas(idx)).asInstanceOf[StructType]
-      val df = spark.read.schema(written).parquet(fs.map(f => s"$root/${f.path}"): _*)
+      // The manifest already names the exact files — listing them is a
+      // getFileStatus per known path, not discovery. Above the default
+      // parallel-listing threshold (32 paths) Spark would otherwise launch
+      // a DISTRIBUTED LISTING JOB per state read: ~0.3 s of pure
+      // scheduling per microbatch here (profiled), and on an object store
+      // a whole cluster job to stat files whose names we hold. Force
+      // driver-side listing for this read.
+      val df = withSerialListing(spark) {
+        spark.read.schema(written).parquet(fs.map(f => s"$root/${f.path}"): _*)
+      }
       // Align to the current table schema: null-fill added columns, upcast
       // widened ones (Avro-style promotion; Parquet mergeSchema alone does
       // not widen types — SURVEY.md §7.3).

@@ -30,7 +30,11 @@ object ProfReplay {
     def replay(n: Long, profile: Boolean): Double = {
       val root = java.nio.file.Files.createTempDirectory(shm, "graft-prof")
       val table = new LakeTable(root.toString, numBuckets = 64)
+      // Materialize untimed, mirroring Bench.replayThroughput: the metric
+      // times the APPLY, not the synthesis of the input log.
       val log = SyntheticLog.generate(spark, n, numKeys = n / 20, parts = 32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      log.count()
       val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
       val events0 = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, String)]()
       // Per-stage task aggregates: (n, sumRunMs, maxRunMs, gcMs, shufRdB, shufWrB, inB, outB, serMs, deserMs)
