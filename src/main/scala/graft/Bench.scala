@@ -42,7 +42,7 @@ import graft.table.LakeTable
   *     window), extra rounds until ≤0.45, then a FIRST batch of adaptive
   *     extras (≤0.55) while the baseline window still holds; leg inputs
   *     sized so an N leg runs ~40 s at the probe rate. Every leg runs
-  *     full-size AND half-size back-to-back in one session: the slope
+  *     full-size AND quarter-size back-to-back in one session: the slope
   *     between them is the leg's MARGINAL per-event rate, and
   *     `marginal_efficiency` (slope ratio) is the estimator of record
   *     for the north rule — it cancels the per-replay fixed overhead
@@ -50,21 +50,27 @@ import graft.table.LakeTable
   *     ~20-30% and mathematically caps the average-rate ratio (a leg
   *     would need wall ≥ 22× the fixed overhead for an average-based
   *     0.8 at the 2→8 pair — minutes per leg, unaffordable under
-  *     contention). The average `efficiency` is still reported;
+  *     contention). The average `efficiency` is still reported.
+  *     Quarter (not half) size: +25% wall per leg instead of +50% with a
+  *     LARGER slope denominator — the round-3 validation run spent 52%
+  *     of budget on half-sized pairs and starved the streaming stage;
   *  2. query sweep (≤0.78): every SparkEntry query on
   *     `SPARK_GRAFT_SF_DIR`; -1 = failed (error on stderr), -2 =
   *     budget-skipped — never silently absent;
-  *  3. headline (≤0.85; first rep mandatory): end-to-end change-events/
+  *  3. streaming stage (entry <0.82): Structured Streaming
+  *     `CdcPipeline.start` (AvailableNow file tail → foreachBatch apply)
+  *     with a CHECKPOINT RESTART mid-input — the streaming path's own
+  *     throughput number. BEFORE the headline: it is the only evidence
+  *     of its kind, while the headline also has the calibration probes
+  *     as same-job corroboration (round-3 validation run: the headline
+  *     ran long in a turned window and the streaming stage starved);
+  *  4. headline (≤0.88; first rep mandatory): end-to-end change-events/
   *     sec applied at `local[cpus]`, input sized ~50 s at the probe rate
   *     (calm windows reproduce the old 16 M sizing; contended windows
   *     shrink it instead of starving the run);
-  *  4. streaming stage (entry <0.90): Structured Streaming
-  *     `CdcPipeline.start` (AvailableNow file tail → foreachBatch apply)
-  *     with a CHECKPOINT RESTART mid-input — the streaming path's own
-  *     throughput number;
   *  5. adaptive pair extras (≤0.94): cheap 4N re-samples of the pair
   *     closest to the 0.8 rule;
-  *  6. state-heavy merge A/B (entry <0.85): fast vs merge-on-read vs
+  *  6. state-heavy merge A/B (entry <0.88): fast vs merge-on-read vs
   *     legacy union+reduce with shuffle-bytes meter — stable across
   *     rounds (BASELINE.md), so it is the correct stage to triage away
   *     in a bad window.
@@ -305,7 +311,11 @@ object Bench {
     *    contention only ever subtracts throughput).
     */
   private final class PairState(val n: Int, val n4: Int, val ev: Long) {
-    val evHalf: Long = math.max(ev / 2, 50000L)
+    // Quarter-size second point: the slope denominator (t_full − t_small)
+    // grows while the extra wall cost per leg drops from +50% (half-size)
+    // to +25% — the round-3 validation run spent 52% of budget on pairs
+    // with half-size legs and starved the streaming stage.
+    val evSmall: Long = math.max(ev / 4, 50000L)
     var bestN: Double = Double.MaxValue
     var best4: Double = Double.MaxValue
     var slopeN: Double = 0.0
@@ -321,24 +331,24 @@ object Bench {
   }
 
   /** One leg (fresh session at `cpus`, optional untimed warm-up): a
-    * full-size measured replay, then a half-size one in the SAME session —
+    * full-size measured replay, then a quarter-size one in the SAME session —
     * the adjacent pair yields this epoch's marginal per-event rate
     * (slope). Sessions alternate via stop/start (one SparkContext per
     * JVM); JIT and the codegen cache persist across contexts.
     * Returns (fullSec, slopeEvPerSec; slope 0 when the epoch was too
     * noisy to order the two sizes).
     */
-  private def pairLeg(cpus: Int, ev: Long, evHalf: Long, warm: Boolean, tag: String): (Double, Double) = {
+  private def pairLeg(cpus: Int, ev: Long, evSmall: Long, warm: Boolean, tag: String): (Double, Double) = {
     val s = session(cpus, aqe = false, shufflePartitions = Some(NumBuckets))
     try {
       // Small warm-up: JIT + codegen caches are JVM-wide and already hot
       // from the calibration probe; this only exercises the fresh session.
       if (warm) replayThroughput(s, math.min(100000L, ev))
       val (t, thr) = replayThroughput(s, ev)
-      val (tH, _) = replayThroughput(s, evHalf)
-      val slope = if (t > tH * 1.02) (ev - evHalf) / (t - tH) else 0.0
+      val (tH, _) = replayThroughput(s, evSmall)
+      val slope = if (t > tH * 1.02) (ev - evSmall) / (t - tH) else 0.0
       System.err.println(
-        f"[bench] pair $tag cpus=$cpus: $t%.1f s ($thr%.0f ev/s avg); half=$tH%.1f s → marginal $slope%.0f ev/s")
+        f"[bench] pair $tag cpus=$cpus: $t%.1f s ($thr%.0f ev/s avg); small=$tH%.1f s → marginal $slope%.0f ev/s")
       (t, slope)
     } finally s.stop()
   }
@@ -358,11 +368,11 @@ object Bench {
     while (r < reps && (r < mandatoryRounds || System.currentTimeMillis() < deadlineMs)) {
       pairs.foreach { p =>
         if (r < mandatoryRounds || System.currentTimeMillis() < deadlineMs) {
-          val (tN, sN) = pairLeg(p.n, p.ev, p.evHalf, r == 0, s"rep=${r + 1}")
+          val (tN, sN) = pairLeg(p.n, p.ev, p.evSmall, r == 0, s"rep=${r + 1}")
           p.bestN = math.min(p.bestN, tN)
           p.slopeN = math.max(p.slopeN, sN)
           p.repsN += 1
-          val (t4, s4) = pairLeg(p.n4, p.ev, p.evHalf, r == 0, s"rep=${r + 1}")
+          val (t4, s4) = pairLeg(p.n4, p.ev, p.evSmall, r == 0, s"rep=${r + 1}")
           p.best4 = math.min(p.best4, t4)
           p.slope4 = math.max(p.slope4, s4)
           p.reps4 += 1
@@ -388,7 +398,7 @@ object Bench {
     // though a calmer N sample can only LOWER the reported number.
     pairs.filter(p => p.measured && p.repsN < 2).foreach { p =>
       if (System.currentTimeMillis() < deadlineMs) {
-        val (tN, sN) = pairLeg(p.n, p.ev, p.evHalf, warm = false, s"topupN reps=${p.repsN + 1}")
+        val (tN, sN) = pairLeg(p.n, p.ev, p.evSmall, warm = false, s"topupN reps=${p.repsN + 1}")
         p.bestN = math.min(p.bestN, tN)
         p.slopeN = math.max(p.slopeN, sN)
         p.repsN += 1
@@ -398,7 +408,7 @@ object Bench {
     def bestEff: Double = pairs.filter(_.measured).map(_.bestEff).maxOption.getOrElse(1.0)
     while (extra < maxExtras && bestEff < 0.82 && System.currentTimeMillis() < deadlineMs) {
       val p = pairs.filter(_.measured).maxBy(_.bestEff)
-      val (t4, s4) = pairLeg(p.n4, p.ev, p.evHalf, warm = false, s"extra4=${extra + 1}")
+      val (t4, s4) = pairLeg(p.n4, p.ev, p.evSmall, warm = false, s"extra4=${extra + 1}")
       p.best4 = math.min(p.best4, t4)
       p.slope4 = math.max(p.slope4, s4)
       p.reps4 += 1
@@ -578,22 +588,14 @@ object Bench {
     qSession.stop()
     emit("partial")
 
-    // Stage 3: headline — the north-rule number at full parallelism,
-    // sized ~50 s at the probe rate, capped at 2× the configured base
-    // (calm: ~16 M, the round-1/2 comparable). First rep mandatory — now
-    // bounded by construction. SPARK_GRAFT_HEADLINE=0 skips headline AND
-    // streaming (local pair-evidence hunts only; the driver runs default).
-    val headlineOn = sys.env.getOrElse("SPARK_GRAFT_HEADLINE", "1") != "0"
-    if (headlineOn) {
-      val headlineEv = clamp(calThr * 50.0, 1000000L, baseEvents * 2)
-      val (hSec, hThr) = measuredReplay(headlineEv, cpus, reps, deadlineAt(0.85))
-      replayRes = Some((headlineEv, hSec, hThr))
-      emit("partial")
-    }
-
-    // Stage 4: streaming-mode throughput (round-3 VERDICT item 9): the
+    // Stage 3: streaming-mode throughput (round-3 VERDICT item 9): the
     // readStream→foreachBatch path with a checkpoint restart mid-input.
-    if (headlineOn && System.currentTimeMillis() < deadlineAt(0.90)) {
+    // Runs BEFORE the headline — it is the only evidence of its kind,
+    // while the headline is the same replay job the calibration probes
+    // already sampled. SPARK_GRAFT_HEADLINE=0 skips streaming AND
+    // headline (local pair-evidence hunts only; the driver runs default).
+    val headlineOn = sys.env.getOrElse("SPARK_GRAFT_HEADLINE", "1") != "0"
+    if (headlineOn && System.currentTimeMillis() < deadlineAt(0.82)) {
       val streamEv = clamp(calThr * 15.0, 200000L, baseEvents)
       val s = session(cpus, aqe = false, shufflePartitions = Some(NumBuckets))
       try {
@@ -601,6 +603,17 @@ object Bench {
         System.err.println(f"[bench] streaming: ${r._3}%.0f ev/s over ${r._1} events (1 checkpoint restart)")
         streamRes = Some(r)
       } finally s.stop()
+      emit("partial")
+    }
+
+    // Stage 4: headline — the north-rule number at full parallelism,
+    // sized ~50 s at the probe rate, capped at 2× the configured base
+    // (calm: ~16 M, the round-1/2 comparable). First rep mandatory — now
+    // bounded by construction.
+    if (headlineOn) {
+      val headlineEv = clamp(calThr * 50.0, 1000000L, baseEvents * 2)
+      val (hSec, hThr) = measuredReplay(headlineEv, cpus, reps, deadlineAt(0.88))
+      replayRes = Some((headlineEv, hSec, hThr))
       emit("partial")
     }
 
@@ -615,7 +628,7 @@ object Bench {
     // evidence (stable across rounds; BASELINE.md carries reproduced
     // numbers), so it is the stage a bad window is allowed to starve.
     // Sizes from the probe rate keep each leg ~2 min in any window.
-    if (sys.env.getOrElse("SPARK_GRAFT_STATE_HEAVY", "1") == "1" && elapsedFrac < 0.85) {
+    if (sys.env.getOrElse("SPARK_GRAFT_STATE_HEAVY", "1") == "1" && elapsedFrac < 0.88) {
       val s = session(cpus, aqe = false, shufflePartitions = Some(NumBuckets))
       try {
         val stateEv = clamp(calThr * 12.0, 500000L, baseEvents)

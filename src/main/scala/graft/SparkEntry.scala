@@ -748,6 +748,33 @@ object SparkEntry {
           "record_value"))
         .unionByName(tag(merge.SinkModes.upsertKeyed(log, "kafka"), "kafka"))
     }),
+
+    // Benchmark decontamination (GPT-3 appendix-C-style n-gram overlap):
+    // per-document matched-gram counts against a small benchmark set. The
+    // benchmark's gram set broadcasts; the corpus never shuffles (only
+    // matching (id, gram-md5) rows reach the count aggregation).
+    "q78_decontaminate" -> ((s, dir) => {
+      val corpus = Corpus.docsWithDups(s, dir)
+      val bench = Corpus.documents(s, dir).where(col("doc_id") % 37 === 0)
+      tdp.Decontamination.contaminationReport(corpus, bench, n = 3)
+    }),
+
+    // Ingest-time incremental dedup: a digest-index LakeTable (keyed on
+    // content_sha, maintained by the same exactly-once apply loop) admits
+    // only never-seen documents; the newness anti-join reads the index
+    // through the storage-partitioned bucketed scan (zero state-side
+    // exchange), so each ingest step moves O(batch) however large the
+    // seen-set grows. First ingest seeds ⅔ of the base docs; the second
+    // ingests the full dup-planted corpus — admitted = new digests only,
+    // canonical = min doc id within the batch.
+    "q79_ingest_dedup" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+      val index = tdp.IngestDedup.indexTable(s"$root/idx", numBuckets = 16)
+      tdp.IngestDedup.ingest(s, index,
+        Corpus.documents(s, dir).where(col("doc_id") % 3 =!= 0), 0L).unpersist()
+      tdp.IngestDedup.ingest(s, index, Corpus.docsWithDups(s, dir), 1L)
+        .select(col("doc_id"), col("content_sha"))
+    }),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1617,5 +1644,28 @@ object SparkEntry {
          |SELECT 'kafka', repo, path, commit, lang, content, part, lsn FROM (
          |  SELECT *, row_number() OVER (PARTITION BY part, lsn ORDER BY commit DESC, lsn DESC) AS rn
          |  FROM up) t WHERE rn = 1""".stripMargin,
+    // 3-gram md5 overlap vs the doc_id%37 benchmark slice, in lock-step
+    // with Decontamination.gramHashes (shingles → md5, distinct per doc).
+    "q78_decontaminate" ->
+      s"""WITH ${Corpus.Sql.corpus}
+         |, cg AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    [md5(array_to_string(words[i:i+2], ' ')) for i in generate_series(1, greatest(len(words)-2, 1))])) AS g
+         |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words FROM corpus))
+         |, bg AS (
+         |  SELECT DISTINCT unnest(list_distinct(
+         |    [md5(array_to_string(words[i:i+2], ' ')) for i in generate_series(1, greatest(len(words)-2, 1))])) AS g
+         |  FROM (SELECT string_split_regex(lower(text), '\\s+') AS words
+         |        FROM documents WHERE doc_id % 37 = 0))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS matched_grams
+         |FROM cg JOIN bg USING (g) GROUP BY doc_id""".stripMargin,
+    "q79_ingest_dedup" ->
+      s"""WITH ${Corpus.Sql.corpus}
+         |, seen AS (SELECT DISTINCT sha256(text) AS content_sha FROM documents WHERE doc_id % 3 <> 0)
+         |, b AS (SELECT doc_id, sha256(text) AS content_sha FROM corpus)
+         |, w AS (SELECT doc_id, content_sha,
+         |               row_number() OVER (PARTITION BY content_sha ORDER BY doc_id) AS rn FROM b)
+         |SELECT doc_id, content_sha FROM w
+         |WHERE rn = 1 AND content_sha NOT IN (SELECT content_sha FROM seen)""".stripMargin,
   )
 }

@@ -85,13 +85,18 @@ object Signals {
     *    round-2 VERDICT #2: the old hash-chunk predicate re-scanned the
     *    whole table per chunk);
     *  - `expr` nonEmpty: an SQL chunk-index expression over the source
-    *    (the signal's additional-condition analog; lets an oracle recompute
-    *    membership);
+    *    (lets an oracle recompute membership);
     *  - both empty: single-chunk snapshot.
+    *
+    * `cond` (optional) is the signal's ADDITIONAL-CONDITION — an SQL row
+    * predicate restricting the snapshot to matching rows (the reference's
+    * `additional-conditions` field on execute-snapshot,
+    * `ExecuteSnapshot.java:61-70,88-97`): applied before chunking, so a
+    * conditioned backfill reads and re-emits only the selected slice.
     */
   final case class SnapshotProgress(
       data: String, chunks: Int, next: Int, paused: Boolean,
-      staged: String = "", expr: String = "")
+      staged: String = "", expr: String = "", cond: String = "")
 
   private def statePath(channel: String) = Paths.get(channel + ".snapshot.json")
 
@@ -99,11 +104,11 @@ object Signals {
     val p = statePath(channel)
     if (!Files.exists(p)) None
     else {
-      val R = """\{"data":"(.*)","chunks":(\d+),"next":(\d+),"paused":(true|false),"staged":"(.*)","expr":"(.*)"\}""".r
+      val R = """\{"data":"(.*)","chunks":(\d+),"next":(\d+),"paused":(true|false),"staged":"(.*)","expr":"(.*)","cond":"(.*)"\}""".r
       Files.readString(p).trim match {
-        case R(d, c, n, pz, st, ex) =>
+        case R(d, c, n, pz, st, ex, cd) =>
           Some(SnapshotProgress(unescState(d), c.toInt, n.toInt, pz.toBoolean,
-            unescState(st), unescState(ex)))
+            unescState(st), unescState(ex), unescState(cd)))
         case other => throw new IllegalArgumentException(s"bad snapshot state: $other")
       }
     }
@@ -115,12 +120,13 @@ object Signals {
   private def writeState(channel: String, st: SnapshotProgress): Unit =
     Files.writeString(statePath(channel),
       s"""{"data":"${escState(st.data)}","chunks":${st.chunks},"next":${st.next},""" +
-        s""""paused":${st.paused},"staged":"${escState(st.staged)}","expr":"${escState(st.expr)}"}""")
+        s""""paused":${st.paused},"staged":"${escState(st.staged)}",""" +
+        s""""expr":"${escState(st.expr)}","cond":"${escState(st.cond)}"}""")
 
   /** execute-snapshot action: start (or restart) a chunked snapshot. */
   def initSnapshot(channel: String, data: String, chunks: Int,
-      staged: String = "", expr: String = ""): Unit =
-    writeState(channel, SnapshotProgress(data, math.max(chunks, 1), 0, paused = false, staged, expr))
+      staged: String = "", expr: String = "", cond: String = ""): Unit =
+    writeState(channel, SnapshotProgress(data, math.max(chunks, 1), 0, paused = false, staged, expr, cond))
 
   /** One chunk committed: advance; the state file (and any range-staged
     * clustering dir) disappears when done.

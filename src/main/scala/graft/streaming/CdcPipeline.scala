@@ -69,31 +69,40 @@ object CdcPipeline {
           val ch = signalChannel.get
           s.`type` match {
             case Signals.ExecuteSnapshot =>
-              // data = <parquet path>[#chunks[#chunkExprSql]]. With an
-              // explicit chunk-index SQL expression the chunks filter the
-              // source directly (oracle-recomputable membership). WITHOUT
-              // one, the source is re-clustered ONCE by key range into
-              // `__chunk=N` directories — each chunk read then prunes to
-              // exactly its slice instead of re-scanning the table per
-              // chunk (`ChunkBoundaryCalculator.java:48-126` reads each PK
-              // range once; the old hash-chunk predicate pruned NOTHING,
-              // so an m-chunk backfill scanned the table m times).
-              val (path, chunks, chunkExpr) = s.data.split('#') match {
-                case Array(p, n, e) => (p, n.toInt, e)
-                case Array(p, n)    => (p, n.toInt, "")
-                case _              => (s.data, 1, "")
+              // data = <parquet path>[#chunks[#chunkExprSql[#condition]]].
+              // With an explicit chunk-index SQL expression the chunks
+              // filter the source directly (oracle-recomputable
+              // membership). WITHOUT one, the source is re-clustered ONCE
+              // by key range into `__chunk=N` directories — each chunk
+              // read then prunes to exactly its slice instead of
+              // re-scanning the table per chunk
+              // (`ChunkBoundaryCalculator.java:48-126` reads each PK range
+              // once; the old hash-chunk predicate pruned NOTHING, so an
+              // m-chunk backfill scanned the table m times). `condition`
+              // is an SQL row predicate restricting the snapshot — the
+              // reference's `additional-conditions`
+              // (`ExecuteSnapshot.java:61-70,88-97`) — applied BEFORE
+              // chunking/staging so a conditioned backfill reads only its
+              // slice.
+              val (path, chunks, chunkExpr, cond) = s.data.split('#') match {
+                case Array(p, n, e, c) => (p, n.toInt, e, c)
+                case Array(p, n, e)    => (p, n.toInt, e, "")
+                case Array(p, n)       => (p, n.toInt, "", "")
+                case _                 => (s.data, 1, "", "")
               }
+              def conditioned(df: DataFrame): DataFrame =
+                if (cond.isEmpty) df else df.where(expr(cond))
               val staged =
                 if (chunks <= 1 || chunkExpr.nonEmpty) ""
                 else {
                   val dir = ch + ".snapshot-staged"
-                  sp.read.parquet(path)
+                  conditioned(sp.read.parquet(path))
                     .repartitionByRange(chunks, table.keyCols.map(col): _*)
                     .withColumn("__chunk", spark_partition_id())
                     .write.partitionBy("__chunk").mode("overwrite").parquet(dir)
                   dir
                 }
-              Signals.initSnapshot(ch, path, chunks, staged, chunkExpr)
+              Signals.initSnapshot(ch, path, chunks, staged, chunkExpr, cond)
               Notifications.emit(sp, table.root, Notifications.Started,
                 chunks = math.max(chunks, 1), data = path)
             case Signals.PauseSnapshot =>
@@ -120,14 +129,17 @@ object CdcPipeline {
           if (!st.paused && st.next < st.chunks) {
             // A range chunk can be EMPTY (repartitionByRange wrote no
             // __chunk=N dir for it) — skip the apply, still advance+notify.
+            def conditioned(df: DataFrame): DataFrame =
+              if (st.cond.isEmpty) df else df.where(expr(st.cond))
             val chunk: Option[DataFrame] =
               if (st.staged.nonEmpty) {
+                // staging already applied the condition
                 val dir = java.nio.file.Paths.get(st.staged, s"__chunk=${st.next}")
                 if (java.nio.file.Files.isDirectory(dir)) Some(sp.read.parquet(dir.toString))
                 else None
               } else if (st.expr.nonEmpty)
-                Some(sp.read.parquet(st.data).where(expr(st.expr) === st.next))
-              else Some(sp.read.parquet(st.data))
+                Some(conditioned(sp.read.parquet(st.data)).where(expr(st.expr) === st.next))
+              else Some(conditioned(sp.read.parquet(st.data)))
             val fresh = chunk.map { c =>
               CdcApply.applyBatch(sp, table, Snapshot.initial(c, snapshotLsn = 0L),
                 batchId, fenceByWatermark = false, fenceByBatchId = false).fresh

@@ -1,0 +1,81 @@
+package graft.tdp
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — remove training documents that overlap an
+  * evaluation/benchmark set, the standard pretraining hygiene step
+  * (published methodology: GPT-3 appendix C's 13-gram overlap filter and
+  * its descendants; n is configurable because the right gram length
+  * scales with document length).
+  *
+  * Scale shape (the part that matters at 100 TB): the benchmark side is
+  * SMALL by construction (eval sets are thousands of documents, not
+  * billions), so its distinct gram-hash set is broadcastable and the
+  * CORPUS NEVER SHUFFLES:
+  *
+  *  1. benchmark → distinct n-gram md5s (tiny, broadcast);
+  *  2. corpus → (id, gram-md5) narrow rows (16-byte hashes, never text),
+  *     broadcast-joined against the benchmark grams at scan speed — only
+  *     the MATCHING (id, gram) rows survive to the aggregation shuffle,
+  *     which is therefore O(contamination), not O(corpus);
+  *  3. the contaminated-id set (bounded by the benchmark's reach) comes
+  *     back to the driver side as a broadcast anti-join — the kept corpus
+  *     streams through untouched.
+  *
+  * Tokenization is shared with the dedup family ([[Dedup.shingles]] →
+  * [[TextAnalysis.words]]) so "overlap" means the same thing to dedup,
+  * repetition scoring, and decontamination, and the DuckDB oracle
+  * recomputes it verbatim.
+  */
+object Decontamination {
+
+  /** Distinct n-gram md5s of a document (md5 keeps the shuffled/broadcast
+    * width at 32 hex chars regardless of gram length; DuckDB computes the
+    * identical digest for the oracle).
+    */
+  def gramHashes(text: Column, n: Int): Column =
+    array_distinct(transform(Dedup.shingles(text, n), g => md5(g)))
+
+  /** Per-document contamination report: documents sharing at least
+    * `minOverlap` distinct n-grams with the benchmark set, with the
+    * matched-gram count. Output: (idCol, matched_grams).
+    */
+  def contaminationReport(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 13,
+      minOverlap: Int = 1,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bench = benchmark
+      .select(explode(gramHashes(col(textCol), n)).as("__g"))
+      .distinct()
+    val corpusGrams = docs.select(col(idCol), explode(gramHashes(col(textCol), n)).as("__g"))
+    corpusGrams
+      .join(broadcast(bench), "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("matched_grams"))
+      .where(col("matched_grams") >= minOverlap)
+  }
+
+  /** The decontaminated corpus: `docs` minus every document flagged by
+    * [[contaminationReport]]. The flagged-id side is bounded by the
+    * benchmark's reach into the corpus — orders of magnitude below the
+    * corpus — so it broadcasts and the kept rows never shuffle. (If a
+    * pathological benchmark contaminated a large corpus fraction, drop
+    * the explicit `broadcast` hint and let AQE pick the join; the
+    * semantics are unchanged.)
+    */
+  def decontaminate(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 13,
+      minOverlap: Int = 1,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bad = contaminationReport(docs, benchmark, n, minOverlap, idCol, textCol)
+      .select(col(idCol))
+    docs.join(broadcast(bad), Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,117 @@
+package graft.tdp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.table.LakeTable
+
+/** Ingest-time incremental dedup — the CDC × training-data crossover: as
+  * new documents stream into the lake, admit only those whose content
+  * digest has never been seen, maintaining the seen-set as a digest INDEX
+  * table that is itself a [[graft.table.LakeTable]] keyed on
+  * `content_sha` and maintained by the same exactly-once CDC apply loop
+  * as every other table (idempotent batch replay, atomic commits).
+  *
+  * Why an index table instead of re-running batch dedup: exact dedup of a
+  * GROWING corpus must compare each arriving batch against everything
+  * already ingested; recomputing [[Dedup.exact]] over the union is
+  * O(corpus) per batch. The index makes it O(batch): the seen-set is
+  * hash-bucketed by digest, so the newness check is an anti-join whose
+  * state side is the storage-partitioned bucketed scan (ZERO state-side
+  * exchange — the same plan shape as the merge itself), and registration
+  * appends only the batch's new digests.
+  *
+  * The index row is (content_sha, canonical_id). Canonical = the MINIMUM
+  * doc id ever seen for that digest, enforced through the engine's own
+  * LWW by ordering digest events with `lsn = -canonical_id` (the LWW max
+  * then prefers the smallest id — deterministic and replay-stable, the
+  * dedup analog of first-writer-wins). Index applies run with the
+  * watermark fence OFF (digest ids are not a per-partition-ordered
+  * transport; the LWW merge alone is idempotent).
+  */
+object IngestDedup {
+
+  /** A fresh digest-index table at `root` (CoW, bucketed by digest). */
+  def indexTable(root: String, numBuckets: Int = 32): LakeTable =
+    new LakeTable(root, numBuckets, keyCols = Seq("content_sha"))
+
+  /** Turn a document batch into flat digest change events for the index:
+    * one `op='c'` event per distinct digest, canonical id = min doc id in
+    * the batch, ordered so LWW keeps the smallest id ever seen.
+    */
+  def digestEvents(
+      batch: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      parts: Int = 8): DataFrame =
+    batch
+      .select(sha2(col(textCol), 256).as("content_sha"), col(idCol).cast("long").as("canonical_id"))
+      .groupBy("content_sha").agg(min("canonical_id").as("canonical_id"))
+      .select(
+        col("content_sha"), col("canonical_id"),
+        lit("c").as("op"),
+        pmod(hash(col("content_sha")), lit(parts)).as("part"),
+        (-col("canonical_id")).as("lsn"), // LWW max ⇒ min id wins
+        lit("ingest").as("commit"),
+        lit(1700000000000L).as("ts_ms"))
+
+  /** Batch rows whose digest is NOT in the index, deduped within the batch
+    * (min id per digest). Appends a `content_sha` column.
+    *
+    * Plan shape: the batch reduces to per-digest winners (one full-width
+    * shuffle — the floor for returning winner ROWS, as in [[Dedup.exact]])
+    * laid out on the index's bucket count, then anti-joins the bucketed
+    * state scan — the state side reports the on-disk HashPartitioning and
+    * plans no exchange, so per batch the data moved is O(batch) however
+    * large the seen-set grows.
+    *
+    * NOTE the result is LAZY against the index's CURRENT commit; compute
+    * it before registering the same batch (or use [[ingest]], which
+    * sequences materialize → register for you).
+    */
+  def unseen(
+      spark: SparkSession,
+      index: LakeTable,
+      batch: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sha = batch.withColumn("content_sha", sha2(col(textCol), 256))
+    val w = Window.partitionBy(col("content_sha")).orderBy(col(idCol))
+    val winners = sha
+      .repartition(index.numBuckets, col("content_sha"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    index.lastCommit() match {
+      case None => winners
+      case Some(ci) =>
+        val state = index.bucketedState(spark, ci, None, ci.schema)
+          .orElse(index.snapshotRaw(spark, ci, None))
+          .get
+          .where(col("op") === "c")
+          .select(col("content_sha"))
+        winners.join(state, Seq("content_sha"), "left_anti")
+    }
+  }
+
+  /** One exactly-once ingest step: compute the batch's unseen rows,
+    * register their digests in the index (idempotent per `batchId` — a
+    * foreachBatch retry re-commits nothing), and return the admitted rows.
+    * The result is materialized BEFORE registration so the caller's
+    * DataFrame cannot observe its own digests.
+    */
+  def ingest(
+      spark: SparkSession,
+      index: LakeTable,
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val admitted = unseen(spark, index, batch, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    admitted.count()
+    graft.merge.CdcApply.applyBatch(spark, index, digestEvents(admitted, idCol, textCol),
+      batchId, writeMetrics = false, fenceByWatermark = false)
+    admitted
+  }
+}

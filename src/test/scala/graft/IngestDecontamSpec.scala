@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.tdp.{Decontamination, IngestDedup}
+
+/** Benchmark decontamination + ingest-time incremental dedup (the round-3
+  * training-data additions).
+  */
+class IngestDecontamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------- decontamination
+
+  test("decontamination: gram overlap flags exactly the overlapping docs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares grams with the benchmark
+      (2L, "one two three four five"),        // clean
+      (3L, "alpha beta gamma delta epsilon")) // identical to 1 — also flagged
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+
+    val report = Decontamination.contaminationReport(docs, bench, n = 3)
+      .as[(Long, Long)].collect().toMap
+    // doc 1 grams (k=3): {alpha beta gamma, beta gamma delta, gamma delta epsilon};
+    // bench grams: {alpha beta gamma} → exactly 1 match.
+    assert(report === Map(1L -> 1L, 3L -> 1L))
+
+    val kept = Decontamination.decontaminate(docs, bench, n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L))
+
+    // Scale shape: both joins broadcast (the corpus side never shuffles
+    // into a sort-merge join); the only exchange feeds the matched-gram
+    // count aggregation.
+    val plan = Decontamination.decontaminate(docs, bench, n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$plan")
+  }
+
+  test("decontamination: minOverlap raises the bar") {
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val bench = Seq((9L, "a b c d")).toDF("doc_id", "text")
+    // doc grams {a b c, b c d, c d e, d e f}; bench {a b c, b c d} → 2 matches
+    assert(Decontamination.contaminationReport(docs, bench, n = 3, minOverlap = 3).count() === 0)
+    assert(Decontamination.contaminationReport(docs, bench, n = 3, minOverlap = 2)
+      .as[(Long, Long)].collect().toMap === Map(1L -> 2L))
+  }
+
+  // ----------------------------------------------------------- ingest dedup
+
+  test("ingest dedup: admits only unseen digests, min-id canonical, idempotent retry") {
+    val index = IngestDedup.indexTable(
+      Files.createTempDirectory("graft-ingest-spec").resolve("idx").toString, numBuckets = 4)
+
+    val batch1 = Seq((10L, "text X"), (11L, "text Y")).toDF("doc_id", "text")
+    val admitted1 = IngestDedup.ingest(spark, index, batch1, 0L)
+    assert(admitted1.select("doc_id").as[Long].collect().toSet === Set(10L, 11L))
+    admitted1.unpersist()
+
+    // batch 2: a seen digest (X), and a NEW digest (Z) carried by two rows
+    // — the smaller id is canonical within the batch.
+    val batch2 = Seq((20L, "text X"), (21L, "text Z"), (5L, "text Z")).toDF("doc_id", "text")
+    val admitted2 = IngestDedup.ingest(spark, index, batch2, 1L)
+    assert(admitted2.select("doc_id").as[Long].collect().toSet === Set(5L))
+    admitted2.unpersist()
+
+    // retry of the same batchId: Z is in the index now, so nothing is
+    // admitted, and the index apply is batchId-fenced (no new commit).
+    val vBefore = index.lastCommit().get.version
+    val retry = IngestDedup.ingest(spark, index, batch2, 1L)
+    assert(retry.count() === 0)
+    retry.unpersist()
+    assert(index.lastCommit().get.version === vBefore, "retry must not commit")
+
+    // the index records the minimum id ever seen per digest
+    val canon = index.snapshot(spark).get
+      .select("content_sha", "canonical_id").as[(String, Long)].collect().toMap
+    val shaZ = batch2.select(sha2(col("text"), 256)).where(col("doc_id") === 5L)
+    assert(canon(shaZ.as[String].head()) === 5L)
+
+    // plan shape AT SCALE: with auto-broadcast off (a 10^9-digest seen-set
+    // does not broadcast), the state side of the newness anti-join reads
+    // the bucketed scan — the ONLY exchange is the batch-side repartition.
+    // (At spec size the state broadcasts, which is also correct — this
+    // assertion pins the big-state shape.)
+    val batch3 = Seq((30L, "text Y"), (31L, "text W")).toDF("doc_id", "text")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val lazyUnseen = IngestDedup.unseen(spark, index, batch3)
+      val plan = lazyUnseen.queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllMatchIn(plan).size === 1,
+        s"state side must be storage-partitioned (one batch-side exchange only):\n$plan")
+      assert(plan.contains("Bucketed: true"), s"expected a bucketed state scan:\n$plan")
+      assert(lazyUnseen.select("doc_id").as[Long].collect().toSet === Set(31L))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("ingest dedup: digest events order LWW so the smallest id ever seen stays canonical") {
+    import graft.merge.CdcApply
+    val index = IngestDedup.indexTable(
+      Files.createTempDirectory("graft-ingest-lww").resolve("idx").toString, numBuckets = 2)
+    // register id 7 first, then a replayed/duplicate registration with id 3:
+    // lsn = -id makes LWW keep 3 (min id), replay-stable in any order.
+    CdcApply.applyBatch(spark, index,
+      IngestDedup.digestEvents(Seq((7L, "same text")).toDF("doc_id", "text")),
+      batchId = 0L, writeMetrics = false, fenceByWatermark = false)
+    CdcApply.applyBatch(spark, index,
+      IngestDedup.digestEvents(Seq((3L, "same text")).toDF("doc_id", "text")),
+      batchId = 1L, writeMetrics = false, fenceByWatermark = false)
+    val canon = index.snapshot(spark).get.select("canonical_id").as[Long].collect().toSeq
+    assert(canon === Seq(3L))
+  }
+}

@@ -96,6 +96,42 @@ class SignalsSpec extends SparkSpec {
     }
   }
 
+  test("execute-snapshot additional-conditions restrict the backfill (ExecuteSnapshot.java:61-70)") {
+    val inDir = tmp(); val ckpt = tmp(); val sigDir = tmp()
+    val channel = s"$sigDir/signals.jsonl"
+    val table = new LakeTable(tmp(), numBuckets = 4)
+    var tick = 0L
+    def runBatch(): Unit = {
+      tick += 1
+      val ev = Seq(FlatEvent.mk(("repoT", "tick.txt"), tick, "u")).toDF()
+      graft.core.Envelope.wrap(ev).coalesce(1).write.mode("append").parquet(inDir)
+      CdcPipeline.start(spark, inDir, ckpt, table, signalChannel = Some(channel)).awaitTermination()
+    }
+    val snapRows = (0 until 9)
+      .map(i => (s"snap$i", s"f$i.txt", "c0000000001", if (i % 2 == 0) "scala" else "java", s"backfill $i"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    val snapPath = s"$sigDir/snap.parquet"
+    snapRows.write.parquet(snapPath)
+    def applied(): Set[String] =
+      table.snapshot(spark).map(_.where(col("repo").startsWith("snap"))
+        .select("repo").as[String].collect().toSet).getOrElse(Set.empty)
+
+    // conditioned + range-chunked: the condition applies BEFORE staging,
+    // so the 2-chunk train backfills only the scala rows
+    Signals.send(channel, Signals.SignalRecord("c1", Signals.ExecuteSnapshot,
+      s"$snapPath#2##lang = 'scala' AND repo >= 'snap2'"))
+    runBatch(); runBatch() // stage + chunk 0, then chunk 1
+    assert(applied() === Set("snap2", "snap4", "snap6", "snap8"),
+      "only rows matching the additional condition may backfill")
+    assert(Signals.snapshotState(channel).isEmpty, "train drained")
+
+    // conditioned single-chunk (no staging path): condition on the read
+    Signals.send(channel, Signals.SignalRecord("c2", Signals.ExecuteSnapshot,
+      s"$snapPath#1##repo = 'snap1'"))
+    runBatch()
+    assert(applied() === Set("snap1", "snap2", "snap4", "snap6", "snap8"))
+  }
+
   test("snapshot state roundtrips values with backslashes, quotes, newlines") {
     // regression: chained-replace unescaping turned a literal
     // backslash+n (e.g. inside a regex chunkExpr) into a newline
@@ -108,11 +144,12 @@ class SignalsSpec extends SparkSpec {
       """trailing backslash \""",
       """","chunks":9,"next":0""") // field-delimiter lookalike
     nasty.foreach { s =>
-      Signals.initSnapshot(channel, data = s, chunks = 3, staged = s, expr = s)
+      Signals.initSnapshot(channel, data = s, chunks = 3, staged = s, expr = s, cond = s)
       val st = Signals.snapshotState(channel).get
       assert(st.data === s, "data")
       assert(st.staged === s, "staged")
       assert(st.expr === s, "expr")
+      assert(st.cond === s, "cond")
       Signals.clearSnapshot(channel)
     }
   }
