@@ -150,14 +150,19 @@ object Bench {
     // converged read-back.
     val log = SyntheticLog.generate(spark, numEvents, numKeys = numEvents / 20, parts = SourceParts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    log.count()
-    val t0 = System.nanoTime()
-    CdcPipeline.replay(spark, log, table, numBatches = 4, salt = 8, writeMetrics = false)
-    table.snapshot(spark).foreach(_.count()) // force a converged read
-    val sec = (System.nanoTime() - t0) / 1e9
-    log.unpersist()
-    deleteRecursively(root)
-    (sec, numEvents / sec)
+    try {
+      log.count()
+      val t0 = System.nanoTime()
+      CdcPipeline.replay(spark, log, table, numBatches = 4, salt = 8, writeMetrics = false)
+      table.snapshot(spark).foreach(_.count()) // force a converged read
+      val sec = (System.nanoTime() - t0) / 1e9
+      (sec, numEvents / sec)
+    } finally {
+      // in a finally: a failed rep must not leak the cached log or the
+      // tmpfs table dir into the session's next rep
+      log.unpersist()
+      deleteRecursively(root)
+    }
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = graft.core.Fs.deleteTree(p)
@@ -307,8 +312,13 @@ object Bench {
     *    two input sizes back-to-back in one session (same contention
     *    epoch); the slope ΔE/Δt is the per-event rate with the fixed
     *    overhead cancelled — the estimator that corresponds to the
-    *    asymptotic 10^10-event regime. Best slope across rounds (host
-    *    contention only ever subtracts throughput).
+    *    asymptotic 10^10-event regime. The slope is computed from the
+    *    BEST wall per size across rounds, NOT as the best per-epoch
+    *    slope: contention only ever ADDS wall, so min-wall is the
+    *    least-contended estimate of each point — whereas a per-epoch
+    *    slope is INFLATED by contention during its small run (the
+    *    denominator t−tS shrinks), and a max() over epochs would pin one
+    *    inflated spike forever.
     */
   private final class PairState(val n: Int, val n4: Int, val ev: Long) {
     // Quarter-size second point: the slope denominator (t_full − t_small)
@@ -318,13 +328,25 @@ object Bench {
     val evSmall: Long = math.max(ev / 4, 50000L)
     var bestN: Double = Double.MaxValue
     var best4: Double = Double.MaxValue
-    var slopeN: Double = 0.0
-    var slope4: Double = 0.0
+    var bestSmallN: Double = Double.MaxValue
+    var bestSmall4: Double = Double.MaxValue
     var repsN: Int = 0
     var reps4: Int = 0
+    def recordN(t: Double, tS: Double): Unit = {
+      bestN = math.min(bestN, t); bestSmallN = math.min(bestSmallN, tS); repsN += 1
+    }
+    def record4(t: Double, tS: Double): Unit = {
+      best4 = math.min(best4, t); bestSmall4 = math.min(bestSmall4, tS); reps4 += 1
+    }
     def measured: Boolean = bestN < Double.MaxValue && best4 < Double.MaxValue
     def thrN: Double = ev / bestN
     def thr4: Double = ev / best4
+    private def slope(t: Double, tS: Double): Double =
+      if (t < Double.MaxValue && tS < Double.MaxValue && t > tS * 1.05)
+        (ev - evSmall) / (t - tS)
+      else 0.0
+    def slopeN: Double = slope(bestN, bestSmallN)
+    def slope4: Double = slope(best4, bestSmall4)
     def eff: Double = if (measured) bestN / best4 / 4.0 else 0.0
     def effMarginal: Double = if (slopeN > 0 && slope4 > 0) slope4 / slopeN / 4.0 else 0.0
     def bestEff: Double = math.max(eff, effMarginal)
@@ -332,11 +354,9 @@ object Bench {
 
   /** One leg (fresh session at `cpus`, optional untimed warm-up): a
     * full-size measured replay, then a quarter-size one in the SAME session —
-    * the adjacent pair yields this epoch's marginal per-event rate
-    * (slope). Sessions alternate via stop/start (one SparkContext per
-    * JVM); JIT and the codegen cache persist across contexts.
-    * Returns (fullSec, slopeEvPerSec; slope 0 when the epoch was too
-    * noisy to order the two sizes).
+    * the two walls feed the pair's best-of-per-size marginal slope.
+    * Sessions alternate via stop/start (one SparkContext per JVM); JIT and
+    * the codegen cache persist across contexts. Returns (fullSec, smallSec).
     */
   private def pairLeg(cpus: Int, ev: Long, evSmall: Long, warm: Boolean, tag: String): (Double, Double) = {
     val s = session(cpus, aqe = false, shufflePartitions = Some(NumBuckets))
@@ -345,11 +365,10 @@ object Bench {
       // from the calibration probe; this only exercises the fresh session.
       if (warm) replayThroughput(s, math.min(100000L, ev))
       val (t, thr) = replayThroughput(s, ev)
-      val (tH, _) = replayThroughput(s, evSmall)
-      val slope = if (t > tH * 1.02) (ev - evSmall) / (t - tH) else 0.0
+      val (tS, _) = replayThroughput(s, evSmall)
       System.err.println(
-        f"[bench] pair $tag cpus=$cpus: $t%.1f s ($thr%.0f ev/s avg); small=$tH%.1f s → marginal $slope%.0f ev/s")
-      (t, slope)
+        f"[bench] pair $tag cpus=$cpus: $t%.1f s ($thr%.0f ev/s avg); small=$tS%.1f s")
+      (t, tS)
     } finally s.stop()
   }
 
@@ -369,13 +388,9 @@ object Bench {
       pairs.foreach { p =>
         if (r < mandatoryRounds || System.currentTimeMillis() < deadlineMs) {
           val (tN, sN) = pairLeg(p.n, p.ev, p.evSmall, r == 0, s"rep=${r + 1}")
-          p.bestN = math.min(p.bestN, tN)
-          p.slopeN = math.max(p.slopeN, sN)
-          p.repsN += 1
+          p.recordN(tN, sN)
           val (t4, s4) = pairLeg(p.n4, p.ev, p.evSmall, r == 0, s"rep=${r + 1}")
-          p.best4 = math.min(p.best4, t4)
-          p.slope4 = math.max(p.slope4, s4)
-          p.reps4 += 1
+          p.record4(t4, s4)
         }
       }
       r += 1
@@ -399,9 +414,7 @@ object Bench {
     pairs.filter(p => p.measured && p.repsN < 2).foreach { p =>
       if (System.currentTimeMillis() < deadlineMs) {
         val (tN, sN) = pairLeg(p.n, p.ev, p.evSmall, warm = false, s"topupN reps=${p.repsN + 1}")
-        p.bestN = math.min(p.bestN, tN)
-        p.slopeN = math.max(p.slopeN, sN)
-        p.repsN += 1
+        p.recordN(tN, sN)
       }
     }
     var extra = 0
@@ -409,9 +422,7 @@ object Bench {
     while (extra < maxExtras && bestEff < 0.82 && System.currentTimeMillis() < deadlineMs) {
       val p = pairs.filter(_.measured).maxBy(_.bestEff)
       val (t4, s4) = pairLeg(p.n4, p.ev, p.evSmall, warm = false, s"extra4=${extra + 1}")
-      p.best4 = math.min(p.best4, t4)
-      p.slope4 = math.max(p.slope4, s4)
-      p.reps4 += 1
+      p.record4(t4, s4)
       extra += 1
     }
   }
@@ -484,7 +495,14 @@ object Bench {
           // per-replay fixed overhead cancelled — the 10^10-event regime).
           // `efficiency` (full-leg average, overhead included) is kept for
           // round-over-round comparability. BASELINE.md §scaling explains.
-          ps + f""","scaling_best":{"n_cores":${best.n},"n4_cores":${best.n4},"efficiency":${best.eff}%.3f,"marginal_efficiency":${best.effMarginal}%.3f,"estimator":"marginal per-event slope; fixed per-replay overhead excluded (BASELINE.md)"}"""
+          // Omitted (like the per-pair fields) when no slope was
+          // measurable — 0.000 would read as a catastrophic value, not a
+          // sentinel.
+          val bestMarg =
+            if (best.effMarginal > 0)
+              f""","marginal_efficiency":${best.effMarginal}%.3f,"estimator":"marginal per-event slope; fixed per-replay overhead excluded (BASELINE.md)""""
+            else ""
+          ps + f""","scaling_best":{"n_cores":${best.n},"n4_cores":${best.n4},"efficiency":${best.eff}%.3f$bestMarg}"""
         }
       val shJson = stateHeavyRes.fold("") { case (se, be, nb, thrF, mbF, thrL, mbL, thrM) =>
         val morPart = if (thrM > 0) f""","events_per_sec_mor":$thrM%.0f,"mor_speedup":${thrM / thrF}%.1f""" else ""

@@ -97,10 +97,18 @@ object Lww {
     * partition-id==bucket contract.
     *
     * Returns None when the contract cannot be guaranteed: shuffle
-    * partition count ≠ numBuckets, or AQE partition coalescing is active
-    * (an AQEShuffleRead merging post-shuffle partitions would break
-    * partition-id==bucket). Callers fall back to the salted
-    * repartition shape.
+    * partition count ≠ numBuckets, AQE partition coalescing active (an
+    * AQEShuffleRead merging post-shuffle partitions would break
+    * partition-id==bucket), or — checked against the PHYSICAL plan, not
+    * inferred from conf — the result's outputPartitioning is anything but
+    * `HashPartitioning(keyCols, numBuckets)`. The plan check is the real
+    * guard: a groupBy plans NO exchange when its input already satisfies
+    * ClusteredDistribution (Catalyst accepts a hash layout on any SUBSET
+    * of the grouping keys at ANY partition count), in which case the
+    * partition id is not the bucket function and writing it as buckets
+    * would silently corrupt every later co-partitioned merge. Callers
+    * fall back to the salted repartition shape, whose explicit
+    * `repartition(n, keys)` enforces the contract by construction.
     */
   def reduceBucketedExact(df: DataFrame, keyCols: Seq[String], numBuckets: Int): Option[DataFrame] = {
     val conf = df.sparkSession.sessionState.conf
@@ -113,9 +121,20 @@ object Lww {
       // Grouping attributes pass through (not re-extracted from the
       // winner struct) for the same reason as reducePartitioned: the
       // output must keep the exchange's HashPartitioning.
-      Some(df.groupBy(keyCols.map(col): _*)
+      val res = df.groupBy(keyCols.map(col): _*)
         .agg(max_by(struct(others.map(col): _*), pos).as("__w"))
-        .select(df.columns.map(c => if (keyCols.contains(c)) col(c) else col(s"__w.$c").as(c)).toIndexedSeq: _*))
+        .select(df.columns.map(c => if (keyCols.contains(c)) col(c) else col(s"__w.$c").as(c)).toIndexedSeq: _*)
+      res.queryExecution.executedPlan.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+            if h.numPartitions == numBuckets &&
+              h.expressions.length == keyCols.length &&
+              h.expressions.zip(keyCols).forall {
+                case (a: org.apache.spark.sql.catalyst.expressions.Attribute, k) => a.name == k
+                case _ => false
+              } =>
+          Some(res)
+        case _ => None
+      }
     }
   }
 

@@ -104,11 +104,13 @@ object Signals {
     val p = statePath(channel)
     if (!Files.exists(p)) None
     else {
-      val R = """\{"data":"(.*)","chunks":(\d+),"next":(\d+),"paused":(true|false),"staged":"(.*)","expr":"(.*)","cond":"(.*)"\}""".r
+      // `cond` is optional so a state file written by the pre-condition
+      // format (an in-flight chunk train across an upgrade) still parses.
+      val R = """\{"data":"(.*)","chunks":(\d+),"next":(\d+),"paused":(true|false),"staged":"(.*)","expr":"(.*?)"(?:,"cond":"(.*)")?\}""".r
       Files.readString(p).trim match {
         case R(d, c, n, pz, st, ex, cd) =>
           Some(SnapshotProgress(unescState(d), c.toInt, n.toInt, pz.toBoolean,
-            unescState(st), unescState(ex), unescState(cd)))
+            unescState(st), unescState(ex), unescState(Option(cd).getOrElse(""))))
         case other => throw new IllegalArgumentException(s"bad snapshot state: $other")
       }
     }

@@ -84,7 +84,9 @@ object CdcPipeline {
               // (`ExecuteSnapshot.java:61-70,88-97`) — applied BEFORE
               // chunking/staging so a conditioned backfill reads only its
               // slice.
-              val (path, chunks, chunkExpr, cond) = s.data.split('#') match {
+              // limit=4: the CONDITION may itself contain '#' (e.g. a LIKE
+              // pattern) — it is the last field, so it absorbs the rest.
+              val (path, chunks, chunkExpr, cond) = s.data.split("#", 4) match {
                 case Array(p, n, e, c) => (p, n.toInt, e, c)
                 case Array(p, n, e)    => (p, n.toInt, e, "")
                 case Array(p, n)       => (p, n.toInt, "", "")

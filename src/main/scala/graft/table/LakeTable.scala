@@ -201,17 +201,26 @@ final class LakeTable(
     * known-file-list read is listed on the driver (serial getFileStatus
     * calls) instead of spawning a distributed listing job. Restores the
     * session's previous setting afterwards.
+    *
+    * The set/restore pair is serialized under a global lock: two
+    * overlapping flips on one session would otherwise restore each
+    * other's raised value and permanently leave the session listing
+    * serially (the threshold is session conf; there is no per-read
+    * option for it). Unrelated queries planned inside the (small) window
+    * still see the raised threshold — acceptable: it only changes WHERE
+    * a listing runs, never its result.
     */
-  private def withSerialListing[T](spark: SparkSession)(f: => T): T = {
-    val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "1000000")
-    try f
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+  private def withSerialListing[T](spark: SparkSession)(f: => T): T =
+    LakeTable.serialListingLock.synchronized {
+      val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "1000000")
+      try f
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     }
-  }
 
   /** Raw state incl. tombstone rows (op='d' retained so late out-of-order
     * events below a delete's position cannot resurrect the row).
@@ -630,17 +639,16 @@ final class LakeTable(
     // ~20 ms × numBuckets of pure driver time BETWEEN the write job and
     // the commit — a serial stage per microbatch that Amdahl-caps the
     // measured core-count scaling (profiled: ~1.3 s of the ~1.4 s
-    // post-write driver gap at 64 buckets).
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(4, math.min(16, Runtime.getRuntime.availableProcessors())))
-    try {
-      val futs = staged.map { case (rel, idx, p) =>
-        (rel, idx, pool.submit(new java.util.concurrent.Callable[Long] {
-          override def call(): Long = rowCount(p)
-        }))
-      }
-      futs.map { case (rel, idx, f) => FileEntry(rel, idx, schemaIdx, f.get()) }
-    } finally pool.shutdown()
+    // post-write driver gap at 64 buckets). The pool is shared and
+    // daemon-threaded (one per JVM, like [[LakeTable.hadoopConf]]):
+    // creating/tearing down a pool per microbatch is thread churn on the
+    // exact driver hot path this parallelism exists to shorten.
+    val futs = staged.map { case (rel, idx, p) =>
+      (rel, idx, LakeTable.footerPool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long = rowCount(p)
+      }))
+    }
+    futs.map { case (rel, idx, f) => FileEntry(rel, idx, schemaIdx, f.get()) }
   }
 
   /** Exact row count from the parquet FOOTER (metadata-only — no data
@@ -669,6 +677,22 @@ object LakeTable {
     * `new Configuration()` costs more than the read itself).
     */
   private[table] lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
+
+  /** Shared daemon pool for driver-side parquet-footer reads (see
+    * [[LakeTable.stage]]). Daemon threads so an idle pool never blocks
+    * JVM exit.
+    */
+  private[table] lazy val footerPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(4, math.min(16, Runtime.getRuntime.availableProcessors())),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-footer-read")
+        t.setDaemon(true)
+        t
+      })
+
+  /** Serializes [[withSerialListing]] conf flips (see its doc). */
+  private[table] val serialListingLock = new Object
 
   /** Open an existing table, ADOPTING the bucket layout recorded in its
     * commit log (safe across [[LakeTable.rebucket]] evolutions — a

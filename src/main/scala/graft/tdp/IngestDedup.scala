@@ -56,15 +56,40 @@ object IngestDedup {
         lit("ingest").as("commit"),
         lit(1700000000000L).as("ts_ms"))
 
+  /** In-batch winners: one row per digest, the minimum id canonical, with
+    * a `content_sha` column appended, laid out on the index's bucket count
+    * (one full-width shuffle — the floor for returning winner ROWS, as in
+    * [[Dedup.exact]] — whose HashPartitioning co-partitions the anti-join
+    * below).
+    */
+  private def inBatchWinners(
+      index: LakeTable, batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sha = batch.withColumn("content_sha", sha2(col(textCol), 256))
+    val w = Window.partitionBy(col("content_sha")).orderBy(col(idCol))
+    sha.repartition(index.numBuckets, col("content_sha"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Live index digests (None when the index holds no files yet — e.g.
+    * only metadata-only commits from empty batches). The bucketed scan
+    * reports the on-disk HashPartitioning, so joins against an
+    * equally-laid-out batch plan no state-side exchange.
+    */
+  private def seenState(
+      spark: SparkSession, index: LakeTable): Option[DataFrame] =
+    index.lastCommit().flatMap { ci =>
+      index.bucketedState(spark, ci, None, ci.schema)
+        .orElse(index.snapshotRaw(spark, ci, None))
+        .map(_.where(col("op") === "c"))
+    }
+
   /** Batch rows whose digest is NOT in the index, deduped within the batch
     * (min id per digest). Appends a `content_sha` column.
     *
-    * Plan shape: the batch reduces to per-digest winners (one full-width
-    * shuffle — the floor for returning winner ROWS, as in [[Dedup.exact]])
-    * laid out on the index's bucket count, then anti-joins the bucketed
-    * state scan — the state side reports the on-disk HashPartitioning and
-    * plans no exchange, so per batch the data moved is O(batch) however
-    * large the seen-set grows.
+    * Plan shape: batch winners anti-join the bucketed state scan — the
+    * state side plans no exchange, so per batch the data moved is
+    * O(batch) however large the seen-set grows.
     *
     * NOTE the result is LAZY against the index's CURRENT commit; compute
     * it before registering the same batch (or use [[ingest]], which
@@ -76,29 +101,31 @@ object IngestDedup {
       batch: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val sha = batch.withColumn("content_sha", sha2(col(textCol), 256))
-    val w = Window.partitionBy(col("content_sha")).orderBy(col(idCol))
-    val winners = sha
-      .repartition(index.numBuckets, col("content_sha"))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn")
-    index.lastCommit() match {
-      case None => winners
-      case Some(ci) =>
-        val state = index.bucketedState(spark, ci, None, ci.schema)
-          .orElse(index.snapshotRaw(spark, ci, None))
-          .get
-          .where(col("op") === "c")
-          .select(col("content_sha"))
-        winners.join(state, Seq("content_sha"), "left_anti")
+    val winners = inBatchWinners(index, batch, idCol, textCol)
+    seenState(spark, index) match {
+      case None        => winners
+      case Some(state) => winners.join(state.select(col("content_sha")), Seq("content_sha"), "left_anti")
     }
   }
 
-  /** One exactly-once ingest step: compute the batch's unseen rows,
-    * register their digests in the index (idempotent per `batchId` — a
-    * foreachBatch retry re-commits nothing), and return the admitted rows.
-    * The result is materialized BEFORE registration so the caller's
-    * DataFrame cannot observe its own digests.
+  /** One ingest step: compute the batch's unseen rows, register their
+    * digests in the index (idempotent per `batchId` — a foreachBatch retry
+    * re-commits nothing), and return the admitted rows. The result is
+    * materialized BEFORE registration so the caller's DataFrame cannot
+    * observe its own digests.
+    *
+    * RETRY RECOVERY (a retry is a re-call with a batchId the index has
+    * already committed): the admitted set must be RE-EMITTED, not lost —
+    * the crash happened after the index commit but before the caller wrote
+    * the admitted rows downstream. The set is recoverable from the index
+    * itself: an admitted row was an in-batch min-id winner whose digest it
+    * registered, so its (content_sha, canonical_id = its own id) pair is
+    * in the index. The recovery join re-derives exactly that set.
+    * Delivery contract: exactly-once for never-before-admitted content;
+    * a retry may additionally re-emit a document an EARLIER batch admitted
+    * with the same (digest, id) — i.e. a duplicate delivery of the same
+    * document — so downstream writes should upsert by id (they already
+    * must, to absorb the retry's re-emission).
     */
   def ingest(
       spark: SparkSession,
@@ -107,6 +134,19 @@ object IngestDedup {
       batchId: Long,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    val fenced = index.lastCommit().exists(_.batchId >= batchId)
+    if (fenced) {
+      val winners = inBatchWinners(index, batch, idCol, textCol)
+      return seenState(spark, index) match {
+        case None => winners.limit(0)
+        case Some(state) =>
+          winners.join(
+            state.select(col("content_sha"), col("canonical_id")),
+            winners("content_sha") === state("content_sha") &&
+              winners(idCol) === col("canonical_id"),
+            "left_semi")
+      }
+    }
     val admitted = unseen(spark, index, batch, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     admitted.count()

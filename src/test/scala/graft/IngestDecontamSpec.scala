@@ -66,12 +66,14 @@ class IngestDecontamSpec extends SparkSpec {
     assert(admitted2.select("doc_id").as[Long].collect().toSet === Set(5L))
     admitted2.unpersist()
 
-    // retry of the same batchId: Z is in the index now, so nothing is
-    // admitted, and the index apply is batchId-fenced (no new commit).
+    // retry of the same batchId (crash after the index commit, before the
+    // caller wrote admitted downstream): the admitted set is RE-EMITTED
+    // from the index — losing it would lose the documents forever — and
+    // the index apply is batchId-fenced (no new commit).
     val vBefore = index.lastCommit().get.version
     val retry = IngestDedup.ingest(spark, index, batch2, 1L)
-    assert(retry.count() === 0)
-    retry.unpersist()
+    assert(retry.select("doc_id").as[Long].collect().toSet === Set(5L),
+      "retry must re-emit the batch's admitted rows")
     assert(index.lastCommit().get.version === vBefore, "retry must not commit")
 
     // the index records the minimum id ever seen per digest
@@ -96,6 +98,17 @@ class IngestDecontamSpec extends SparkSpec {
       assert(plan.contains("Bucketed: true"), s"expected a bucketed state scan:\n$plan")
       assert(lazyUnseen.select("doc_id").as[Long].collect().toSet === Set(31L))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("ingest dedup: empty first batch (metadata-only commit, zero files) does not break the next ingest") {
+    val index = IngestDedup.indexTable(
+      Files.createTempDirectory("graft-ingest-empty").resolve("idx").toString, numBuckets = 2)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    IngestDedup.ingest(spark, index, empty, 0L).unpersist()
+    assert(index.lastCommit().exists(_.files.isEmpty), "empty batch commits metadata only")
+    val admitted = IngestDedup.ingest(spark, index, Seq((1L, "t")).toDF("doc_id", "text"), 1L)
+    assert(admitted.select("doc_id").as[Long].collect().toSeq === Seq(1L))
+    admitted.unpersist()
   }
 
   test("ingest dedup: digest events order LWW so the smallest id ever seen stays canonical") {

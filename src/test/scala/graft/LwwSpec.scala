@@ -47,6 +47,34 @@ class LwwSpec extends SparkSpec {
     evs ++ evs.filter(_ => rnd.nextInt(5) == 0)
   }
 
+  test("reduceBucketedExact: plan-verified partition contract; subset-partitioned input falls back") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val events = randomLog(7, 120, withTruncate = false).toDF()
+      val exact = Lww.reduceBucketedExact(events, Seq("repo", "path"), 4)
+      assert(exact.isDefined, "fresh input must plan the exchange and qualify")
+      val plan = exact.get.queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllMatchIn(plan).size === 1)
+      // max_by over a struct buffer plans SortAggregate; the partial
+      // (map-side combine) phase below the exchange is the point.
+      assert(plan.contains("partial_max_by"),
+        s"partial aggregate (map-side combine) must run below the exchange:\n$plan")
+      // same winners as the repartition-shaped reduce
+      val viaExact = exact.get.as[FlatEvent].collect().map(e => (e.repo, e.path) -> e).toMap
+      val viaRepart = Lww.reducePartitioned(events, Seq("repo", "path"), 4)
+        .as[FlatEvent].collect().map(e => (e.repo, e.path) -> e).toMap
+      assert(viaExact === viaRepart)
+
+      // input already hash-partitioned on a SUBSET of the keys at the
+      // right count: Catalyst plans NO exchange (ClusteredDistribution
+      // accepts subsets), so partition-id != bucket — must fall back.
+      val pre = events.repartition(4, col("repo"))
+      assert(Lww.reduceBucketedExact(pre, Seq("repo", "path"), 4).isEmpty,
+        "exchange-elided plan must be rejected (partition-id==bucket unprovable)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("reduce keeps exactly one winner per key, the max (commit,lsn)") {
     val log = randomLog(1, 200, withTruncate = false)
     val reduced = Lww.reduce(log.toDF()).as[FlatEvent].collect()
