@@ -775,6 +775,23 @@ object SparkEntry {
       tdp.IngestDedup.ingest(s, index, Corpus.docsWithDups(s, dir), 1L)
         .select(col("doc_id"), col("content_sha"))
     }),
+
+    // Snapshot-mode policy (the Snapshotter SPI truth table,
+    // snapshot/mode/*.java): what each mode does with and without a
+    // committed offset. recovery×no-offset is a config error, hence
+    // absent.
+    "q80_snapshot_decisions" -> ((s, _) => {
+      import s.implicits._
+      val rows = for {
+        mode <- sources.Snapshotter.Modes
+        offset <- Seq(false, true)
+        if !(mode == "recovery" && !offset)
+      } yield {
+        val d = sources.Snapshotter.decide(mode, offset)
+        (mode, offset, d.snapshotData, d.snapshotSchema, d.stream)
+      }
+      rows.toDF("mode", "offset_exists", "snapshot_data", "snapshot_schema", "stream")
+    }),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1667,5 +1684,23 @@ object SparkEntry {
          |               row_number() OVER (PARTITION BY content_sha ORDER BY doc_id) AS rn FROM b)
          |SELECT doc_id, content_sha FROM w
          |WHERE rn = 1 AND content_sha NOT IN (SELECT content_sha FROM seen)""".stripMargin,
+    // Independent restatement of the reference's per-mode truth tables
+    // (AlwaysSnapshotter..RecoverySnapshotter.java).
+    "q80_snapshot_decisions" ->
+      """SELECT * FROM (VALUES
+        |  ('always',       false, true,  true,  true),
+        |  ('always',       true,  true,  true,  true),
+        |  ('initial',      false, true,  true,  true),
+        |  ('initial',      true,  false, false, true),
+        |  ('initial_only', false, true,  true,  false),
+        |  ('initial_only', true,  false, false, false),
+        |  ('no_data',      false, false, true,  true),
+        |  ('no_data',      true,  false, true,  true),
+        |  ('never',        false, false, false, true),
+        |  ('never',        true,  false, false, true),
+        |  ('when_needed',  false, true,  true,  true),
+        |  ('when_needed',  true,  false, false, true),
+        |  ('recovery',     true,  false, true,  true)
+        |) t(mode, offset_exists, snapshot_data, snapshot_schema, stream)""".stripMargin,
   )
 }

@@ -30,6 +30,57 @@ class SnapshotSpec extends SparkSpec {
     assert(full.select(cols.map(col): _*).exceptAll(merged.select(cols.map(col): _*)).count() === 0)
   }
 
+  test("snapshot modes: bootstrapLog composes snapshot/schema/stream per the Snapshotter truth table") {
+    import graft.sources.Snapshotter
+    import graft.table.LakeTable
+    def freshTable() = new LakeTable(
+      java.nio.file.Files.createTempDirectory("graft-snapmode").toString, numBuckets = 4)
+    val base = Seq(("r1", "a", "c0000000001", "en", "base a"), ("r1", "b", "c0000000001", "en", "base b"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    val stream = Seq(FlatEvent.mk(("r1", "a"), 10L, "u"), FlatEvent.mk(("r2", "z"), 11L, "c")).toDF()
+
+    // initial on an EMPTY table: snapshot ∪ stream; LWW converges
+    val t1 = freshTable()
+    val log1 = Snapshotter.bootstrapLog(spark, t1, base, stream, "initial", snapshotLsn = 5L)
+    assert(log1.where(col("op") === "r").count() === 2)
+    val state1 = Lww.applyState(log1).select("repo", "path", "content").as[(String, String, String)]
+      .collect().map { case (r, p, c) => (r, p) -> c }.toMap
+    assert(state1(("r1", "a")).startsWith("content"), "streamed update beats the snapshot row")
+    assert(state1(("r1", "b")) === "base b")
+    assert(state1.contains(("r2", "z")))
+
+    // initial with an EXISTING offset: stream only
+    graft.merge.CdcApply.applyBatch(spark, t1, log1, batchId = 0, writeMetrics = false)
+    val log1b = Snapshotter.bootstrapLog(spark, t1, base, stream, "initial", snapshotLsn = 5L)
+    assert(log1b.where(col("op") === "r").count() === 0)
+    assert(log1b.count() === 2)
+
+    // initial_only: snapshot, NO stream
+    val log2 = Snapshotter.bootstrapLog(spark, freshTable(), base, stream, "initial_only", 5L)
+    assert(log2.count() === 2 && log2.where(col("op") === "r").count() === 2)
+
+    // no_data on an empty table: stream only + schema-only commit
+    val t3 = freshTable()
+    val log3 = Snapshotter.bootstrapLog(spark, t3, base, stream, "no_data", 5L)
+    assert(log3.where(col("op") === "r").count() === 0 && log3.count() === 2)
+    val ci3 = t3.lastCommit().get
+    assert(ci3.files.isEmpty && ci3.schemas.nonEmpty, "schema registered without data")
+    // the schema-only commit must not fence the first real batch
+    val res3 = graft.merge.CdcApply.applyBatch(spark, t3, log3, batchId = 0, writeMetrics = false)
+    assert(res3.committed)
+
+    // never: stream only, no schema commit
+    val t4 = freshTable()
+    assert(Snapshotter.bootstrapLog(spark, t4, base, stream, "never", 5L)
+      .where(col("op") === "r").count() === 0)
+    assert(t4.lastCommit().isEmpty)
+
+    // recovery without offsets is a config error
+    intercept[IllegalArgumentException] {
+      Snapshotter.bootstrapLog(spark, freshTable(), base, stream, "recovery", 5L)
+    }
+  }
+
   test("chunked snapshot: disjoint contiguous key ranges, all rows covered") {
     val rows = spark.range(0, 1000).select(
       concat(lit("k"), lpad(col("id").cast("string"), 4, "0")).as("repo"),
