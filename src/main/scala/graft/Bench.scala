@@ -71,12 +71,11 @@ import graft.table.LakeTable
   *     sec applied at `local[cpus]`, input sized ~50 s at the probe rate
   *     (calm windows reproduce the old 16 M sizing; contended windows
   *     shrink it instead of starving the run);
-  *  5. adaptive pair extras (≤0.94): cheap 4N re-samples of the pair
-  *     closest to the 0.8 rule;
-  *  6. state-heavy merge A/B (entry <0.88): fast vs merge-on-read vs
-  *     legacy union+reduce with shuffle-bytes meter — stable across
-  *     rounds (BASELINE.md), so it is the correct stage to triage away
-  *     in a bad window.
+  *  5. state-heavy merge A/B (entry <0.82): fast vs merge-on-read vs
+  *     legacy union+reduce with shuffle-bytes meter — BOUNDED (~2-3 min
+  *     from the damped rate), so it runs before the open-ended extras;
+  *  6. final adaptive pair extras (≤0.94): cheap 4N re-samples of the
+  *     pair closest to the 0.8 rule, with a 2-stale plateau stop.
   *
   * Measurement discipline (single shared VM):
   *  - the job's LOGICAL layout is fixed (32 source partitions, 64 buckets,
@@ -431,11 +430,19 @@ object Bench {
       }
     }
     var extra = 0
+    var stale = 0
     def bestEff: Double = pairs.filter(_.measured).map(_.bestEff).maxOption.getOrElse(1.0)
-    while (extra < maxExtras && bestEff < 0.82 && System.currentTimeMillis() < deadlineMs) {
+    // Plateau stop: when two consecutive extras fail to improve the
+    // target pair's estimate, the window has a contention ceiling and
+    // further samples only burn the later stages' budget (run-D lesson:
+    // 12 fruitless extras ate the state-heavy slot).
+    while (extra < maxExtras && stale < 2 && bestEff < 0.82 &&
+        System.currentTimeMillis() < deadlineMs) {
       val p = pairs.filter(_.measured).maxBy(_.bestEff)
+      val before = p.bestEff
       val (t4, s4) = pairLeg(p.n4, p.ev, p.evSmall, warm = false, s"extra4=${extra + 1}")
       p.record4(t4, s4)
+      stale = if (p.bestEff > before + 1e-9) 0 else stale + 1
       extra += 1
     }
   }
@@ -659,18 +666,12 @@ object Bench {
       emit("partial")
     }
 
-    // Stage 5: adaptive pair extras — push the pair closest to the 0.8
-    // north rule with cheap 4N samples while budget remains.
-    if (pairs.nonEmpty) {
-      pairExtras(pairs, maxExtras = 4 * reps, deadlineAt(0.94))
-      emit("partial")
-    }
-
-    // Stage 6: state ≫ batch incremental merge A/B — the least marginal
-    // evidence (stable across rounds; BASELINE.md carries reproduced
-    // numbers), so it is the stage a bad window is allowed to starve.
-    // Sizes from the probe rate keep each leg ~2 min in any window.
-    if (sys.env.getOrElse("SPARK_GRAFT_STATE_HEAVY", "1") == "1" && elapsedFrac < 0.88) {
+    // Stage 5: state ≫ batch incremental merge A/B. Runs BEFORE the final
+    // pair extras (run-D lesson: 12 open-ended extras chased 0.82 through
+    // a plateaued window and ate this stage's slot by 9 s); the A/B is
+    // bounded (~2-3 min sized from the damped rate) while extras are
+    // open-ended, so the bounded stage goes first.
+    if (sys.env.getOrElse("SPARK_GRAFT_STATE_HEAVY", "1") == "1" && elapsedFrac < 0.82) {
       val s = session(cpus, aqe = false, shufflePartitions = Some(NumBuckets))
       try {
         val stateEv = clamp(sizingThr * 12.0, 500000L, baseEvents)
@@ -691,6 +692,13 @@ object Bench {
           } else (-1.0, -1.0)
         stateHeavyRes = Some((stateEv, batchEv, nb, thrFast, mbFast, thrLegacy, mbLegacy, thrMor))
       } finally s.stop()
+      emit("partial")
+    }
+
+    // Stage 6: final adaptive pair extras — push the pair closest to the
+    // 0.8 north rule with cheap 4N samples until the budget tail.
+    if (pairs.nonEmpty) {
+      pairExtras(pairs, maxExtras = 4 * reps, deadlineAt(0.94))
     }
     emit("complete")
   }

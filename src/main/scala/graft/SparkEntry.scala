@@ -792,6 +792,17 @@ object SparkEntry {
       }
       rows.toDF("mode", "offset_exists", "snapshot_data", "snapshot_schema", "stream")
     }),
+
+    // Span-level decontamination: drop only the lines overlapping the
+    // benchmark (docs sliced into 3 lines so line-level behavior is
+    // visible on the single-line test corpus).
+    "q81_decontam_redact" -> ((s, dir) => {
+      val lined = Corpus.docsWithDups(s, dir).withColumn("text",
+        concat_ws("\n", substring(col("text"), 1, 60), substring(col("text"), 61, 60),
+          substring(col("text"), 121, 100)))
+      val bench = Corpus.documents(s, dir).where(col("doc_id") % 37 === 0)
+      tdp.Decontamination.redactContaminated(lined, bench, n = 3)
+    }),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1702,5 +1713,32 @@ object SparkEntry {
         |  ('when_needed',  true,  false, false, true),
         |  ('recovery',     true,  false, true,  true)
         |) t(mode, offset_exists, snapshot_data, snapshot_schema, stream)""".stripMargin,
+    // Line-level gram overlap vs the %37 benchmark slice, lock-step with
+    // Decontamination.redactContaminated (3-gram md5s per line; string_agg
+    // skips redacted lines; all-redacted docs keep an empty-text row).
+    "q81_decontam_redact" ->
+      s"""WITH ${Corpus.Sql.corpus}
+         |, lined_docs AS (
+         |  SELECT doc_id, concat_ws(chr(10), substr(text, 1, 60), substr(text, 61, 60),
+         |                           substr(text, 121, 100)) AS text
+         |  FROM corpus)
+         |, bg AS (
+         |  SELECT DISTINCT unnest(list_distinct(
+         |    [md5(array_to_string(words[i:i+2], ' ')) for i in generate_series(1, greatest(len(words)-2, 1))])) AS g
+         |  FROM (SELECT string_split_regex(lower(text), '\\s+') AS words
+         |        FROM documents WHERE doc_id % 37 = 0))
+         |, lines AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, unnest(ls) AS line
+         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined_docs))
+         |, lg AS (
+         |  SELECT doc_id, i, unnest(list_distinct(
+         |    [md5(array_to_string(words[j:j+2], ' ')) for j in generate_series(1, greatest(len(words)-2, 1))])) AS g
+         |  FROM (SELECT doc_id, i, string_split_regex(lower(line), '\\s+') AS words FROM lines))
+         |, bad AS (SELECT DISTINCT l.doc_id, l.i FROM lg l JOIN bg USING (g))
+         |SELECT l.doc_id,
+         |       coalesce(string_agg(CASE WHEN b.i IS NULL THEN l.line END, chr(10) ORDER BY l.i), '') AS text,
+         |       CAST(count(b.i) AS BIGINT) AS redacted_lines
+         |FROM lines l LEFT JOIN bad b ON l.doc_id = b.doc_id AND l.i = b.i
+         |GROUP BY l.doc_id""".stripMargin,
   )
 }

@@ -78,4 +78,44 @@ object Decontamination {
       .select(col(idCol))
     docs.join(broadcast(bad), Seq(idCol), "left_anti")
   }
+
+  /** SPAN-LEVEL redaction: drop only the LINES that overlap the benchmark
+    * instead of the whole document (the usual production refinement —
+    * dropping a long document for one quoted benchmark sentence wastes
+    * the rest of it). Output: (idCol, textCol with contaminated lines
+    * removed, `redacted_lines` count); documents reduced to nothing keep
+    * a row with empty text, never disappear.
+    *
+    * Scale shape: lines explode NARROW (id, line-index, gram-md5) into a
+    * broadcast join against the benchmark gram set — only matching
+    * (id, line) pairs survive to the (small, broadcast) bad-line set —
+    * and the single corpus-width shuffle is the per-document reassembly
+    * groupBy, the floor for an operator that returns rewritten text.
+    */
+  def redactContaminated(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 13,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bench = benchmark
+      .select(explode(gramHashes(col(textCol), n)).as("__g"))
+      .distinct()
+    val lines = docs.select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__i", "__line")))
+    val bad = lines
+      .select(col(idCol), col("__i"), explode(gramHashes(col("__line"), n)).as("__g"))
+      .join(broadcast(bench), "__g")
+      .select(col(idCol), col("__i")).distinct()
+      .withColumn("__bad", lit(true))
+    lines.join(broadcast(bad), Seq(idCol, "__i"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        // collect_list skips the nulled (redacted) entries; array_sort on
+        // (__i, line) structs restores the original line order.
+        concat_ws("\n",
+          transform(
+            array_sort(collect_list(when(col("__bad").isNull, struct(col("__i"), col("__line"))))),
+            x => x.getField("__line"))).as(textCol),
+        count(col("__bad")).as("redacted_lines"))
+  }
 }

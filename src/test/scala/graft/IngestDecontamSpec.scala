@@ -48,6 +48,20 @@ class IngestDecontamSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap === Map(1L -> 2L))
   }
 
+  test("span-level redaction drops only contaminated lines, keeps order; fully-redacted docs survive") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta\none two three four\nalpha beta gamma end"),
+      (2L, "alpha beta gamma"), // every line contaminated
+      (3L, "five six seven eight"))
+      .toDF("doc_id", "text")
+    val bench = Seq((9L, "alpha beta gamma")).toDF("doc_id", "text")
+    val out = Decontamination.redactContaminated(docs, bench, n = 3)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === (("one two three four", 2L)))
+    assert(out(2L) === (("", 1L)), "fully-redacted doc keeps an empty-text row")
+    assert(out(3L) === (("five six seven eight", 0L)))
+  }
+
   // ----------------------------------------------------------- ingest dedup
 
   test("ingest dedup: admits only unseen digests, min-id canonical, idempotent retry") {
