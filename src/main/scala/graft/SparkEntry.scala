@@ -803,6 +803,20 @@ object SparkEntry {
       val bench = Corpus.documents(s, dir).where(col("doc_id") % 37 === 0)
       tdp.Decontamination.redactContaminated(lined, bench, n = 3)
     }),
+
+    // Table maintenance end-to-end: replay → expire history to the head →
+    // remove orphan files → the surviving state must still be the exact
+    // LWW fold (maintenance may touch storage, never state).
+    "q82_cdc_expire_maintenance" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-expire").toString
+      val table = new LakeTable(root, numBuckets = 16)
+      CdcPipeline.replay(s, ChangeLog.flat(s, dir), table, numBatches = 3, writeMetrics = false)
+      table.expireSnapshots(keepLast = 1)
+      table.removeOrphanFiles()
+      table.snapshot(s).get
+        .select(col("repo"), col("path"), col("commit"), col("lang"), col("content"),
+          sha2(col("content"), 256).as("content_sha"))
+    }),
   )
 
   // ------------------------------------------------------------- oracles
@@ -970,6 +984,7 @@ object SparkEntry {
          |SELECT repo, path, commit, 'tombstone' AS op, lsn FROM ev WHERE op = 'd'""".stripMargin,
 
     "q16_cdc_compact" -> s"$cte\n$applyStateSql",
+    "q82_cdc_expire_maintenance" -> s"$cte\n$applyStateSql",
     "q62_cdc_rebucket" -> s"$cte\n$applyStateSql",
     // replay slices are lsn ranges of width (hi-lo)//4 + 1; version 2 holds
     // the fold of the first two slices.

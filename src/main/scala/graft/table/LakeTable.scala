@@ -568,6 +568,72 @@ final class LakeTable(
       if (deep.isEmpty) None else compactBuckets(spark, deep, tombstoneRetention)
     }
 
+  /** Snapshot EXPIRY (Iceberg `expire_snapshots` analog): drop all but the
+    * last `keepLast` commits from the log and DELETE every data file no
+    * retained manifest references. Time travel below the new horizon is
+    * gone (that is the point — bounded history, bounded storage); the head
+    * and everything at-or-above the horizon resolve unchanged. Returns
+    * (commits dropped, data files deleted).
+    *
+    * Single-writer like compaction (run in the between-batch maintenance
+    * slot). The horizon commit is rewritten as a FULL manifest first when
+    * it was a delta (its base may be expiring), so retained history never
+    * dangles. Driver cost: O(retained manifests + files) metadata; data
+    * deletion is one pass over unreferenced paths.
+    */
+  def expireSnapshots(keepLast: Int = 1): (Int, Int) = {
+    require(keepLast >= 1, "must retain at least the head commit")
+    val paths = commitPaths()
+    if (paths.size <= keepLast) return (0, 0)
+    val (drop, keep) = paths.splitAt(paths.size - keepLast)
+    // Materialize the horizon commit and persist it as a full manifest so
+    // it no longer depends on an expiring base (atomic replace — readers
+    // may resolve commits concurrently).
+    val horizon = materialize(keep.head)
+    val tmp = keep.head.resolveSibling("." + keep.head.getFileName.toString + ".tmp")
+    Files.writeString(tmp, LakeTable.toJson(horizon))
+    Files.move(tmp, keep.head, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    val retained: Set[String] =
+      keep.map(materialize).flatMap(_.files.map(_.path)).toSet
+    val dropped = drop.map(materialize)
+    val dead = dropped.flatMap(_.files.map(_.path)).toSet -- retained
+    dead.foreach(p => Files.deleteIfExists(Paths.get(root, p)))
+    drop.foreach(Files.deleteIfExists(_))
+    resolved.clear() // memo may hold expired versions
+    (drop.size, dead.size)
+  }
+
+  /** Orphan-file cleanup (Iceberg `remove_orphan_files` analog): delete
+    * data files under `data/` that NO commit references — leftovers of
+    * crashed writers and failed/speculative task attempts, which the
+    * atomic-commit protocol makes invisible but not free. Only touches
+    * files older than `olderThanMs` (default 0 = everything), the same
+    * in-flight-writer guard as the reference procedure. Returns the
+    * number of files deleted.
+    */
+  def removeOrphanFiles(olderThanMs: Long = 0L): Int = {
+    val dataDir = Paths.get(root, "data")
+    if (!Files.isDirectory(dataDir)) return 0
+    val referenced: Set[String] = commitPaths().map(materialize)
+      .flatMap(_.files.map(_.path)).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var n = 0
+    Files.walk(dataDir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .filter(p => Paths.get(root).relativize(p).toString match {
+        case rel => !referenced.contains(rel)
+      })
+      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+      .toSeq
+      .foreach { p => Files.deleteIfExists(p); n += 1 }
+    // drop now-empty batch dirs (cosmetic; keeps the layout readable)
+    Files.list(dataDir).iterator().asScala.toSeq.foreach { d =>
+      if (Files.isDirectory(d) && !Files.list(d).iterator().hasNext) Files.deleteIfExists(d)
+    }
+    n
+  }
+
   /** Bucket-layout EVOLUTION (Iceberg `REPLACE PARTITION FIELD bucket(N,k)`
     * analog): rewrite the whole table into `newNumBuckets` hash buckets and
     * record the new layout in the commit — the 100 TB answer to "the

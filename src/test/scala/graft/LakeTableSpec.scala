@@ -483,6 +483,50 @@ class LakeTableSpec extends SparkSpec {
     assert(table.snapshotAt(spark, 999).isEmpty, "unknown version yields None")
   }
 
+  test("expireSnapshots bounds history: head intact, expired versions unreadable, dead files deleted") {
+    val log = randomLog(37, 400)
+    val table = new LakeTable(tmp(), numBuckets = 8)
+    CdcPipeline.replay(spark, log.toDF(), table, numBatches = 4, writeMetrics = false)
+    val before = tableState(table)
+    val dataFiles = () => java.nio.file.Files.walk(java.nio.file.Paths.get(table.root, "data"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).count()
+    val nBefore = dataFiles()
+    assert(table.commits().size === 4)
+
+    val (droppedCommits, deletedFiles) = table.expireSnapshots(keepLast = 2)
+    assert(droppedCommits === 2)
+    assert(deletedFiles > 0, "CoW rewrites leave superseded files — expiry must delete some")
+    assert(dataFiles() === nBefore - deletedFiles)
+    assert(table.commits().map(_.version) === Seq(3L, 4L))
+    // head state unchanged; horizon version still time-travels; below it gone
+    assert(tableState(table) === before)
+    assert(table.snapshotAt(spark, 3L).isDefined)
+    assert(table.snapshotAt(spark, 2L).isEmpty)
+    // the table still takes merges after expiry
+    CdcApply.applyBatch(spark, table,
+      Seq(FlatEvent.mk(("repo0", "p0.txt"), 9999L, "u")).toDF(), batchId = 4, writeMetrics = false)
+    assert(tableState(table)(("repo0", "p0.txt")).lsn === 9999L)
+    // idempotent / no-op when history is already within bounds
+    assert(table.expireSnapshots(keepLast = 5) === ((0, 0)))
+  }
+
+  test("removeOrphanFiles deletes only unreferenced data files") {
+    val log = randomLog(38, 200)
+    val table = new LakeTable(tmp(), numBuckets = 4)
+    CdcPipeline.replay(spark, log.toDF(), table, numBatches = 2, writeMetrics = false)
+    val before = tableState(table)
+    // plant orphans: a crashed writer's staged-but-never-committed dir
+    val orphanDir = java.nio.file.Paths.get(table.root, "data", "b999999-a0")
+    java.nio.file.Files.createDirectories(orphanDir)
+    java.nio.file.Files.writeString(orphanDir.resolve("part-00000-dead.parquet"), "junk")
+    java.nio.file.Files.writeString(orphanDir.resolve("part-00001-dead.parquet"), "junk")
+    // a too-recent orphan is protected by the olderThan guard
+    assert(table.removeOrphanFiles(olderThanMs = 3600000L) === 0)
+    assert(table.removeOrphanFiles() === 2)
+    assert(!java.nio.file.Files.exists(orphanDir), "emptied batch dir is dropped")
+    assert(tableState(table) === before, "referenced files untouched")
+  }
+
   test("MoR time travel survives subsequent head reads (no stale bucketed registration)") {
     val log = randomLog(35, 300)
     val mor = new LakeTable(tmp(), numBuckets = 8, mergeOnRead = true)
