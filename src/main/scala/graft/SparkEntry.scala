@@ -817,6 +817,15 @@ object SparkEntry {
         .select(col("repo"), col("path"), col("commit"), col("lang"), col("content"),
           sha2(col("content"), 256).as("content_sha"))
     }),
+
+    // Deterministic epoch shuffle + shard assignment (training serving):
+    // per (doc, epoch) a reproducible order key and balanced shard, pure
+    // hash expressions any engine recomputes.
+    "q83_epoch_shards" -> ((s, dir) =>
+      tdp.Sampling.epochShards(Corpus.documents(s, dir).select("doc_id"),
+        col("doc_id"), epochs = 3, shards = 8, salt = "ep1")
+        .select(col("doc_id"), col("epoch").cast("int").as("epoch"),
+          col("shard"), col("order_key"))),
   )
 
   // ------------------------------------------------------------- oracles
@@ -985,6 +994,12 @@ object SparkEntry {
 
     "q16_cdc_compact" -> s"$cte\n$applyStateSql",
     "q82_cdc_expire_maintenance" -> s"$cte\n$applyStateSql",
+    "q83_epoch_shards" ->
+      """WITH e AS (SELECT doc_id, unnest(generate_series(0, 2)) AS epoch FROM documents)
+        |SELECT doc_id, CAST(epoch AS INT) AS epoch,
+        |       CAST(('0x' || substr(md5(concat('ep1', '|', CAST(epoch AS VARCHAR), '|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 8 AS shard,
+        |       md5(concat('ep1', '|', CAST(epoch AS VARCHAR), '|', CAST(doc_id AS VARCHAR))) AS order_key
+        |FROM e""".stripMargin,
     "q62_cdc_rebucket" -> s"$cte\n$applyStateSql",
     // replay slices are lsn ranges of width (hi-lo)//4 + 1; version 2 holds
     // the fold of the first two slices.

@@ -46,6 +46,12 @@ object CdcPipeline {
     *        AFTER the chunk's commit; signals are marked processed AFTER
     *        the batch — crash redelivery re-applies convergently.
     */
+  /** @param maxBytesPerTrigger optional BYTE-based admission cap (e.g.
+    *        "256m") — the `max.queue.size.in.bytes` analog
+    *        (`ChangeEventQueue.java:65-118` sizes admission in bytes when
+    *        configured); composes with `maxFilesPerTrigger` (both set =
+    *        whichever bound hits first, Spark file-source semantics).
+    */
   def start(
       spark: SparkSession,
       inputDir: String,
@@ -54,10 +60,12 @@ object CdcPipeline {
       salt: Int = 1,
       maxFilesPerTrigger: Int = 16,
       orderedInput: Boolean = false,
-      signalChannel: Option[String] = None): StreamingQuery = {
-    val env = spark.readStream
+      signalChannel: Option[String] = None,
+      maxBytesPerTrigger: Option[String] = None): StreamingQuery = {
+    val reader = spark.readStream
       .schema(Envelope.schema())
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val env = maxBytesPerTrigger.fold(reader)(b => reader.option("maxBytesPerTrigger", b))
       .parquet(inputDir)
     env.writeStream
       .option("checkpointLocation", checkpointDir)

@@ -81,4 +81,32 @@ object Sampling {
     }
     df.withColumn(out, expr)
   }
+
+  /** Deterministic EPOCH SHUFFLE + shard assignment — the serving step of
+    * a training pipeline: each epoch needs the corpus in a fresh but
+    * REPRODUCIBLE order, split into `shards` files consumed by data
+    * loaders. Per (row, epoch): `order_key = md5(salt|epoch|key)` gives an
+    * epoch-specific uniform order; `shard = first-8-hex(order_key) mod
+    * shards` balances shards; sorting each shard by `order_key` yields
+    * the within-shard read order. All pure hash expressions — any engine,
+    * any partitioning, any retry reproduces the exact epoch plan; no
+    * shuffle beyond the final `repartition(shards)` write the caller
+    * does (`df.repartition(col("shard")).sortWithinPartitions("order_key")`).
+    *
+    * Output: input columns + (epoch, shard, order_key), one row per
+    * (input row × epoch).
+    */
+  def epochShards(
+      df: DataFrame,
+      key: Column,
+      epochs: Int,
+      shards: Int,
+      salt: String = ""): DataFrame = {
+    require(epochs >= 1 && shards >= 1)
+    val h = md5(concat(lit(salt), lit("|"), col("epoch").cast("string"), lit("|"), key.cast("string")))
+    df.select(col("*"), explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("order_key", h)
+      .withColumn("shard",
+        pmod(conv(substring(col("order_key"), 1, 8), 16, 10).cast("long"), lit(shards.toLong)))
+  }
 }

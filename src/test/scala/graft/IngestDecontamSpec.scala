@@ -125,6 +125,37 @@ class IngestDecontamSpec extends SparkSpec {
     admitted.unpersist()
   }
 
+  test("ingest dedup property: ANY batching admits each digest exactly once") {
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // 60 docs over 20 distinct texts → heavy cross-batch duplication
+      val docs = (0 until 60).map(i => (i.toLong, s"text ${rnd.nextInt(20)}"))
+      val nBatches = 2 + rnd.nextInt(3)
+      val batches = docs.groupBy(_ => rnd.nextInt(nBatches)).toSeq.sortBy(_._1).map(_._2)
+      val index = IngestDedup.indexTable(
+        Files.createTempDirectory(s"graft-ingest-prop$seed").resolve("idx").toString, numBuckets = 4)
+      val admitted = batches.zipWithIndex.flatMap { case (b, i) =>
+        val out = IngestDedup.ingest(spark, index, b.toDF("doc_id", "text"), i.toLong)
+        val rows = out.select("doc_id", "content_sha").as[(Long, String)].collect()
+        out.unpersist()
+        rows
+      }
+      val distinctTexts = docs.map(_._2).distinct.size
+      assert(admitted.size === distinctTexts, s"seed=$seed: each digest admitted exactly once")
+      assert(admitted.map(_._2).distinct.size === distinctTexts, s"seed=$seed: no digest twice")
+      // canonical = min id within the FIRST batch that carried the digest
+      val firstBatchOf = scala.collection.mutable.Map.empty[String, Long]
+      batches.zipWithIndex.foreach { case (b, _) =>
+        val seen = firstBatchOf.keySet.toSet
+        b.groupBy(_._2).foreach { case (t, rs) =>
+          if (!seen.contains(t)) firstBatchOf(t) = rs.map(_._1).min
+        }
+      }
+      val admittedIds = admitted.map(_._1).toSet
+      assert(admittedIds === firstBatchOf.values.toSet, s"seed=$seed: canonical ids")
+    }
+  }
+
   test("ingest dedup: digest events order LWW so the smallest id ever seen stays canonical") {
     import graft.merge.CdcApply
     val index = IngestDedup.indexTable(
