@@ -264,21 +264,31 @@ object Bench {
     * else, and the smaller legs are exactly what lets the run finish.
     * Returns (probeSec, avgThr, marginalThr).
     */
-  private def calibrate(cpus: Int): (Double, Double, Double) = {
+  /** Returns (probeSec, avgThr, marginalThr, sizingFloor): the floor is
+    * the best OVERHEAD-AMORTIZED average observed — max(4×probe-avg, the
+    * 5 M probe's own average) — used to damp the marginal rate for
+    * SIZING (see main): a lucky calm epoch can measure the marginal near
+    * the ceiling while the legs run 3× slower, and oversized mandatory
+    * legs are the one mistake the stage deadlines cannot undo. The
+    * under-sizing risk in high-overhead calm windows costs only slope
+    * NOISE (the slope estimator cancels fixed overhead at any leg size),
+    * while over-sizing costs whole stages.
+    */
+  private def calibrate(cpus: Int): (Double, Double, Double, Double) = {
     val s = session(cpus, aqe = false, shufflePartitions = Some(NumBuckets))
     try {
       replayThroughput(s, 250000L) // untimed warm-up (JIT/codegen)
       val (t1, avg) = replayThroughput(s, 1000000L)
       System.err.println(f"[bench] calibration probe: 1000000 events in $t1%.1f s ($avg%.0f ev/s avg)")
-      val marginal =
-        if (t1 > 35.0) avg
+      val (marginal, floor) =
+        if (t1 > 35.0) (avg, 4.0 * avg)
         else {
           val (t2, avg2) = replayThroughput(s, 5000000L)
           val m = if (t2 <= t1 * 1.05) avg2 else math.min(avg * 12.0, 4000000L / (t2 - t1))
           System.err.println(f"[bench] calibration probe2: 5000000 events in $t2%.1f s → marginal $m%.0f ev/s")
-          m
+          (m, math.max(4.0 * avg, avg2))
         }
-      (t1, avg, math.max(avg, marginal))
+      (t1, avg, math.max(avg, marginal), floor)
     } finally s.stop()
   }
 
@@ -549,21 +559,21 @@ object Bench {
     // skips the marginal probe), measured the same way as the headline.
     // Everything after is sized from the MARGINAL rate (see calibrate()).
     val calEvents = 1000000L
-    val (calSec, calAvg, calThr) = calibrate(cpus)
+    val (calSec, calAvg, calThr, calFloor) = calibrate(cpus)
     calRes = Some((calEvents, calSec, calAvg))
     calMarginal = calThr
     System.err.println(f"[bench] calibration: $calThr%.0f ev/s marginal ($calAvg%.0f avg) at $cpus cores")
     emit("partial")
 
-    // SIZING rate: the marginal rate DAMPED toward the average
-    // (min(marginal, 4×avg)). The raw marginal is the honest throughput
+    // SIZING rate: the marginal rate DAMPED toward the overhead-amortized
+    // floor (see calibrate()). The raw marginal is the honest throughput
     // estimator but a single lucky probe epoch can measure it near the
     // calm ceiling while the window the legs actually run in is 3×
     // slower (run C: probe 1.31 M ev/s, pair legs hit the size cap, two
-    // unconditional rounds ate 69% of budget). The 4×avg bound keeps
-    // calm-window sizing identical (avg is overhead-capped ≈ marginal/6)
-    // while a contended window's avg drags sizing down with it.
-    val sizingThr = math.min(calThr, 4.0 * calAvg)
+    // unconditional rounds ate 69% of budget). A contended window's
+    // averages drag sizing down with it; under-sizing in a calm
+    // high-overhead window costs slope noise only.
+    val sizingThr = math.min(calThr, calFloor)
 
     // Throughput model at c cores ≈ sizing rate × min(1, c/10) —
     // per-core efficiency is higher below the single-socket bandwidth

@@ -772,6 +772,9 @@ object SparkEntry {
       val index = tdp.IngestDedup.indexTable(s"$root/idx", numBuckets = 16)
       tdp.IngestDedup.ingest(s, index,
         Corpus.documents(s, dir).where(col("doc_id") % 3 =!= 0), 0L).unpersist()
+      // the returned frame stays persisted (load-bearing: a recompute
+      // after registration would observe its own digests); the bench
+      // sweep's per-query catalog.clearCache() frees it, Verify exits.
       tdp.IngestDedup.ingest(s, index, Corpus.docsWithDups(s, dir), 1L)
         .select(col("doc_id"), col("content_sha"))
     }),

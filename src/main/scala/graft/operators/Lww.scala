@@ -109,6 +109,11 @@ object Lww {
     * would silently corrupt every later co-partitioned merge. Callers
     * fall back to the salted repartition shape, whose explicit
     * `repartition(n, keys)` enforces the contract by construction.
+    * Cost note: the check plans the reduce subtree once on the driver
+    * (single-digit ms on the shallow cached-batch lineages of the apply
+    * path; the composed merge re-plans at action time regardless) —
+    * accepted: it is the only guard that cannot drift from what Spark
+    * actually executes.
     */
   def reduceBucketedExact(df: DataFrame, keyCols: Seq[String], numBuckets: Int): Option[DataFrame] = {
     val conf = df.sparkSession.sessionState.conf

@@ -46,11 +46,12 @@ object CdcPipeline {
     *        AFTER the chunk's commit; signals are marked processed AFTER
     *        the batch — crash redelivery re-applies convergently.
     */
-  /** @param maxBytesPerTrigger optional BYTE-based admission cap (e.g.
-    *        "256m") — the `max.queue.size.in.bytes` analog
+  /** @param maxBytesPerTrigger optional BYTE-based admission cap (a
+    *        positive integer byte count, e.g. "268435456") — the
+    *        `max.queue.size.in.bytes` analog
     *        (`ChangeEventQueue.java:65-118` sizes admission in bytes when
-    *        configured); composes with `maxFilesPerTrigger` (both set =
-    *        whichever bound hits first, Spark file-source semantics).
+    *        configured). Spark's file source rejects setting BOTH bounds,
+    *        so a byte cap REPLACES the file-count cap.
     */
   def start(
       spark: SparkSession,
@@ -62,10 +63,10 @@ object CdcPipeline {
       orderedInput: Boolean = false,
       signalChannel: Option[String] = None,
       maxBytesPerTrigger: Option[String] = None): StreamingQuery = {
-    val reader = spark.readStream
-      .schema(Envelope.schema())
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-    val env = maxBytesPerTrigger.fold(reader)(b => reader.option("maxBytesPerTrigger", b))
+    val reader = spark.readStream.schema(Envelope.schema())
+    val env = maxBytesPerTrigger
+      .fold(reader.option("maxFilesPerTrigger", maxFilesPerTrigger))(b =>
+        reader.option("maxBytesPerTrigger", b))
       .parquet(inputDir)
     env.writeStream
       .option("checkpointLocation", checkpointDir)

@@ -122,12 +122,21 @@ final class LakeTable(
     ci
   }
 
-  private def commitPaths(): Seq[Path] = {
-    if (!Files.isDirectory(commitsDir)) return Nil
-    Files.list(commitsDir).iterator().asScala
-      .filter(_.getFileName.toString.matches("v\\d+\\.json"))
-      .toSeq.sortBy(_.getFileName.toString)
+  /** Drain a directory listing with the stream CLOSED afterwards —
+    * `Files.list`/`Files.walk` hold an open directory fd until closed,
+    * and unclosed streams on the per-microbatch paths (commitPaths runs
+    * every batch) leak fds until finalization.
+    */
+  private def listDir(p: Path): Seq[Path] = {
+    if (!Files.isDirectory(p)) return Nil
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
   }
+
+  private def commitPaths(): Seq[Path] =
+    listDir(commitsDir)
+      .filter(_.getFileName.toString.matches("v\\d+\\.json"))
+      .sortBy(_.getFileName.toString)
 
   /** Resolve a commit file to a materialized CommitInfo, folding delta
     * commits onto their base (chain length < [[LakeTable.FullManifestEvery]]
@@ -491,7 +500,7 @@ final class LakeTable(
     val base = Paths.get(root, "_bucketed")
     if (!Files.isDirectory(base)) return
     val keep = f"v$keepFrom%020d"
-    Files.list(base).iterator().asScala.toSeq
+    listDir(base)
       .filter(p => p.getFileName.toString < keep)
       .foreach(deleteTree)
   }
@@ -598,8 +607,11 @@ final class LakeTable(
       keep.map(materialize).flatMap(_.files.map(_.path)).toSet
     val dropped = drop.map(materialize)
     val dead = dropped.flatMap(_.files.map(_.path)).toSet -- retained
-    dead.foreach(p => Files.deleteIfExists(Paths.get(root, p)))
+    // Commit files FIRST, data second: a crash in between leaves orphan
+    // data (cleaned by removeOrphanFiles) — never a resolvable commit
+    // pointing at deleted parquet.
     drop.foreach(Files.deleteIfExists(_))
+    dead.foreach(p => Files.deleteIfExists(Paths.get(root, p)))
     resolved.clear() // memo may hold expired versions
     (drop.size, dead.size)
   }
@@ -619,17 +631,18 @@ final class LakeTable(
       .flatMap(_.files.map(_.path)).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     var n = 0
-    Files.walk(dataDir).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-      .filter(p => Paths.get(root).relativize(p).toString match {
-        case rel => !referenced.contains(rel)
-      })
-      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
-      .toSeq
-      .foreach { p => Files.deleteIfExists(p); n += 1 }
+    val walk = Files.walk(dataDir)
+    val orphans =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .filter(p => !referenced.contains(Paths.get(root).relativize(p).toString))
+        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+        .toSeq
+      finally walk.close()
+    orphans.foreach { p => Files.deleteIfExists(p); n += 1 }
     // drop now-empty batch dirs (cosmetic; keeps the layout readable)
-    Files.list(dataDir).iterator().asScala.toSeq.foreach { d =>
-      if (Files.isDirectory(d) && !Files.list(d).iterator().hasNext) Files.deleteIfExists(d)
+    listDir(dataDir).foreach { d =>
+      if (Files.isDirectory(d) && listDir(d).isEmpty) Files.deleteIfExists(d)
     }
     n
   }
@@ -695,12 +708,12 @@ final class LakeTable(
     val writer = if (maxFileRows > 0) out.write.option("maxRecordsPerFile", maxFileRows) else out.write
     writer.mode("overwrite").parquet(abs)
     val part = "part-(\\d{5})".r
-    val staged: Seq[(String, Int, Path)] = Files.list(Paths.get(abs)).iterator().asScala
+    val staged: Seq[(String, Int, Path)] = listDir(Paths.get(abs))
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .flatMap { p =>
         val rel = Paths.get(root).relativize(p).toString
         part.findFirstMatchIn(p.getFileName.toString).map(m => (rel, m.group(1).toInt, p))
-      }.toSeq
+      }
     // Footer reads in PARALLEL on the driver: done serially they are
     // ~20 ms × numBuckets of pure driver time BETWEEN the write job and
     // the commit — a serial stage per microbatch that Amdahl-caps the
@@ -773,10 +786,13 @@ object LakeTable {
       maxFileRows: Long = 0L): LakeTable = {
     val dir = Paths.get(root, "_commits")
     require(Files.isDirectory(dir), s"no commit log at $root")
-    val last = Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.matches("v\\d+\\.json"))
-      .toSeq.sortBy(_.getFileName.toString).lastOption
-      .getOrElse(throw new IllegalStateException(s"empty commit log at $root"))
+    val listing = Files.list(dir)
+    val last =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.matches("v\\d+\\.json"))
+        .toSeq.sortBy(_.getFileName.toString).lastOption
+        .getOrElse(throw new IllegalStateException(s"empty commit log at $root"))
+      finally listing.close()
     val n = parse(Files.readString(last)) match {
       case Right(full) => full.numBuckets
       case Left(d)     => d.numBuckets

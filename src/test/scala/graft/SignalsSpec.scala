@@ -132,6 +132,18 @@ class SignalsSpec extends SparkSpec {
     assert(applied() === Set("snap1", "snap2", "snap4", "snap6", "snap8"))
   }
 
+  test("byte-based admission (maxBytesPerTrigger) streams and converges") {
+    val inDir = tmp(); val ckpt = tmp()
+    val table = new LakeTable(tmp(), numBuckets = 4)
+    val evs = (1 to 40).map(i => FlatEvent.mk((s"r${i % 5}", s"f${i % 7}.txt"), i.toLong, "u"))
+    graft.core.Envelope.wrap(evs.toDF()).repartition(8).write.mode("overwrite").parquet(inDir)
+    // byte cap REPLACES the file cap (Spark's file source rejects both)
+    CdcPipeline.start(spark, inDir, ckpt, table, maxBytesPerTrigger = Some("10000"))
+      .awaitTermination()
+    val got = table.snapshot(spark).get.count()
+    assert(got === evs.map(e => (e.repo, e.path)).distinct.size.toLong)
+  }
+
   test("snapshot state roundtrips values with backslashes, quotes, newlines") {
     // regression: chained-replace unescaping turned a literal
     // backslash+n (e.g. inside a regex chunkExpr) into a newline
