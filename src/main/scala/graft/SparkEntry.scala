@@ -829,6 +829,35 @@ object SparkEntry {
         col("doc_id"), epochs = 3, shards = 8, salt = "ep1")
         .select(col("doc_id"), col("epoch").cast("int").as("epoch"),
           col("shard"), col("order_key"))),
+
+    // Ingest-time incremental NEAR-dedup (the LSH analog of q79): the
+    // seen-set is a MinHash band-key index LakeTable maintained by the
+    // exactly-once apply loop; per batch, band-collision connected
+    // components pick min-id canonicals, and a canonical is admitted iff
+    // NONE of its band keys is already registered (the LSH admission
+    // rule). Seed = base docs (doc_id % 3 <> 0); the second batch ingests
+    // the full dup-planted corpus — its planted exact dups and near-dup
+    // tails collide with the seeded bands and are turned away.
+    "q84_ingest_near_dedup" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-ingest-near").toString
+      val index = tdp.IngestDedup.nearIndexTable(s"$root/idx", numBuckets = 16)
+      tdp.IngestDedup.ingestNear(s, index,
+        Corpus.documents(s, dir).where(col("doc_id") % 3 =!= 0)
+          .select("doc_id", "text"), 0L).unpersist()
+      // stays persisted (load-bearing — a recompute after registration
+      // would observe its own band keys); freed by the sweep's clearCache
+      tdp.IngestDedup.ingestNear(s, index, Corpus.docsWithDups(s, dir)
+          .select("doc_id", "text"), 1L)
+        .select(col("doc_id"))
+    }),
+
+    // Cross-document repeated-substring spans (Lee et al. 2022's
+    // exact-substring dedup at word-3-gram granularity): maximal token
+    // spans whose every 3-gram appears in ≥2 distinct docs — CMS-pruned
+    // gram evidence, exact-verified, gaps-and-islands span merge.
+    "q85_dup_spans" -> ((s, dir) =>
+      tdp.SpanDedup.duplicateSpans(Corpus.docsWithDups(s, dir),
+        k = 3, minDocs = 2, minTokens = 5)),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1003,6 +1032,86 @@ object SparkEntry {
         |       CAST(('0x' || substr(md5(concat('ep1', '|', CAST(epoch AS VARCHAR), '|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 8 AS shard,
         |       md5(concat('ep1', '|', CAST(epoch AS VARCHAR), '|', CAST(doc_id AS VARCHAR))) AS order_key
         |FROM e""".stripMargin,
+    // Two-batch near-dedup simulation: phase-0 seed then phase-1 corpus;
+    // in-batch clusters = min-reachable-id closure over band-collision
+    // pairs (the q73 recursive pattern, once per phase); admitted =
+    // phase-1 cluster canonicals with zero band keys in the phase-0-
+    // admitted index. Banding lock-step with q21 (16 lanes, 4 bands).
+    "q84_ingest_near_dedup" ->
+      s"""WITH RECURSIVE ${Corpus.Sql.corpus}
+         |, all_docs AS (
+         |  SELECT 0 AS phase, doc_id, text FROM documents WHERE doc_id % 3 <> 0
+         |  UNION ALL
+         |  SELECT 1 AS phase, doc_id, text FROM corpus)
+         |, shing AS (
+         |  SELECT phase, doc_id, list_distinct(
+         |    [array_to_string(words[i:i+2], ' ') for i in generate_series(1, greatest(len(words)-2, 1))]) AS sh
+         |  FROM (SELECT phase, doc_id, string_split_regex(lower(text), '\\s+') AS words FROM all_docs))
+         |, sigs AS (
+         |  SELECT phase, doc_id,
+         |         [list_aggregate([md5(concat(CAST(h AS VARCHAR), '|', s)) for s in sh], 'min')
+         |          for h in generate_series(0, 15)] AS sig
+         |  FROM shing)
+         |, banded AS (
+         |  SELECT phase, doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bkey
+         |  FROM sigs, (VALUES (0),(1),(2),(3)) bs(b))
+         |, p0 AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM banded l JOIN banded r
+         |    ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+         |  WHERE l.phase = 0 AND r.phase = 0)
+         |, e0 AS (SELECT a AS s, b AS d FROM p0 UNION SELECT b, a FROM p0)
+         |, cc0 AS (
+         |  SELECT s AS doc, d AS reach FROM e0
+         |  UNION
+         |  SELECT cc0.doc, e.d FROM cc0 JOIN e0 e ON cc0.reach = e.s)
+         |, losers0 AS (
+         |  SELECT doc FROM (SELECT doc, least(doc, min(reach)) AS cluster FROM cc0 GROUP BY doc)
+         |  WHERE doc <> cluster)
+         |, idx AS (
+         |  SELECT DISTINCT bkey FROM banded
+         |  WHERE phase = 0 AND doc_id NOT IN (SELECT doc FROM losers0))
+         |, p1 AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM banded l JOIN banded r
+         |    ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+         |  WHERE l.phase = 1 AND r.phase = 1)
+         |, e1 AS (SELECT a AS s, b AS d FROM p1 UNION SELECT b, a FROM p1)
+         |, cc1 AS (
+         |  SELECT s AS doc, d AS reach FROM e1
+         |  UNION
+         |  SELECT cc1.doc, e.d FROM cc1 JOIN e1 e ON cc1.reach = e.s)
+         |, losers1 AS (
+         |  SELECT doc FROM (SELECT doc, least(doc, min(reach)) AS cluster FROM cc1 GROUP BY doc)
+         |  WHERE doc <> cluster)
+         |, winners1 AS (
+         |  SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT doc FROM losers1))
+         |, flagged AS (
+         |  SELECT DISTINCT doc_id FROM banded
+         |  WHERE phase = 1 AND doc_id IN (SELECT doc_id FROM winners1)
+         |    AND bkey IN (SELECT bkey FROM idx))
+         |SELECT doc_id FROM winners1 WHERE doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin,
+    // Maximal runs of consecutive duplicated-3-gram starts; a run p..q
+    // covers tokens p..q+2; spans shorter than 5 tokens dropped.
+    "q85_dup_spans" ->
+      s"""WITH ${Corpus.Sql.corpus}
+         |, toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words FROM corpus)
+         |, g AS (
+         |  SELECT doc_id,
+         |         unnest(generate_series(1, len(words) - 2)) AS pos,
+         |         unnest([array_to_string(words[i:i+2], ' ') for i in generate_series(1, len(words) - 2)]) AS gr
+         |  FROM toks WHERE len(words) >= 3)
+         |, dup AS (
+         |  SELECT gr FROM (SELECT DISTINCT doc_id, gr FROM g)
+         |  GROUP BY gr HAVING count(*) >= 2)
+         |, m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gr))
+         |, runs AS (
+         |  SELECT doc_id, pos,
+         |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM m)
+         |SELECT doc_id, CAST(min(pos) AS INT) AS span_start, CAST(max(pos) + 2 AS INT) AS span_end
+         |FROM runs GROUP BY doc_id, grp
+         |HAVING max(pos) + 2 - min(pos) + 1 >= 5""".stripMargin,
     "q62_cdc_rebucket" -> s"$cte\n$applyStateSql",
     // replay slices are lsn ranges of width (hi-lo)//4 + 1; version 2 holds
     // the fold of the first two slices.

@@ -154,4 +154,164 @@ object IngestDedup {
       batchId, writeMetrics = false, fenceByWatermark = false)
     admitted
   }
+
+  // ----------------------------------------------- NEAR-dup ingest (LSH)
+
+  /** Ingest-time incremental NEAR-dedup — the LSH analog of the exact
+    * digest index above: the seen-set is a MinHash BAND-KEY index table
+    * (keyed on `band_key`, bucketed, maintained by the same exactly-once
+    * apply loop), and an arriving document is a near-duplicate of ingested
+    * content when ANY of its band keys is already registered — the
+    * standard LSH admission rule (collide on all rows of one band ⇒
+    * estimated-Jaccard above the band curve's threshold).
+    *
+    * Per batch: (1) in-batch candidates pair up via a band-key self-join
+    * (id pairs only), collapse to clusters with [[Dedup.duplicateClusters]]
+    * (min-id canonical — deterministic, order-free); (2) cluster canonicals
+    * check their band keys against the index through the bucketed state
+    * scan (ZERO state-side exchange, batch side laid out on the index's
+    * bucket count); (3) admitted canonicals register ALL their band keys
+    * (each is new by construction — `lsn = -id` keeps min-id-wins replay
+    * stability). Data moved per step: O(batch × bands) short keys,
+    * whatever the corpus has grown to.
+    */
+  def nearIndexTable(root: String, numBuckets: Int = 32): LakeTable =
+    new LakeTable(root, numBuckets, keyCols = Seq("band_key"))
+
+  /** Batch + a `__bkeys` array column: the doc's `bands` MinHash band keys
+    * (md5 of each band's `rowsPerBand` minhash lanes — the exact
+    * [[Dedup.minhashLsh]] banding, shingling shared across lanes via a
+    * real intermediate column).
+    */
+  private def withBandKeys(
+      batch: DataFrame, bands: Int, rowsPerBand: Int, textCol: String): DataFrame =
+    batch
+      .withColumn("__sh", array_distinct(Dedup.shingles(col(textCol))))
+      .withColumn("__bkeys", array((0 until bands).map { b =>
+        md5(concat_ws("|", (0 until rowsPerBand).map { r =>
+          val hh = b * rowsPerBand + r
+          array_min(transform(col("__sh"), s => md5(concat(lit(s"$hh|"), s))))
+        }: _*))
+      }: _*))
+      .drop("__sh")
+
+  /** In-batch near-dup winners over a `__bkeys`-carrying batch: band-key
+    * collision pairs (id-only self-join) → connected components → drop
+    * every non-canonical cluster member. Two winners never share a band
+    * key (sharing one would have merged their clusters).
+    */
+  private def inBatchNearWinners(keyed: DataFrame, idCol: String): DataFrame = {
+    val banded = keyed.select(
+      col(idCol).as("id"), posexplode(col("__bkeys")).as(Seq("band", "bkey")))
+    val pairs = banded.select(col("band"), col("bkey"), col("id").as("a"))
+      .join(banded.select(col("band"), col("bkey"), col("id").as("b")), Seq("band", "bkey"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).dropDuplicates("a", "b")
+    val losers = Dedup.duplicateClusters(pairs)
+      .where(col("doc") =!= col("cluster"))
+      .select(col("doc").as(idCol))
+    keyed.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Winner rows' exploded (id, band_key) pairs, laid out on the index's
+    * bucket count so joins against the bucketed state scan co-partition.
+    */
+  private def winnerKeys(
+      index: LakeTable, winners: DataFrame, idCol: String): DataFrame =
+    winners.select(col(idCol), explode(col("__bkeys")).as("band_key"))
+      .repartition(index.numBuckets, col("band_key"))
+
+  /** Admitted band-key change events for the index: one `op='c'` event per
+    * band key of the admitted winners (min id per key for safety — winners
+    * cannot share keys), ordered so LWW keeps the smallest id ever seen.
+    */
+  def bandEvents(admitted: DataFrame, idCol: String = "doc_id", parts: Int = 8): DataFrame =
+    admitted
+      .select(explode(col("__bkeys")).as("band_key"), col(idCol).cast("long").as("canonical_id"))
+      .groupBy("band_key").agg(min("canonical_id").as("canonical_id"))
+      .select(
+        col("band_key"), col("canonical_id"),
+        lit("c").as("op"),
+        pmod(hash(col("band_key")), lit(parts)).as("part"),
+        (-col("canonical_id")).as("lsn"),
+        lit("ingest").as("commit"),
+        lit(1700000000000L).as("ts_ms"))
+
+  /** Batch rows admissible against the index right now: in-batch cluster
+    * canonicals with zero registered band keys, `__bkeys` appended —
+    * the near analog of [[unseen]]. The in-batch clustering runs its
+    * (bounded) driver loop when called; the index-collision filter is
+    * lazy against the index's CURRENT commit, so compute the result
+    * before registering the same batch (or use [[ingestNear]], which
+    * sequences materialize → register).
+    */
+  def unseenNear(
+      spark: SparkSession,
+      index: LakeTable,
+      batch: DataFrame,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val keyed = withBandKeys(batch, bands, rowsPerBand, textCol)
+    val winners = inBatchNearWinners(keyed, idCol)
+    seenState(spark, index) match {
+      case None => winners
+      case Some(state) =>
+        val flagged = winnerKeys(index, winners, idCol)
+          .join(state.select(col("band_key")), Seq("band_key"), "left_semi")
+          .select(col(idCol)).distinct()
+        winners.join(flagged, Seq(idCol), "left_anti")
+    }
+  }
+
+  /** One near-dedup ingest step (see the section doc): returns the
+    * admitted rows — batch columns plus the `__bkeys` band-key array —
+    * MATERIALIZED (persisted + counted) before the index registration, so
+    * the caller's frame cannot observe its own keys. Retry recovery
+    * mirrors [[ingest]]: an admitted doc registered every one of its band
+    * keys under its own id (all were new at admit time, and ids are
+    * unique), so on a fenced re-call the semi-join on
+    * (band_key, canonical_id = own id) re-derives exactly the admitted
+    * set; non-admitted docs never registered anything under their id.
+    */
+  def ingestNear(
+      spark: SparkSession,
+      index: LakeTable,
+      batch: DataFrame,
+      batchId: Long,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val keyed = withBandKeys(batch, bands, rowsPerBand, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val winners = inBatchNearWinners(keyed, idCol)
+      val fenced = index.lastCommit().exists(_.batchId >= batchId)
+      if (fenced) {
+        return seenState(spark, index) match {
+          case None => winners.limit(0)
+          case Some(state) =>
+            val owned = winnerKeys(index, winners, idCol)
+              .join(state.select(col("band_key"), col("canonical_id")), Seq("band_key"))
+              .where(col(idCol) === col("canonical_id"))
+              .select(col(idCol)).distinct()
+            winners.join(owned, Seq(idCol), "left_semi")
+        }
+      }
+      val admitted = (seenState(spark, index) match {
+        case None => winners
+        case Some(state) =>
+          val flagged = winnerKeys(index, winners, idCol)
+            .join(state.select(col("band_key")), Seq("band_key"), "left_semi")
+            .select(col(idCol)).distinct()
+          winners.join(flagged, Seq(idCol), "left_anti")
+      }).persist(StorageLevel.MEMORY_AND_DISK)
+      admitted.count()
+      graft.merge.CdcApply.applyBatch(spark, index, bandEvents(admitted, idCol),
+        batchId, writeMetrics = false, fenceByWatermark = false)
+      admitted
+    } finally keyed.unpersist()
+  }
 }

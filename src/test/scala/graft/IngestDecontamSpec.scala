@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.tdp.{Decontamination, IngestDedup}
+import graft.tdp.{Decontamination, Dedup, IngestDedup}
 
 /** Benchmark decontamination + ingest-time incremental dedup (the round-3
   * training-data additions).
@@ -170,5 +170,116 @@ class IngestDecontamSpec extends SparkSpec {
       batchId = 1L, writeMetrics = false, fenceByWatermark = false)
     val canon = index.snapshot(spark).get.select("canonical_id").as[Long].collect().toSeq
     assert(canon === Seq(3L))
+  }
+
+  // ---------------------------------------------------- near-dup ingest (LSH)
+
+  test("near ingest: seen content turned away, in-batch clusters keep min id, fenced retry re-emits") {
+    val index = IngestDedup.nearIndexTable(
+      Files.createTempDirectory("graft-near-spec").resolve("idx").toString, numBuckets = 4)
+    val t1 = "the quick brown fox jumps over the lazy dog again and again until done"
+    val t2 = "completely different words about mountains rivers oceans forests deserts plains valleys"
+    val a0 = IngestDedup.ingestNear(spark, index,
+      Seq((10L, t1), (11L, t2)).toDF("doc_id", "text"), 0L)
+    assert(a0.select("doc_id").as[Long].collect().toSet === Set(10L, 11L))
+    a0.unpersist()
+
+    // 20 = exact dup of t1 (every band collides with the index);
+    // 21/22 = identical new text (in-batch cluster → min id 21 canonical);
+    // 30 = fresh text
+    val t3 = "novel sentences describing satellites orbits telescopes galaxies nebulae quasars comets"
+    val t4 = "fresh unrelated content regarding cooking baking roasting grilling steaming frying boiling"
+    val b1 = Seq((20L, t1), (22L, t3), (21L, t3), (30L, t4)).toDF("doc_id", "text")
+    val a1 = IngestDedup.ingestNear(spark, index, b1, 1L)
+    assert(a1.select("doc_id").as[Long].collect().toSet === Set(21L, 30L))
+    a1.unpersist()
+
+    // retry of the committed batchId: admitted set re-derived from the
+    // index (band keys registered under the doc's own id), no new commit
+    val v = index.lastCommit().get.version
+    val retry = IngestDedup.ingestNear(spark, index, b1, 1L)
+    assert(retry.select("doc_id").as[Long].collect().toSet === Set(21L, 30L),
+      "retry must re-emit the batch's admitted rows")
+    assert(index.lastCommit().get.version === v, "retry must not commit")
+  }
+
+  test("near ingest admission matches the batch LSH candidate rule") {
+    // For an ingested text A and a candidate B: the index turns B away
+    // exactly when minhashLsh over {A, B} (threshold 0 ⇒ raw band
+    // collisions) pairs them — the index IS the streaming form of the
+    // batch operator's blocking rule.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val cases = Seq(
+      "identical" -> base,
+      "near" -> (base + " extra trailing tail"),
+      "far" -> "one two three four five six seven eight nine ten")
+    cases.foreach { case (label, tb) =>
+      val collides = Dedup.minhashLsh(
+        Seq((1L, base), (2L, tb)).toDF("doc_id", "text"),
+        bands = 4, rowsPerBand = 4, threshold = 0.0).count() > 0
+      val index = IngestDedup.nearIndexTable(
+        Files.createTempDirectory(s"graft-near-$label").resolve("idx").toString, numBuckets = 2)
+      IngestDedup.ingestNear(spark, index,
+        Seq((1L, base)).toDF("doc_id", "text"), 0L).unpersist()
+      val admitted = IngestDedup.ingestNear(spark, index,
+        Seq((2L, tb)).toDF("doc_id", "text"), 1L)
+      val got = admitted.select("doc_id").as[Long].collect().toSet
+      admitted.unpersist()
+      assert(got === (if (collides) Set.empty[Long] else Set(2L)),
+        s"case '$label': index admission must match band collision ($collides)")
+    }
+  }
+
+  test("near ingest: the index-collision check reads the bucketed state scan") {
+    val index = IngestDedup.nearIndexTable(
+      Files.createTempDirectory("graft-near-plan").resolve("idx").toString, numBuckets = 4)
+    IngestDedup.ingestNear(spark, index,
+      Seq((1L, "seed text one of several words"), (2L, "another seeded document with words"))
+        .toDF("doc_id", "text"), 0L).unpersist()
+    val batch = Seq((3L, "seed text one of several words"), (4L, "wholly new arrival content here"))
+      .toDF("doc_id", "text")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val lazyUnseen = IngestDedup.unseenNear(spark, index, batch)
+      val plan = lazyUnseen.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"a 10^9-key band index must join through the bucketed scan (no state re-shuffle):\n$plan")
+      assert(lazyUnseen.select("doc_id").as[Long].collect().toSet === Set(4L))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("near ingest property: with duplicate TEXTS any batching admits each text once (exact-dup degeneration)") {
+    // identical texts collide on every band, so the near path must
+    // reproduce the exact path's contract: one admission per distinct
+    // text, canonical = min id within the first batch that carried it
+    (1 to 2).foreach { seed =>
+      val rnd = new scala.util.Random(100 + seed)
+      // token-DISJOINT vocabulary across n (zero shared shingles between
+      // distinct texts — no accidental band collisions to fuzz the contract)
+      val docs = (0 until 40).map { i =>
+        val n = rnd.nextInt(12)
+        (i.toLong, s"alpha$n beta$n gamma$n delta$n epsilon$n zeta$n")
+      }
+      val nBatches = 2 + rnd.nextInt(2)
+      val batches = docs.groupBy(_ => rnd.nextInt(nBatches)).toSeq.sortBy(_._1).map(_._2)
+      val index = IngestDedup.nearIndexTable(
+        Files.createTempDirectory(s"graft-near-prop$seed").resolve("idx").toString, numBuckets = 4)
+      val admitted = batches.zipWithIndex.flatMap { case (b, i) =>
+        val out = IngestDedup.ingestNear(spark, index, b.toDF("doc_id", "text"), i.toLong)
+        val rows = out.select("doc_id").as[Long].collect()
+        out.unpersist()
+        rows
+      }
+      val firstBatchOf = scala.collection.mutable.Map.empty[String, Long]
+      batches.foreach { b =>
+        val seen = firstBatchOf.keySet.toSet
+        b.groupBy(_._2).foreach { case (t, rs) =>
+          if (!seen.contains(t)) firstBatchOf(t) = rs.map(_._1).min
+        }
+      }
+      assert(admitted.toSet === firstBatchOf.values.toSet, s"seed=$seed: canonical ids")
+      assert(admitted.size === docs.map(_._2).distinct.size, s"seed=$seed: one admission per text")
+    }
   }
 }
