@@ -858,6 +858,25 @@ object SparkEntry {
     "q85_dup_spans" -> ((s, dir) =>
       tdp.SpanDedup.duplicateSpans(Corpus.docsWithDups(s, dir),
         k = 3, minDocs = 2, minTokens = 5)),
+
+    // Source-column metadata propagation (PropagateSourceMetadataToSchema-
+    // Parameter analog) + the sink-side consumer: declared source facts
+    // ride as StructField metadata through a rename, then `describe`
+    // resolves sink DDL types and audits declared VARCHAR lengths against
+    // the data (one map-side-combined aggregate pass).
+    "q86_smt_source_metadata" -> ((s, dir) => {
+      import graft.core.SourceMetadata
+      import graft.core.SourceMetadata.SourceColumn
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val tagged = SourceMetadata.propagate(ev, Map(
+        "event_id" -> SourceColumn("bigserial"),
+        "event_type" -> SourceColumn("varchar", length = 5),
+        "value" -> SourceColumn("numeric", length = 8, scale = 2),
+        "props" -> SourceColumn("jsonb", comment = "user properties")))
+      // metadata must survive a sink-side rename (Alias keeps child
+      // attribute metadata); source_name still reports "event_type"
+      SourceMetadata.describe(tagged.withColumnRenamed("event_type", "kind"))
+    }),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1112,6 +1131,23 @@ object SparkEntry {
          |SELECT doc_id, CAST(min(pos) AS INT) AS span_start, CAST(max(pos) + 2 AS INT) AS span_end
          |FROM runs GROUP BY doc_id, grp
          |HAVING max(pos) + 2 - min(pos) + 1 >= 5""".stripMargin,
+    // Expected propagation facts are constants (the truth-table style of
+    // q80); the one data-dependent cell is the VARCHAR(5) length audit.
+    "q86_smt_source_metadata" ->
+      """SELECT 'event_id' AS col_name, 'event_id' AS source_name, 'BIGSERIAL' AS source_type,
+        |       CAST(NULL AS INT) AS source_length, CAST(NULL AS INT) AS source_scale,
+        |       'BIGINT' AS sink_type, CAST(0 AS BIGINT) AS len_violations
+        |UNION ALL
+        |SELECT 'ts', NULL, NULL, NULL, NULL, 'TIMESTAMP', 0
+        |UNION ALL
+        |SELECT 'user_id', NULL, NULL, NULL, NULL, 'BIGINT', 0
+        |UNION ALL
+        |SELECT 'kind', 'event_type', 'VARCHAR', 5, NULL, 'VARCHAR(5)',
+        |       (SELECT count(*) FROM events WHERE length(event_type) > 5)
+        |UNION ALL
+        |SELECT 'value', 'value', 'NUMERIC', 8, 2, 'DECIMAL(8,2)', 0
+        |UNION ALL
+        |SELECT 'props', 'props', 'JSONB', NULL, NULL, 'TEXT', 0""".stripMargin,
     "q62_cdc_rebucket" -> s"$cte\n$applyStateSql",
     // replay slices are lsn ranges of width (hi-lo)//4 + 1; version 2 holds
     // the fold of the first two slices.

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.SourceMetadata
+import graft.core.SourceMetadata.SourceColumn
+
+/** Source-column metadata propagation (PropagateSourceMetadataToSchema-
+  * Parameter analog) and the sink-side type-resolution consumer.
+  */
+class SourceMetadataSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base =
+    Seq((1L, "signup", "alpha", 12.5), (2L, "purchase", "beta", 3.25))
+      .toDF("id", "kind", "tag", "amount")
+
+  private val catalog = Map(
+    "id" -> SourceColumn("bigserial"),
+    "kind" -> SourceColumn("varchar", length = 6, comment = "event kind"),
+    "amount" -> SourceColumn("numeric", length = 10, scale = 2))
+
+  test("propagate attaches upper-cased type + length/scale/comment/name metadata") {
+    val out = SourceMetadata.propagate(base, catalog)
+    val kind = out.schema("kind")
+    assert(kind.metadata.getString(SourceMetadata.TypeKey) === "VARCHAR")
+    assert(kind.metadata.getLong(SourceMetadata.LengthKey) === 6L)
+    assert(!kind.metadata.contains(SourceMetadata.ScaleKey), "unset scale omitted")
+    assert(kind.metadata.getString(SourceMetadata.CommentKey) === "event kind")
+    assert(kind.metadata.getString(SourceMetadata.NameKey) === "kind")
+    assert(out.schema("tag").metadata === base.schema("tag").metadata,
+      "uncatalogued column untouched")
+    val sc = SourceMetadata.sourceOf(out.schema("amount")).get
+    assert(sc.typeName === "NUMERIC" && sc.lengthOpt === Some(10) && sc.scaleOpt === Some(2))
+  }
+
+  test("columnMatch / propagateByType restrict which columns are tagged") {
+    val only = SourceMetadata.propagate(base, catalog, columnMatch = Seq("k.*"))
+    assert(SourceMetadata.sourceOf(only.schema("kind")).isDefined)
+    assert(SourceMetadata.sourceOf(only.schema("id")).isEmpty)
+
+    val byType = SourceMetadata.propagateByType(base, catalog, Seq("NUMERIC", "DECIMAL"))
+    assert(SourceMetadata.sourceOf(byType.schema("amount")).isDefined)
+    assert(SourceMetadata.sourceOf(byType.schema("kind")).isEmpty)
+  }
+
+  test("metadata survives renames and projections; source_name keeps the origin") {
+    val out = SourceMetadata.propagate(base, catalog)
+      .withColumnRenamed("kind", "event_kind")
+      .select("event_kind", "amount")
+      .where(col("amount") > 0)
+    assert(SourceMetadata.sourceOf(out.schema("event_kind")).map(_.typeName) === Some("VARCHAR"))
+    assert(SourceMetadata.sourceNameOf(out.schema("event_kind")) === Some("kind"),
+      "original source column name rides through the rename")
+  }
+
+  test("sinkType: propagated length/precision win; Spark-type fallback otherwise") {
+    val out = SourceMetadata.propagate(base, catalog)
+    def st(n: String) = SourceMetadata.sinkType(out.schema(n))
+    assert(st("kind") === "VARCHAR(6)")
+    assert(st("amount") === "DECIMAL(10,2)")
+    assert(st("id") === "BIGINT", "BIGSERIAL is neither char nor decimal -> Spark fallback")
+    assert(st("tag") === "TEXT")
+    val noLen = SourceMetadata.propagate(base, Map("tag" -> SourceColumn("text")))
+    assert(SourceMetadata.sinkType(noLen.schema("tag")) === "TEXT",
+      "character type without declared length -> unbounded TEXT")
+  }
+
+  test("describe audits declared VARCHAR lengths in one pass") {
+    val rep = SourceMetadata.describe(SourceMetadata.propagate(base, catalog))
+      .collect().map(r => r.getAs[String]("col_name") ->
+        (Option(r.getAs[String]("source_type")), r.getAs[String]("sink_type"),
+          r.getAs[Long]("len_violations"))).toMap
+    assert(rep.keySet === Set("id", "kind", "tag", "amount"))
+    assert(rep("kind") === ((Some("VARCHAR"), "VARCHAR(6)", 1L)), "'purchase' exceeds 6")
+    assert(rep("tag") === ((None, "TEXT", 0L)))
+    assert(rep("amount")._3 === 0L, "non-character columns never audited")
+  }
+
+  test("describe with no audited columns still reports every column") {
+    val rep = SourceMetadata.describe(base)
+    assert(rep.count() === 4)
+    assert(rep.where(col("len_violations") =!= 0).count() === 0)
+  }
+}
