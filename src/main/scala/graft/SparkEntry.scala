@@ -877,6 +877,21 @@ object SparkEntry {
       // attribute metadata); source_name still reports "event_type"
       SourceMetadata.describe(tagged.withColumnRenamed("event_type", "kind"))
     }),
+
+    // OpenLineage-analog run-event feed: START rows carry INPUT/OUTPUT
+    // dataset facets (name, kind, type, schema JSON), RUNNING rows one
+    // per committed microbatch with its event count, COMPLETE carries
+    // the live state count. Every column deterministic (hashed run ids,
+    // no wall clock) — replay-stable.
+    "q87_cdc_lineage" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-lineage").toString
+      val table = new LakeTable(root, numBuckets = 16)
+      graft.streaming.Lineage.replayWithLineage(s, ChangeLog.flat(s, dir), table,
+        graft.streaming.Lineage.Job("graft", "files-cdc"),
+        inputName = "documents_changelog", outputName = "files_state",
+        numBatches = 4, salt = 4)
+      graft.streaming.Lineage.feed(s, root)
+    }),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1148,6 +1163,33 @@ object SparkEntry {
         |SELECT 'value', 'value', 'NUMERIC', 8, 2, 'DECIMAL(8,2)', 0
         |UNION ALL
         |SELECT 'props', 'props', 'JSONB', NULL, NULL, 'TEXT', 0""".stripMargin,
+    // Run-state machine over the 4-slice replay: START×2 dataset facets,
+    // RUNNING per lsn-range slice (records = slice event count incl.
+    // replays), COMPLETE = live winners. run_id = md5(namespace|name).
+    "q87_cdc_lineage" ->
+      s"""$cte
+         |, b AS (SELECT min(lsn) AS lo, (max(lsn) - min(lsn)) // 4 + 1 AS w FROM ev)
+         |, sj AS (SELECT '[{"name":"repo","type":"string"},{"name":"path","type":"string"},{"name":"commit","type":"string"},{"name":"lang","type":"string"},{"name":"content","type":"string"},{"name":"op","type":"string"},{"name":"part","type":"int"},{"name":"lsn","type":"bigint"},{"name":"ts_ms","type":"bigint"}]' AS j)
+         |SELECT CAST(0 AS INT) AS seq, 'START' AS event_type, 'graft' AS job_namespace,
+         |       'files-cdc' AS job_name, md5('graft|files-cdc') AS run_id,
+         |       'documents_changelog' AS dataset_name, 'INPUT' AS dataset_kind,
+         |       'STREAM' AS dataset_type, (SELECT j FROM sj) AS schema_json,
+         |       CAST(-1 AS BIGINT) AS batch_id, CAST(-1 AS BIGINT) AS records
+         |UNION ALL
+         |SELECT 1, 'START', 'graft', 'files-cdc', md5('graft|files-cdc'),
+         |       'files_state', 'OUTPUT', 'TABLE', (SELECT j FROM sj), -1, -1
+         |UNION ALL
+         |SELECT CAST(2 + i AS INT), 'RUNNING', 'graft', 'files-cdc', md5('graft|files-cdc'),
+         |       NULL, NULL, NULL, NULL, CAST(i AS BIGINT),
+         |       (SELECT count(*) FROM ev, b WHERE lsn >= b.lo + i * b.w AND lsn < b.lo + (i + 1) * b.w)
+         |FROM (VALUES (0),(1),(2),(3)) t(i)
+         |UNION ALL
+         |SELECT 6, 'COMPLETE', 'graft', 'files-cdc', md5('graft|files-cdc'),
+         |       NULL, NULL, NULL, NULL, -1,
+         |       (SELECT count(*) FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |          FROM ev) t
+         |        WHERE rn = 1 AND op <> 'd')""".stripMargin,
     "q62_cdc_rebucket" -> s"$cte\n$applyStateSql",
     // replay slices are lsn ranges of width (hi-lo)//4 + 1; version 2 holds
     // the fold of the first two slices.
