@@ -48,6 +48,13 @@ object SourceMetadata {
     def scaleOpt: Option[Int] = if (scale != Int.MinValue) Some(scale) else None
   }
 
+  /** Exact-name column reference: `col()` parses dots as struct access
+    * and backticks as quoting, so schema-driven code must quote (with
+    * doubled backticks) to address a field literally named `a.b`.
+    */
+  private def qcol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   private def metadataFor(base: Metadata, name: String, sc: SourceColumn): Metadata = {
     val b = new MetadataBuilder().withMetadata(base)
       .putString(TypeKey, sc.typeName.toUpperCase(java.util.Locale.ENGLISH))
@@ -71,8 +78,8 @@ object SourceMetadata {
     val cols = df.schema.fields.map { f =>
       catalog.get(f.name) match {
         case Some(sc) if res.exists(_.pattern.matcher(f.name).matches()) =>
-          col(f.name).as(f.name, metadataFor(f.metadata, f.name, sc))
-        case _ => col(f.name)
+          qcol(f.name).as(f.name, metadataFor(f.metadata, f.name, sc))
+        case _ => qcol(f.name)
       }
     }
     df.select(cols.toIndexedSeq: _*)
@@ -159,10 +166,10 @@ object SourceMetadata {
       else {
         val aggs = checked.map { f =>
           val lim = sourceOf(f).get.length
-          sum(when(length(col(f.name)) > lim, 1L).otherwise(0L)).as(f.name)
+          sum(when(length(qcol(f.name)) > lim, 1L).otherwise(0L)).as(f.name)
         }
         val one = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
-        val stackArgs = checked.flatMap(f => Seq(lit(f.name), col(f.name)))
+        val stackArgs = checked.flatMap(f => Seq(lit(f.name), qcol(f.name)))
         one.select(stack((Seq(lit(checked.length)) ++ stackArgs).toIndexedSeq: _*)
           .as(Seq("col_name", "len_violations")))
       }

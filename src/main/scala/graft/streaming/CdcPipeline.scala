@@ -182,7 +182,8 @@ object CdcPipeline {
       numBatches: Int = 4,
       salt: Int = 1,
       startBatchId: Long = 0L,
-      writeMetrics: Boolean = true): Seq[BatchResult] = {
+      writeMetrics: Boolean = true,
+      onBatch: BatchResult => Unit = _ => ()): Seq[BatchResult] = {
     // Materialize the log once; every batch slice then reads the cache
     // instead of recomputing the source derivation per slice.
     val cachedLog = log.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -194,8 +195,10 @@ object CdcPipeline {
       (0 until numBatches).map { i =>
         val (a, b) = (lo + i * width, lo + (i + 1) * width)
         val slice = cachedLog.where(col("lsn") >= a && col("lsn") < b)
-        CdcApply.applyBatch(spark, table, slice, startBatchId + i, salt, writeMetrics,
+        val r = CdcApply.applyBatch(spark, table, slice, startBatchId + i, salt, writeMetrics,
           cacheBatch = false)
+        onBatch(r) // observers (e.g. the lineage feed) see each commit as it lands
+        r
       }
     } finally cachedLog.unpersist()
   }

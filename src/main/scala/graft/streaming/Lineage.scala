@@ -51,9 +51,19 @@ object Lineage {
       .digest(s"${job.namespace}|${job.name}".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
-  /** OpenLineage SchemaDatasetFacet fields as compact JSON. */
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** OpenLineage SchemaDatasetFacet fields as compact JSON (names and
+    * type strings escaped — quoted identifiers may carry anything).
+    */
   def schemaJson(df: DataFrame): String =
-    df.schema.fields.map(f => s"""{"name":"${f.name}","type":"${f.dataType.simpleString}"}""")
+    df.schema.fields.map(f =>
+      s"""{"name":"${jsonEscape(f.name)}","type":"${jsonEscape(f.dataType.simpleString)}"}""")
       .mkString("[", ",", "]")
 
   private def append(
@@ -103,11 +113,16 @@ object Lineage {
     spark.read.parquet(s"$root/_lineage")
 
   /** [[CdcPipeline.replay]] wrapped in the run-state machine: START with
-    * the input log and output table dataset facets, RUNNING per batch
-    * (records = events entering the batch), COMPLETE with the live state
-    * count — FAIL with -1 if the replay throws. Lineage writes are
-    * driver-side O(1)-row appends outside the data path; the replay plan
-    * is untouched.
+    * the input log and output table dataset facets (the output schema is
+    * derived through the state operator [[graft.operators.Lww.applyState]]
+    * — schema-only, nothing executes — so the facet tracks what the sink
+    * actually holds, not what the input happened to look like), RUNNING
+    * per batch AS EACH COMMIT LANDS (records = events entering the batch
+    * — a mid-replay crash leaves the already-committed batches' RUNNING
+    * rows behind for diagnosis), COMPLETE with the live state count —
+    * FAIL with -1 if the replay throws. Lineage writes are driver-side
+    * O(1)-row appends outside the data path; the replay plan is
+    * untouched.
     */
   def replayWithLineage(
       spark: SparkSession,
@@ -119,14 +134,12 @@ object Lineage {
       numBatches: Int = 4,
       salt: Int = 1): Seq[CdcApply.BatchResult] = {
     val inputs = Seq((inputName, log, TypeStream))
-    val outputs = Seq((outputName, log, TypeTable))
+    val outputs = Seq((outputName, graft.operators.Lww.applyState(log, table.keyCols), TypeTable))
     emitStart(spark, table.root, job, inputs, outputs)
     var seq = inputs.size + outputs.size
     try {
-      val results = CdcPipeline.replay(spark, log, table, numBatches, salt)
-      results.foreach { r =>
-        emitRunning(spark, table.root, job, seq, r.batchId, r.eventsIn); seq += 1
-      }
+      val results = CdcPipeline.replay(spark, log, table, numBatches, salt,
+        onBatch = r => { emitRunning(spark, table.root, job, seq, r.batchId, r.eventsIn); seq += 1 })
       val live = table.snapshot(spark).map(_.count()).getOrElse(0L)
       emitTerminal(spark, table.root, job, seq, Complete, live)
       results

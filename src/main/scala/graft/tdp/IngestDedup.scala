@@ -237,13 +237,32 @@ object IngestDedup {
         lit("ingest").as("commit"),
         lit(1700000000000L).as("ts_ms"))
 
+  /** LSH admission rule, shared by [[unseenNear]] and [[ingestNear]]:
+    * winners whose band keys have ZERO collisions with the registered
+    * index (a single registered key flags the doc as a near-dup of
+    * ingested content).
+    */
+  private def admitAgainstIndex(
+      spark: SparkSession, index: LakeTable, winners: DataFrame, idCol: String): DataFrame =
+    seenState(spark, index) match {
+      case None => winners
+      case Some(state) =>
+        val flagged = winnerKeys(index, winners, idCol)
+          .join(state.select(col("band_key")), Seq("band_key"), "left_semi")
+          .select(col(idCol)).distinct()
+        winners.join(flagged, Seq(idCol), "left_anti")
+    }
+
   /** Batch rows admissible against the index right now: in-batch cluster
     * canonicals with zero registered band keys, `__bkeys` appended —
-    * the near analog of [[unseen]]. The in-batch clustering runs its
-    * (bounded) driver loop when called; the index-collision filter is
-    * lazy against the index's CURRENT commit, so compute the result
-    * before registering the same batch (or use [[ingestNear]], which
-    * sequences materialize → register).
+    * the near analog of [[unseen]]. Unlike the cheap exact path this one
+    * MATERIALIZES (persist + count) before returning: the band-keyed
+    * batch feeds the clustering self-join, the collision check and the
+    * result, and leaving it lazy recomputes the shingling/minhash pass
+    * once per consumer. The returned frame is persisted and pinned to
+    * the index's CURRENT commit (registering afterwards cannot leak the
+    * batch's own keys into it); callers should `unpersist()` it when
+    * done — the [[ingestNear]] contract.
     */
   def unseenNear(
       spark: SparkSession,
@@ -254,15 +273,13 @@ object IngestDedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val keyed = withBandKeys(batch, bands, rowsPerBand, textCol)
-    val winners = inBatchNearWinners(keyed, idCol)
-    seenState(spark, index) match {
-      case None => winners
-      case Some(state) =>
-        val flagged = winnerKeys(index, winners, idCol)
-          .join(state.select(col("band_key")), Seq("band_key"), "left_semi")
-          .select(col(idCol)).distinct()
-        winners.join(flagged, Seq(idCol), "left_anti")
-    }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val out = admitAgainstIndex(spark, index, inBatchNearWinners(keyed, idCol), idCol)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally keyed.unpersist()
   }
 
   /** One near-dedup ingest step (see the section doc): returns the
@@ -300,14 +317,8 @@ object IngestDedup {
             winners.join(owned, Seq(idCol), "left_semi")
         }
       }
-      val admitted = (seenState(spark, index) match {
-        case None => winners
-        case Some(state) =>
-          val flagged = winnerKeys(index, winners, idCol)
-            .join(state.select(col("band_key")), Seq("band_key"), "left_semi")
-            .select(col(idCol)).distinct()
-          winners.join(flagged, Seq(idCol), "left_anti")
-      }).persist(StorageLevel.MEMORY_AND_DISK)
+      val admitted = admitAgainstIndex(spark, index, winners, idCol)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       admitted.count()
       graft.merge.CdcApply.applyBatch(spark, index, bandEvents(admitted, idCol),
         batchId, writeMetrics = false, fenceByWatermark = false)

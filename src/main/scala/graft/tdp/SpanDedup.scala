@@ -50,22 +50,32 @@ object SpanDedup {
     * evidence of k consecutive shared tokens, and a short doc cannot
     * attest one).
     */
+  /** The single source of truth for tokenization + gram hashing: every
+    * full k-gram's md5 over the doc's `__ws` token array. Both
+    * [[gramPositions]] and [[duplicateGrams]] build on this expression so
+    * a change to tokenization or hashing cannot make span positions and
+    * gram evidence disagree.
+    */
+  private def gramArray(k: Int): Column =
+    transform(
+      sequence(lit(1), size(col("__ws")) - (k - 1)),
+      i => md5(concat_ws(" ", slice(col("__ws"), i, lit(k)))))
+
+  /** (doc_id, __ws): tokenized docs long enough to hold one full k-gram. */
+  private def withWords(
+      docs: DataFrame, k: Int, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.words(col(textCol)).as("__ws"))
+      .where(size(col("__ws")) >= k)
+
   def gramPositions(
       docs: DataFrame,
       k: Int = 3,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val ws = TextAnalysis.words(col(textCol))
-    docs
-      .select(col(idCol).as("doc_id"), ws.as("__ws"))
-      .where(size(col("__ws")) >= k)
-      .select(
-        col("doc_id"),
-        posexplode(transform(
-          sequence(lit(1), size(col("__ws")) - (k - 1)),
-          i => md5(concat_ws(" ", slice(col("__ws"), i, lit(k)))))).as(Seq("__p", "g")))
+      textCol: String = "text"): DataFrame =
+    withWords(docs, k, idCol, textCol)
+      .select(col("doc_id"), posexplode(gramArray(k)).as(Seq("__p", "g")))
       .select(col("doc_id"), (col("__p") + 1).as("pos"), col("g"))
-  }
 
   /** Gram hashes appearing in ≥ `minDocs` DISTINCT documents, with their
     * exact document frequency: (g, df). Sketch-pruned, exact-verified —
@@ -79,17 +89,12 @@ object SpanDedup {
       textCol: String = "text",
       sketchDepth: Int = 4,
       sketchWidth: Int = 4096): DataFrame = {
-    val ws = TextAnalysis.words(col(textCol))
     // one row per (doc, distinct gram) — so both the sketch and the exact
-    // count measure document frequency, not occurrence count
-    val docGrams = docs
-      .select(col(idCol).as("doc_id"), ws.as("__ws"))
-      .where(size(col("__ws")) >= k)
-      .select(
-        col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(col("__ws")) - (k - 1)),
-          i => md5(concat_ws(" ", slice(col("__ws"), i, lit(k))))))).as("g"))
+    // count measure document frequency, not occurrence count; the
+    // array_distinct stays MAP-side (inside the per-doc array), which is
+    // why this does not reuse the exploded [[gramPositions]] rows
+    val docGrams = withWords(docs, k, idCol, textCol)
+      .select(col("doc_id"), explode(array_distinct(gramArray(k))).as("g"))
     val agg = udaf(new HeavyHitters.CmsAgg(sketchDepth, sketchWidth))
     val sk: Array[Long] = docGrams.select(agg(col("g")).as("sk"))
       .head().getSeq[Long](0).toArray
@@ -102,8 +107,10 @@ object SpanDedup {
   /** Maximal duplicated spans: (doc_id, span_start, span_end), 1-based
     * inclusive TOKEN positions, one row per maximal run of consecutive
     * duplicated-gram starts (a run of gram starts p..q covers tokens
-    * p..q+k-1). `minTokens` drops spans shorter than that many tokens
-    * (default k = no filter; the k-gram floor is the resolution limit).
+    * p..q+k-1). `minTokens` drops spans shorter than that many tokens;
+    * the effective floor is `max(minTokens, k)` — a span is at least one
+    * full k-gram, so the default (0) means "no filter beyond the k-gram
+    * resolution limit" at ANY k.
     *
     * Note the gram-evidence semantics: a span is included when each of
     * its k-windows appears in some other document — the standard
@@ -117,7 +124,7 @@ object SpanDedup {
       docs: DataFrame,
       k: Int = 3,
       minDocs: Int = 2,
-      minTokens: Int = 3,
+      minTokens: Int = 0,
       idCol: String = "doc_id",
       textCol: String = "text",
       sketchDepth: Int = 4,
@@ -134,7 +141,7 @@ object SpanDedup {
       .withColumn("__grp", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("__grp"))
       .agg(min(col("pos")).as("span_start"), (max(col("pos")) + (k - 1)).as("span_end"))
-      .where(col("span_end") - col("span_start") + 1 >= minTokens)
+      .where(col("span_end") - col("span_start") + 1 >= math.max(minTokens, k))
       .select(col("doc_id"), col("span_start"), col("span_end"))
   }
 
