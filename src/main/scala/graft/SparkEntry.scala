@@ -892,6 +892,16 @@ object SparkEntry {
         numBatches = 4, salt = 4)
       graft.streaming.Lineage.feed(s, root)
     }),
+
+    // FieldNameTransformation + Avro field-name adjustment: columns
+    // rename to snake_case and non-Avro chars escape as _uXXXX; the
+    // original names ride as SourceMetadata.NameKey metadata (spec'd).
+    "q88_smt_field_naming" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type").as("eventType"),
+          col("value").as("grossValue123"), col("props").as("props.k€y"))
+      Transforms.renameFields(ev, style = "snake_case", avroMode = "avro_unicode")
+    }),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1190,6 +1200,12 @@ object SparkEntry {
          |          SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
          |          FROM ev) t
          |        WHERE rn = 1 AND op <> 'd')""".stripMargin,
+    // snake_case: eventType -> event_type, grossValue123 -> gross_value_123;
+    // avro_unicode: the euro sign escapes to _u20ac.
+    "q88_smt_field_naming" ->
+      """SELECT event_id, event_type, value AS gross_value_123,
+        |       props AS "props_k_u20acy"
+        |FROM events""".stripMargin,
     "q62_cdc_rebucket" -> s"$cte\n$applyStateSql",
     // replay slices are lsn ranges of width (hi-lo)//4 + 1; version 2 holds
     // the fold of the first two slices.

@@ -503,4 +503,112 @@ object Transforms {
     }
     columns.foldLeft(df)((d, c) => d.withColumn(c, render(col(c))))
   }
+
+  // ------------------------------------------------------------ field naming
+
+  /** snake_case conversion — `Strings.toSnakeCase` semantics
+    * (`debezium-util/.../Strings.java:1346-1353`): an underscore lands at
+    * every lower→UPPER, letter→digit and digit→letter boundary and every
+    * dot, then the whole name lower-cases. Implemented as a char fold
+    * (studied, not copied).
+    */
+  private def asciiLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  private def asciiDigit(c: Char): Boolean = c >= '0' && c <= '9'
+
+  def toSnakeCase(name: String): String = {
+    val sb = new StringBuilder
+    var prev = 0.toChar
+    name.foreach { c =>
+      if (c == '.') sb.append('_')
+      else {
+        val boundary =
+          (prev >= 'a' && prev <= 'z' && c >= 'A' && c <= 'Z') ||
+            (asciiLetter(prev) && asciiDigit(c)) ||
+            (asciiDigit(prev) && asciiLetter(c))
+        if (boundary) sb.append('_')
+        sb.append(c.toLower)
+      }
+      prev = c
+    }
+    sb.toString
+  }
+
+  /** camelCase conversion — `Strings.convertDotAndUnderscoreStringTo-
+    * CamelCase` semantics (`Strings.java:1287-1303`): split on runs of
+    * dots/underscores, first segment untouched, every later segment
+    * capitalized.
+    */
+  def toCamelCase(name: String): String = {
+    val words = name.split("[._]+").filter(_.nonEmpty)
+    if (words.isEmpty) ""
+    else (words.head +: words.tail.map(w => w.head.toUpper + w.tail)).mkString
+  }
+
+  /** Avro-compatible name adjustment — `SchemaNameAdjuster` /
+    * `FieldNameSelector` semantics (`debezium-connector-common/.../schema/
+    * SchemaNameAdjuster.java:40-58`): valid chars are `[A-Za-z0-9_]` (the
+    * FIRST char may not be a digit); each invalid char becomes `_`
+    * (mode `avro`) or `_uXXXX` with the hex code point (mode
+    * `avro_unicode`, collision-free for native names). Mode `none`
+    * passes through.
+    */
+  def adjustAvroName(name: String, mode: String): String = mode match {
+    case "none" => name
+    case "avro" | "avro_unicode" =>
+      val sb = new StringBuilder
+      name.zipWithIndex.foreach { case (c, i) =>
+        val valid = c == '_' || asciiLetter(c) || (i > 0 && asciiDigit(c))
+        if (valid) sb.append(c)
+        else if (mode == "avro") sb.append('_')
+        else sb.append(f"_u${c.toInt}%04x")
+      }
+      sb.toString
+    case m => throw new IllegalArgumentException(s"unknown field.name.adjustment.mode: $m")
+  }
+
+  /** FieldNameTransformation (`debezium-connect-plugins/.../
+    * FieldNameTransformation.java:49-140` + `NamingStyleUtils.java:36-48`)
+    * fused with field-name adjustment: every column renames to
+    * `prefix + style(name) + suffix`, then Avro-adjusts per
+    * `field.name.adjustment.mode`. The ORIGINAL name rides along as
+    * [[graft.core.SourceMetadata.NameKey]] metadata (the reference stores
+    * it as a schema parameter for exactly this reason —
+    * `PropagateSourceMetadataToSchemaParameter.java:54-57`); an earlier
+    * propagated source name is preserved, so chained renames keep the
+    * FIRST origin. One narrow projection, no shuffle; collisions (two
+    * columns mapping to one name) fail loudly like the reference's
+    * conflict reporter.
+    */
+  def renameFields(
+      df: DataFrame,
+      style: String = "default",
+      prefix: String = "",
+      suffix: String = "",
+      avroMode: String = "none"): DataFrame = {
+    import graft.core.SourceMetadata
+    import org.apache.spark.sql.types.MetadataBuilder
+    def styled(n: String): String = style match {
+      case "default"                  => n
+      case "snake_case"               => toSnakeCase(n)
+      case "camel_case" | "camelCase" => toCamelCase(n)
+      case "UPPER_CASE" | "upper_case" => n.toUpperCase(java.util.Locale.ROOT)
+      case "lower_case"               => n.toLowerCase(java.util.Locale.ROOT)
+      case s => throw new IllegalArgumentException(s"unknown column.naming.style: $s")
+    }
+    val renames = df.schema.fields.map { f =>
+      f -> adjustAvroName(prefix + styled(f.name) + suffix, avroMode)
+    }
+    val dupes = renames.groupBy(_._2).filter(_._2.length > 1).keys
+    require(dupes.isEmpty,
+      s"field renaming collides on: ${dupes.mkString(", ")} (originals: " +
+        s"${renames.filter(r => dupes.exists(_ == r._2)).map(_._1.name).mkString(", ")})")
+    val cols = renames.map { case (f, newName) =>
+      val meta = if (f.metadata.contains(SourceMetadata.NameKey)) f.metadata
+      else new MetadataBuilder().withMetadata(f.metadata)
+        .putString(SourceMetadata.NameKey, f.name).build()
+      col("`" + f.name.replace("`", "``") + "`").as(newName, meta)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
 }

@@ -82,4 +82,15 @@ class SourceMetadataSpec extends SparkSpec {
     assert(rep.count() === 4)
     assert(rep.where(col("len_violations") =!= 0).count() === 0)
   }
+
+  test("columns literally named a.b resolve by exact name, not struct access") {
+    val dotted = Seq(("x", "toolong")).toDF("id", "payload")
+      .withColumnRenamed("payload", "pay.load")
+    val out = SourceMetadata.propagate(dotted, Map("pay.load" -> SourceColumn("varchar", length = 4)))
+    assert(SourceMetadata.sourceOf(out.schema("pay.load")).map(_.typeName) === Some("VARCHAR"))
+    val rep = SourceMetadata.describe(out).collect()
+      .map(r => r.getAs[String]("col_name") -> r.getAs[Long]("len_violations")).toMap
+    assert(rep("pay.load") === 1L, "'toolong' exceeds 4 — audited through the quoted reference")
+    assert(rep("id") === 0L)
+  }
 }

@@ -256,4 +256,37 @@ class TransformsSpec extends SparkSpec {
     assert(Transforms.tableFilter(env, include = Some("repo_.*")).count() === 5)
     assert(Transforms.tableFilter(env, exclude = Some("repo_.*")).count() === 0)
   }
+
+  test("naming styles match the reference's documented examples") {
+    assert(Transforms.toSnakeCase("camelCaseName") === "camel_case_name")
+    assert(Transforms.toSnakeCase("NameWith123Numbers") === "name_with_123_numbers")
+    assert(Transforms.toSnakeCase("123NumbersExample") === "123_numbers_example")
+    assert(Transforms.toSnakeCase("dotted.name") === "dotted_name")
+    assert(Transforms.toCamelCase("snake_case_name") === "snakeCaseName")
+    assert(Transforms.toCamelCase("dotted.name") === "dottedName")
+    assert(Transforms.toCamelCase("__x__") === "x")
+  }
+
+  test("avro name adjustment: invalid chars to _ or _uXXXX; leading digit invalid") {
+    assert(Transforms.adjustAvroName("a-b c", "avro") === "a_b_c")
+    assert(Transforms.adjustAvroName("a-b", "avro_unicode") === "a_u002db")
+    assert(Transforms.adjustAvroName("9lives", "avro") === "_lives")
+    assert(Transforms.adjustAvroName("x9", "avro") === "x9", "non-leading digits are valid")
+    assert(Transforms.adjustAvroName("a-b", "none") === "a-b")
+  }
+
+  test("renameFields: style+prefix+suffix+avro, original name kept as metadata, collisions fail") {
+    import graft.core.SourceMetadata
+    val df = Seq((1L, "x")).toDF("eventId", "pay.load")
+    val out = Transforms.renameFields(df, style = "snake_case", prefix = "c_", avroMode = "avro")
+    assert(out.columns.toSeq === Seq("c_event_id", "c_pay_load"))
+    assert(SourceMetadata.sourceNameOf(out.schema("c_event_id")) === Some("eventId"))
+    // chained rename keeps the FIRST origin
+    val again = Transforms.renameFields(out, style = "UPPER_CASE")
+    assert(again.columns.toSeq === Seq("C_EVENT_ID", "C_PAY_LOAD"))
+    assert(SourceMetadata.sourceNameOf(again.schema("C_EVENT_ID")) === Some("eventId"))
+    intercept[IllegalArgumentException] {
+      Transforms.renameFields(Seq((1, 2)).toDF("a_b", "aB"), style = "snake_case")
+    }
+  }
 }
