@@ -902,6 +902,25 @@ object SparkEntry {
           col("value").as("grossValue123"), col("props").as("props.k€y"))
       Transforms.renameFields(ev, style = "snake_case", avroMode = "avro_unicode")
     }),
+
+    // Logical-decoding-message decode → outbox route (the reference's
+    // documented composition): synthetic pg_logical_emit_message events
+    // carry a JSON content payload; decode makes them INSERT-shaped with
+    // a structured `after`, which feeds the outbox EventRouter.
+    "q89_smt_decode_message" -> ((s, dir) => {
+      val msgs = ChangeLog.base(s, dir).where(col("op") =!= "d").select(
+        lit("m").as("op"), col("ts_ms"), col("lsn"),
+        struct(
+          lit("outbox").as("prefix"),
+          to_json(struct(
+            col("lang").as("aggregatetype"),
+            col("repo").as("aggregateid"),
+            lit("file_changed").as("event_type"),
+            col("path").as("payload"))).cast("binary").as("content")).as("message"))
+      val decoded = Transforms.decodeMessageContent(msgs,
+        "aggregatetype string, aggregateid string, event_type string, payload string")
+      Transforms.outboxRouter(decoded.select(col("after.*"), col("op"), col("lsn"), col("ts_ms")))
+    }),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1206,6 +1225,13 @@ object SparkEntry {
       """SELECT event_id, event_type, value AS gross_value_123,
         |       props AS "props_k_u20acy"
         |FROM events""".stripMargin,
+    // JSON roundtrip is the identity on the routed fields; decode turns
+    // op='m' into 'c', which the outbox INSERT-only filter admits.
+    "q89_smt_decode_message" ->
+      s"""$cte
+         |SELECT lang AS route, repo AS key, 'file_changed' AS event_type,
+         |       path AS payload, lsn, ts_ms
+         |FROM ev0 WHERE op <> 'd'""".stripMargin,
     "q62_cdc_rebucket" -> s"$cte\n$applyStateSql",
     // replay slices are lsn ranges of width (hi-lo)//4 + 1; version 2 holds
     // the fold of the first two slices.

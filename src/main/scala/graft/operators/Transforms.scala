@@ -504,6 +504,42 @@ object Transforms {
     columns.foldLeft(df)((d, c) => d.withColumn(c, render(col(c))))
   }
 
+  // ----------------------------------------------- logical decoding messages
+
+  /** DecodeLogicalDecodingMessageContent analog (postgres
+    * `pg_logical_emit_message` events; `debezium-connector-postgres/.../
+    * transforms/DecodeLogicalDecodingMessageContent.java:92-200`): a
+    * message event carries `message = struct(prefix, content: binary)`
+    * where content is a JSON document; the transform decodes content into
+    * a structured `after`, drops the `message` field, rewrites `op` to
+    * `'c'` (so the record looks like an INSERT — the documented usage is
+    * piping the result into the outbox [[outboxRouter]]), and clears the
+    * key (our flat model has no separate key column to clear).
+    *
+    * Spark-first deviation, documented: the reference infers a Connect
+    * schema PER RECORD from the JSON (`JsonSchemaData`); a Catalyst plan
+    * is statically typed, so the caller declares the content schema as a
+    * DDL string — `from_json` then decodes inside whole-stage codegen
+    * instead of per-record Jackson trees. `failOnError=true` mirrors the
+    * reference's DebeziumException on unparseable content (FAILFAST);
+    * false yields a null `after` instead (PERMISSIVE).
+    */
+  def decodeMessageContent(
+      messages: DataFrame,
+      contentDdl: String,
+      failOnError: Boolean = true): DataFrame = {
+    require(messages.columns.contains("message"),
+      "decodeMessageContent expects a message struct(prefix, content) column")
+    val opts = Map("mode" -> (if (failOnError) "FAILFAST" else "PERMISSIVE"))
+    val keep = messages.columns.filter(c => c != "message" && c != "op").map(col)
+    messages
+      .where(col("op") === "m") // route message events here (ContentBasedRouter)
+      .select(keep.toIndexedSeq
+        :+ lit(Envelope.OpCreate).as("op")
+        :+ from_json(col("message").getField("content").cast("string"), contentDdl, opts)
+          .as("after"): _*)
+  }
+
   // ------------------------------------------------------------ field naming
 
   /** snake_case conversion — `Strings.toSnakeCase` semantics

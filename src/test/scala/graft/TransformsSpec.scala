@@ -257,6 +257,34 @@ class TransformsSpec extends SparkSpec {
     assert(Transforms.tableFilter(env, exclude = Some("repo_.*")).count() === 0)
   }
 
+  test("decodeMessageContent: JSON content becomes a structured after, op becomes c") {
+    val msgs = Seq(
+      ("m", 1L, """{"aggregatetype":"en","aggregateid":"r1","event_type":"t","payload":"p"}"""),
+      ("u", 2L, """{"x":1}""") // not a message event — routed away
+    ).toDF("op", "lsn", "json")
+      .select(col("op"), col("lsn"),
+        struct(lit("outbox").as("prefix"), col("json").cast("binary").as("content")).as("message"))
+    val out = Transforms.decodeMessageContent(msgs,
+      "aggregatetype string, aggregateid string, event_type string, payload string")
+    assert(out.columns.toSeq === Seq("lsn", "op", "after"), "message dropped, after added")
+    val r = out.collect()
+    assert(r.length === 1, "non-message ops are not decoded here (route them separately)")
+    assert(r(0).getAs[String]("op") === "c", "decoded record looks like an INSERT")
+    assert(r(0).getAs[org.apache.spark.sql.Row]("after").getAs[String]("aggregateid") === "r1")
+
+    // FAILFAST mirrors the reference's DebeziumException on junk content
+    val junk = Seq(("m", 3L)).toDF("op", "lsn")
+      .select(col("op"), col("lsn"),
+        struct(lit("x").as("prefix"), lit("not json").cast("binary").as("content")).as("message"))
+    intercept[Exception] {
+      Transforms.decodeMessageContent(junk, "a string").collect()
+    }
+    val lenient = Transforms.decodeMessageContent(junk, "a string", failOnError = false).collect()
+    assert(lenient.length === 1 &&
+      lenient(0).getAs[org.apache.spark.sql.Row]("after").getAs[String]("a") == null,
+      "PERMISSIVE decodes junk to an all-null struct instead of throwing")
+  }
+
   test("naming styles match the reference's documented examples") {
     assert(Transforms.toSnakeCase("camelCaseName") === "camel_case_name")
     assert(Transforms.toSnakeCase("NameWith123Numbers") === "name_with_123_numbers")
