@@ -921,6 +921,29 @@ object SparkEntry {
         "aggregatetype string, aggregateid string, event_type string, payload string")
       Transforms.outboxRouter(decoded.select(col("after.*"), col("op"), col("lsn"), col("ts_ms")))
     }),
+
+    // ActivateTracingSpan: rows with lsn%3=0 carry an application-written
+    // span context (Properties blob with a W3C traceparent); the SMT
+    // propagates that trace id, mints deterministic span ids from the log
+    // position, and the spans feed emits db-log-write + debezium-read
+    // span rows per event.
+    "q90_smt_tracing_span" -> ((s, dir) => {
+      val log = ChangeLog.base(s, dir)
+      val ctx = when(col("lsn") % 3 === 0, concat(
+        lit("#ctx\ntraceparent=00-"),
+        md5(concat(lit("app"), col("lsn").cast("string"))), lit("-"),
+        substring(md5(concat(lit("appspan"), col("lsn").cast("string"))), 1, 16),
+        lit("-01\n")))
+      val withCtx = log.withColumn("tracingspancontext", ctx)
+      val traced = Transforms.activateTracingSpan(withCtx)
+      Transforms.tracingSpans(withCtx)
+        .join(
+          traced.select(col("lsn").as("lsn2"),
+            element_at(col("headers"), "traceparent").as("traceparent")),
+          col("lsn") === col("lsn2"))
+        .select("trace_id", "span_id", "parent_span_id", "operation",
+          "start_ts_ms", "db_instance", "attr_op", "lsn", "traceparent")
+    }),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1232,6 +1255,32 @@ object SparkEntry {
          |SELECT lang AS route, repo AS key, 'file_changed' AS event_type,
          |       path AS payload, lsn, ts_ms
          |FROM ev0 WHERE op <> 'd'""".stripMargin,
+    // Deterministic span/trace ids are md5 of the log position; rows with
+    // lsn%3=0 propagate the application trace context instead of minting
+    // a new trace. Two span rows (db-log-write parent, processing child)
+    // per event, each carrying the injected traceparent header.
+    "q90_smt_tracing_span" ->
+      s"""$cte
+         |, ids AS (
+         |  SELECT *,
+         |         CASE WHEN lsn % 3 = 0 THEN md5(concat('app', CAST(lsn AS VARCHAR)))
+         |              ELSE md5(concat('trace', CAST(lsn AS VARCHAR))) END AS trace_id,
+         |         substr(md5(concat('span', CAST(lsn AS VARCHAR))), 1, 16) AS db_span,
+         |         substr(md5(concat('proc', CAST(lsn AS VARCHAR))), 1, 16) AS proc_span,
+         |         CASE WHEN lsn % 3 = 0
+         |              THEN substr(md5(concat('appspan', CAST(lsn AS VARCHAR))), 1, 16) END AS app_span
+         |  FROM ev0)
+         |SELECT trace_id, db_span AS span_id, app_span AS parent_span_id,
+         |       'db-log-write' AS operation, ts_ms AS start_ts_ms,
+         |       repo AS db_instance, CAST(NULL AS VARCHAR) AS attr_op, lsn,
+         |       concat('00-', trace_id, '-', db_span, '-01') AS traceparent
+         |FROM ids
+         |UNION ALL
+         |SELECT trace_id, proc_span AS span_id, db_span AS parent_span_id,
+         |       'debezium-read' AS operation, ts_ms AS start_ts_ms,
+         |       repo AS db_instance, op AS attr_op, lsn,
+         |       concat('00-', trace_id, '-', db_span, '-01') AS traceparent
+         |FROM ids""".stripMargin,
     "q62_cdc_rebucket" -> s"$cte\n$applyStateSql",
     // replay slices are lsn ranges of width (hi-lo)//4 + 1; version 2 holds
     // the fold of the first two slices.

@@ -647,4 +647,115 @@ object Transforms {
     }
     df.select(cols.toIndexedSeq: _*)
   }
+
+  // ------------------------------------------------------------- tracing
+
+  /** W3C traceparent pattern inside a serialized java.util.Properties
+    * context blob (the reference's application writes the active span
+    * context into a row field; `TracingSpanUtil.java:66-72` extracts it
+    * via a TextMapPropagator — the W3C propagator's carrier key is
+    * `traceparent`).
+    */
+  private val TraceparentRe =
+    "traceparent=([0-9a-f]{2}-[0-9a-f]{32}-[0-9a-f]{16}-[0-9a-f]{2})"
+
+  /** ActivateTracingSpan SMT analog
+    * (`debezium-connect-plugins/.../tracing/ActivateTracingSpan.java:104-130`
+    * + `TracingSpanUtil.java:61-100`, studied not copied).
+    *
+    * The reference opens an OpenTelemetry span per record, links it to a
+    * parent span whose serialized context a business application wrote
+    * into the `tracingspancontext` row field, and injects the resulting
+    * W3C `traceparent` into the record headers. A tracing SDK is process-
+    * global state — the opposite of a distributed plan — so the Spark
+    * analog keeps the DATA semantics: parse the propagated context, mint
+    * deterministic span ids (md5 of the log position — reproducible
+    * across retries, so speculative tasks emit identical spans), and
+    * inject the `traceparent` header into the `headers` map. Everything
+    * is codegen'd string/regexp work inside one narrow projection; no
+    * shuffle, no UDF.
+    *
+    * Pass-through rules mirror `ActivateTracingSpan.apply:107-122`:
+    * tombstones / non-CDC ops keep their row unchanged, and with
+    * `requireContextField=true` rows lacking a propagated context are
+    * not traced.
+    */
+  def activateTracingSpan(
+      df: DataFrame,
+      contextField: String = "tracingspancontext",
+      requireContextField: Boolean = false,
+      headersCol: String = "headers"): DataFrame = {
+    val ctx =
+      if (df.columns.contains(contextField)) col(contextField).cast("string")
+      else lit(null).cast("string")
+    val propagated = regexp_extract(ctx, TraceparentRe, 1)
+    val hasCtx = ctx.isNotNull && propagated =!= ""
+    // propagated trace id keeps the distributed trace together; otherwise
+    // the record starts a new trace rooted at its log position.
+    val traceId = when(hasCtx, substring(propagated, 4, 32))
+      .otherwise(md5(concat(lit("trace"), col("lsn").cast("string"))))
+    val spanId = substring(md5(concat(lit("span"), col("lsn").cast("string"))), 1, 16)
+    val traceparent = concat(lit("00-"), traceId, lit("-"), spanId, lit("-01"))
+    val isEnvelope = col("op").isin(
+      Envelope.OpRead, Envelope.OpCreate, Envelope.OpUpdate, Envelope.OpDelete)
+    val traced = isEnvelope && (hasCtx || lit(!requireContextField))
+    val existing =
+      if (df.columns.contains(headersCol)) col(headersCol)
+      else lit(null).cast("map<string,string>")
+    val injected = map_concat(
+      coalesce(existing, map()), map(lit("traceparent"), traceparent))
+    df.withColumn(headersCol, when(traced, injected).otherwise(existing))
+  }
+
+  /** The exported-spans feed of [[activateTracingSpan]] — the tabular
+    * analog of the two spans `TracingSpanUtil.traceRecord` emits per
+    * record (`TracingSpanUtil.java:62-100`): a `db-log-write` span whose
+    * start is the SOURCE timestamp and whose parent is the propagated
+    * application span, and a processing span (`operationName`, default
+    * `debezium-read`) under it whose start is the envelope timestamp and
+    * which carries the op as an attribute. Source-block fields become
+    * `db.`-prefixed attributes (`TracingSpanUtil.java:117-128`); we carry
+    * `db.instance` = repo here. Two narrow projections + a union — the
+    * span feed is columnar, partition-local, and safe at any scale.
+    */
+  def tracingSpans(
+      df: DataFrame,
+      contextField: String = "tracingspancontext",
+      operationName: String = "debezium-read",
+      requireContextField: Boolean = false,
+      sourceTs: Column = col("ts_ms"),
+      processingTs: Column = col("ts_ms")): DataFrame = {
+    val ctx =
+      if (df.columns.contains(contextField)) col(contextField).cast("string")
+      else lit(null).cast("string")
+    val propagated = regexp_extract(ctx, TraceparentRe, 1)
+    val hasCtx = ctx.isNotNull && propagated =!= ""
+    val traceId = when(hasCtx, substring(propagated, 4, 32))
+      .otherwise(md5(concat(lit("trace"), col("lsn").cast("string"))))
+    val parentFromCtx = when(hasCtx, substring(propagated, 37, 16))
+    val dbSpanId = substring(md5(concat(lit("span"), col("lsn").cast("string"))), 1, 16)
+    val procSpanId = substring(md5(concat(lit("proc"), col("lsn").cast("string"))), 1, 16)
+    val isEnvelope = col("op").isin(
+      Envelope.OpRead, Envelope.OpCreate, Envelope.OpUpdate, Envelope.OpDelete)
+    val traced = df.where(isEnvelope && (hasCtx || lit(!requireContextField)))
+    val dbSpans = traced.select(
+      traceId.as("trace_id"),
+      dbSpanId.as("span_id"),
+      parentFromCtx.as("parent_span_id"),
+      lit("db-log-write").as("operation"),
+      sourceTs.cast("long").as("start_ts_ms"),
+      col("repo").as("db_instance"),
+      lit(null).cast("string").as("attr_op"),
+      col("lsn").as("lsn"))
+    val procSpans = traced.select(
+      traceId.as("trace_id"),
+      procSpanId.as("span_id"),
+      dbSpanId.as("parent_span_id"),
+      lit(operationName).as("operation"),
+      processingTs.cast("long").as("start_ts_ms"),
+      col("repo").as("db_instance"),
+      col("op").as("attr_op"),
+      col("lsn").as("lsn"))
+    dbSpans.unionAll(procSpans)
+  }
 }

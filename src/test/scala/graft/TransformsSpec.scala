@@ -317,4 +317,52 @@ class TransformsSpec extends SparkSpec {
       Transforms.renameFields(Seq((1, 2)).toDF("a_b", "aB"), style = "snake_case")
     }
   }
+
+  test("activateTracingSpan: traceparent header, context propagation, pass-through rules") {
+    // row lsn=1 carries an application span context; lsn=2 does not;
+    // lsn=9 is a non-CDC message event and must pass through untouched.
+    val appTrace = "0123456789abcdef0123456789abcdef"
+    val appSpan = "00f067aa0ba902b7"
+    val ctx = s"#written by the app\ntraceparent=00-$appTrace-$appSpan-01\n"
+    val ev = Seq(
+      ("r1", "a", "c01", "c", 1L, 1000L, ctx),
+      ("r1", "b", "c02", "u", 2L, 2000L, null),
+      ("r1", "c", "c03", "m", 9L, 9000L, null)
+    ).toDF("repo", "path", "commit", "op", "lsn", "ts_ms", "tracingspancontext")
+
+    val traced = Transforms.activateTracingSpan(ev)
+    val byLsn = traced.select(col("lsn"), element_at(col("headers"), "traceparent"))
+      .as[(Long, String)].collect().toMap
+    // propagated context keeps the application's trace id
+    assert(byLsn(1L).startsWith(s"00-$appTrace-"))
+    assert(byLsn(1L).matches("00-[0-9a-f]{32}-[0-9a-f]{16}-01"))
+    // no context: a new deterministic trace rooted at the log position
+    assert(byLsn(2L) != null && !byLsn(2L).contains(appTrace))
+    // deterministic across runs (speculative-task safety)
+    val again = Transforms.activateTracingSpan(ev)
+      .select(col("lsn"), element_at(col("headers"), "traceparent"))
+      .as[(Long, String)].collect().toMap
+    assert(byLsn === again)
+    // non-CDC event: untraced
+    assert(byLsn(9L) == null)
+    // requireContextField: only the context-carrying row is traced
+    val strict = Transforms.activateTracingSpan(ev, requireContextField = true)
+      .select(col("lsn"), element_at(col("headers"), "traceparent"))
+      .as[(Long, String)].collect().toMap
+    assert(strict(1L) != null && strict(2L) == null)
+
+    // span feed: two spans per traced event, child under parent, and the
+    // db-log-write span parents to the propagated application span.
+    val spans = Transforms.tracingSpans(ev)
+    assert(spans.count() === 4)
+    val s1 = spans.where(col("lsn") === 1).collect()
+      .map(r => r.getAs[String]("operation") ->
+        (r.getAs[String]("span_id"), r.getAs[String]("parent_span_id"),
+          r.getAs[String]("trace_id"))).toMap
+    assert(s1("db-log-write")._2 === appSpan)
+    assert(s1("db-log-write")._3 === appTrace)
+    assert(s1("debezium-read")._2 === s1("db-log-write")._1, "processing span is the child")
+    val s2 = spans.where(col("lsn") === 2 && col("operation") === "db-log-write").head()
+    assert(s2.getAs[String]("parent_span_id") == null, "no context: root span")
+  }
 }
