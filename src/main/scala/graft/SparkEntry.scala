@@ -944,6 +944,21 @@ object SparkEntry {
         .select("trace_id", "span_id", "parent_span_id", "operation",
           "start_ts_ms", "db_instance", "attr_op", "lsn", "traceparent")
     }),
+
+    // ExtractNewRecordState add.fields/add.headers placement: envelope
+    // metadata routed into the flattened value (qualified specs become
+    // __struct_field, renames honored) and into the headers map.
+    "q91_smt_unwrap_add_fields" -> ((s, dir) => {
+      val env = ChangeLog.envelopes(s, dir)
+      Envelope.unwrapAdvanced(env,
+        deleteMode = "rewrite",
+        addFields = Seq("op", "source.lsn", "ts_ms:event_ts", "transaction.id"),
+        addHeaders = Seq("source.part"))
+        .select(col("repo"), col("path"), col("commit"), col("lang"),
+          col("content"), col("__op"), col("__source_lsn"), col("__event_ts"),
+          col("__transaction_id"), col("__deleted"),
+          element_at(col("headers"), "__source_part").as("header_part"))
+    }),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1281,6 +1296,20 @@ object SparkEntry {
          |       repo AS db_instance, op AS attr_op, lsn,
          |       concat('00-', trace_id, '-', db_span, '-01') AS traceparent
          |FROM ids""".stripMargin,
+    // add.fields routes envelope metadata into the flattened value
+    // (qualified specs become __struct_field; `ts_ms:event_ts` renames);
+    // add.headers lands in the headers map; transaction is null in the
+    // synthetic log so __transaction_id is NULL end-to-end.
+    "q91_smt_unwrap_add_fields" ->
+      s"""$cte
+         |SELECT repo, path, commit, lang, content,
+         |       op AS __op,
+         |       CAST(lsn AS VARCHAR) AS __source_lsn,
+         |       CAST(ts_ms AS VARCHAR) AS __event_ts,
+         |       CAST(NULL AS VARCHAR) AS __transaction_id,
+         |       CASE WHEN op = 'd' THEN 'true' ELSE 'false' END AS __deleted,
+         |       CAST(part AS VARCHAR) AS header_part
+         |FROM ev""".stripMargin,
     "q62_cdc_rebucket" -> s"$cte\n$applyStateSql",
     // replay slices are lsn ranges of width (hi-lo)//4 + 1; version 2 holds
     // the fold of the first two slices.

@@ -104,6 +104,87 @@ object Envelope {
     else flat.filter(col("op") =!= OpDelete)
   }
 
+  /** One `add.fields` / `add.headers` entry of ExtractNewRecordState
+    * (`AbstractExtractNewRecordState.FieldReference`,
+    * `debezium-connect-plugins/.../AbstractExtractNewRecordState.java:170-240`,
+    * studied not copied): `spec` is `field`, `struct.field`, or either
+    * followed by `:newName`. An unqualified field resolves to its hosting
+    * struct — transaction columns to `transaction`, envelope-level
+    * op/ts_ms/ts_us/ts_ns to the envelope itself, everything else to
+    * `source`. The outgoing name is `prefix + struct_field` (or the
+    * explicit rename).
+    */
+  private def fieldReference(spec: String, prefix: String): (String, Column) = {
+    val parts = spec.trim.split(":", 2)
+    val splits = parts(0).split("\\.", 2)
+    val (struct0, field) =
+      if (splits.length == 2) (splits(0), splits(1))
+      else (determineStruct(splits(0)), splits(0))
+    // explicit rename wins; a QUALIFIED spec names the output struct_field;
+    // an unqualified one keeps the bare name (FieldReference ctor `:190-196`)
+    val newName =
+      if (parts.length == 2) prefix + parts(1)
+      else if (splits.length == 2) prefix + struct0 + "_" + field
+      else prefix + field
+    val src = if (struct0 == null) col(field) else col(s"$struct0.$field")
+    (newName, src)
+  }
+
+  /** `AbstractExtractNewRecordState.FieldReference.determineStruct`
+    * (`:204-226`): which envelope block hosts an unqualified field name.
+    */
+  private def determineStruct(field: String): String = field match {
+    case "id" | "total_order" | "data_collection_order" => "transaction"
+    case "op" | "ts_ms" | "ts_us" | "ts_ns"             => null
+    case _                                              => "source"
+  }
+
+  /** ExtractNewRecordState with the full config surface
+    * (`ExtractNewRecordState.java:140-180` +
+    * `ExtractNewRecordStateConfigDefinition.java:86-130`):
+    *
+    *  - `deleteMode` = `rewrite` (delete rows keep the `before` image and
+    *    gain `__deleted=true`), `drop` (deletes removed), `none` (deletes
+    *    kept, no flag) — `DeleteTombstoneHandlingMode`.
+    *  - `addFields` / `addHeaders`: envelope metadata routed into the
+    *    flattened value / the `headers` map, each entry a
+    *    [[fieldReference]] spec with `addFieldsPrefix`/`addHeadersPrefix`
+    *    (reference default `__`).
+    *  - `routeByField`: emits a `__route` column from a payload field
+    *    (the reference re-topics; a routing column is the Spark analog,
+    *    same as [[graft.operators.Transforms.contentBasedRouter]]).
+    *
+    * One narrow projection — adds no shuffle at any scale.
+    */
+  def unwrapAdvanced(
+      env: DataFrame,
+      deleteMode: String = "rewrite",
+      addFields: Seq[String] = Nil,
+      addHeaders: Seq[String] = Nil,
+      addFieldsPrefix: String = "__",
+      addHeadersPrefix: String = "__",
+      routeByField: Option[String] = None): DataFrame = {
+    require(Seq("rewrite", "drop", "none").contains(deleteMode),
+      s"unknown delete handling mode: $deleteMode")
+    val row = coalesce(col("after"), col("before"))
+    val fieldCols = addFields.map(fieldReference(_, addFieldsPrefix))
+      .map { case (n, c) => c.cast("string").as(n) }
+    val headerKvs = addHeaders.map(fieldReference(_, addHeadersPrefix))
+      .flatMap { case (n, c) => Seq(lit(n), c.cast("string")) }
+    val headerCol =
+      if (headerKvs.isEmpty) Nil else Seq(map(headerKvs: _*).as("headers"))
+    val routeCol = routeByField.map(f => row.getField(f).as("__route")).toSeq
+    val deletedCol =
+      if (deleteMode == "rewrite")
+        Seq((col("op") === OpDelete).cast("string").as("__deleted"))
+      else Nil
+    val base = if (deleteMode == "drop") env.filter(col("op") =!= OpDelete) else env
+    val nested = base.select(
+      (Seq(row.as("row")) ++ fieldCols ++ headerCol ++ routeCol ++ deletedCol): _*)
+    val rest = nested.columns.filter(_ != "row").map(col).toIndexedSeq
+    nested.select(col("row.*") +: rest: _*)
+  }
+
   /** Wrap a flat change log (row cols + op/part/lsn/ts_ms) into envelopes.
     * delete → before only; c/u/r → after only (we don't track prior images
     * in the synthetic log).

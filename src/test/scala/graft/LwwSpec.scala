@@ -139,4 +139,40 @@ class LwwSpec extends SparkSpec {
     // content of deletes is null in both representations
     assert(flat.toSeq === log.sortBy(e => (e.lsn, e.repo, e.path)).toSeq)
   }
+
+  test("unwrapAdvanced: add.fields/add.headers placement + delete modes") {
+    val log = randomLog(77, 120, withTruncate = false)
+    val env = Envelope.wrap(log.toDF())
+    val out = Envelope.unwrapAdvanced(env,
+      deleteMode = "rewrite",
+      addFields = Seq("op", "source.lsn", "ts_ms:event_ts", "transaction.id"),
+      addHeaders = Seq("source.part"))
+    // unqualified keeps the bare name; qualified becomes __struct_field;
+    // `:rename` wins; headers land in the map under the header prefix
+    assert(Seq("__op", "__source_lsn", "__event_ts", "__transaction_id",
+      "headers", "__deleted").forall(out.columns.contains))
+    val rows = out.select(col("repo"), col("path"), col("__source_lsn"),
+        col("__op"), col("__event_ts"), col("__transaction_id"),
+        element_at(col("headers"), "__source_part").as("hp"), col("__deleted"))
+      .collect()
+    assert(rows.length === log.size)
+    rows.foreach { r =>
+      val e = log.find(x => x.repo == r.getString(0) && x.path == r.getString(1)
+        && x.lsn.toString == r.getString(2)).get
+      assert(r.getString(3) === e.op)
+      assert(r.getString(4) === e.ts_ms.toString)
+      assert(r.isNullAt(5)) // transaction block is null in the synthetic log
+      assert(r.getString(6) === e.part.toString)
+      assert(r.getString(7) === (e.op == "d").toString)
+    }
+    // drop mode removes delete rows and the flag; none keeps both w/o flag
+    val dropped = Envelope.unwrapAdvanced(env, deleteMode = "drop")
+    assert(dropped.count() === log.count(_.op != "d"))
+    assert(!dropped.columns.contains("__deleted"))
+    val none = Envelope.unwrapAdvanced(env, deleteMode = "none")
+    assert(none.count() === log.size && !none.columns.contains("__deleted"))
+    // routeByField emits the routing column from the payload
+    val routed = Envelope.unwrapAdvanced(env, routeByField = Some("repo"))
+    assert(routed.where(col("__route") === col("repo")).count() === log.size)
+  }
 }
