@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Envelope
 import graft.sources.{ChangeLog, Snapshot}
-import graft.operators.{Lww, Transforms}
+import graft.operators.{Lww, Serdes, Transforms}
 import graft.streaming.CdcPipeline
 import graft.table.LakeTable
 import graft.tdp.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
@@ -959,6 +959,45 @@ object SparkEntry {
           col("__transaction_id"), col("__deleted"),
           element_at(col("headers"), "__source_part").as("header_part"))
     }),
+
+    // Consumer-side JSON serde (DebeziumSerdes.payloadJson analog): the
+    // log is serialized onto the wire in the three JSON shapes the
+    // reference's deserializer tolerates — Connect schema+payload wrapper
+    // (lsn%3=0), bare Debezium envelope (1), already-extracted row (2) —
+    // and decoded back to typed columns with from.field=after; keys
+    // alternate payload-wrapped/bare composites plus a simple
+    // single-field key unwrapped to its bigint value.
+    "q92_serde_payload_json" -> ((s, dir) => {
+      val env = ChangeLog.envelopes(s, dir)
+      val keepNulls = Map("ignoreNullFields" -> "false")
+      val envJson = to_json(struct(
+        col("before"), col("after"), col("source"), col("op"),
+        col("ts_ms"), col("ts_us"), col("ts_ns"), col("transaction")), keepNulls)
+      val wire = when(col("source.lsn") % 3 === 0,
+          concat(lit("""{"schema":{"type":"struct"},"payload":"""), envJson, lit("}")))
+        .when(col("source.lsn") % 3 === 1, envJson)
+        .otherwise(to_json(col("after"), keepNulls))
+      val keyStruct = struct(
+        coalesce(col("after.repo"), col("before.repo")).as("repo"),
+        coalesce(col("after.path"), col("before.path")).as("path"))
+      val keyWire = when(col("source.lsn") % 2 === 0,
+          concat(lit("""{"payload":"""), to_json(keyStruct), lit("}")))
+        .otherwise(to_json(keyStruct))
+      val simpleKeyWire = to_json(struct(col("source.lsn").as("lsn")))
+      val rowDdl = "repo string, path string, commit string, lang string, content string"
+      val decoded = Serdes.payloadJsonValue(wire, rowDdl, fromField = Some("after"))
+      val key = Serdes.payloadJsonKey(keyWire, "repo string, path string")
+      env.select(
+        col("source.lsn").as("lsn"), col("op"),
+        decoded.getField("repo").as("repo"),
+        decoded.getField("path").as("path"),
+        decoded.getField("commit").as("commit"),
+        decoded.getField("lang").as("lang"),
+        decoded.getField("content").as("content"),
+        key.getField("repo").as("key_repo"),
+        key.getField("path").as("key_path"),
+        Serdes.payloadJsonSimpleKey(simpleKeyWire, "bigint").as("key_lsn"))
+    }),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1309,6 +1348,19 @@ object SparkEntry {
          |       CAST(NULL AS VARCHAR) AS __transaction_id,
          |       CASE WHEN op = 'd' THEN 'true' ELSE 'false' END AS __deleted,
          |       CAST(part AS VARCHAR) AS header_part
+         |FROM ev""".stripMargin,
+    // Serde round trip: every wire variant decodes back to the `after`
+    // image (null for deletes — wrap() puts the delete row in `before`),
+    // keys decode to (repo, path), the simple key to its bigint lsn.
+    "q92_serde_payload_json" ->
+      s"""$cte
+         |SELECT lsn, op,
+         |       CASE WHEN op = 'd' THEN NULL ELSE repo END AS repo,
+         |       CASE WHEN op = 'd' THEN NULL ELSE path END AS path,
+         |       CASE WHEN op = 'd' THEN NULL ELSE commit END AS commit,
+         |       CASE WHEN op = 'd' THEN NULL ELSE lang END AS lang,
+         |       CASE WHEN op = 'd' THEN NULL ELSE content END AS content,
+         |       repo AS key_repo, path AS key_path, lsn AS key_lsn
          |FROM ev""".stripMargin,
     "q62_cdc_rebucket" -> s"$cte\n$applyStateSql",
     // replay slices are lsn ranges of width (hi-lo)//4 + 1; version 2 holds
