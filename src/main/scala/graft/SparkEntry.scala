@@ -998,6 +998,42 @@ object SparkEntry {
         key.getField("path").as("key_path"),
         Serdes.payloadJsonSimpleKey(simpleKeyWire, "bigint").as("key_lsn"))
     }),
+
+    // CollectionNameTransformation: the routed collection name (a DATA
+    // column — mixed camel/dot/digit boundaries) restyled per
+    // NamingStyleUtils: snake_case with prefix/suffix, camelCase, and
+    // UPPER_CASE side by side.
+    "q93_sink_collection_naming" -> ((s, dir) => {
+      val ev = ChangeLog.flat(s, dir)
+        .withColumn("__route", concat(lit("repoFiles."), col("repo")))
+      val snake = Transforms.collectionNameTransformation(
+        ev, style = "snake_case", prefix = "dw_", suffix = "_v1")
+      snake.select(
+        col("lsn"), col("repo"),
+        col("__route").as("snake_name"),
+        Transforms.styledColumn(concat(lit("repo_files."), col("repo")), "camel_case").as("camel_name"),
+        Transforms.styledColumn(concat(lit("repoFiles."), col("repo")), "upper_case").as("upper_name"))
+    }),
+
+    // Sink field include/exclude filter: topic-qualified exclude entries
+    // ("files_0:lang" drops lang only in files_0; unqualified "content"
+    // drops it everywhere); key columns survive the projection; the
+    // per-collection frames re-align on null-filled dropped columns.
+    "q94_sink_field_filter" -> ((s, dir) => {
+      val f = merge.SinkModes.fieldFilter(excludeList = "files_0:lang, content")
+      val ev = ChangeLog.flat(s, dir)
+        .withColumn("topic", concat(lit("files_"), (col("part") % 2).cast("string")))
+      val all = Seq("repo", "path", "commit", "lang", "content")
+      Seq("files_0", "files_1").map { t =>
+        val proj = merge.SinkModes.projectFields(
+          ev.where(col("topic") === t)
+            .select(("lsn" +: "topic" +: all).map(col): _*),
+          t, f, keepAlways = Seq("lsn", "topic", "repo", "path"))
+        all.foldLeft(proj)((d, c) =>
+          if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast("string")))
+          .select(("lsn" +: "topic" +: all).map(col): _*)
+      }.reduce(_ unionAll _)
+    }),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1361,6 +1397,27 @@ object SparkEntry {
          |       CASE WHEN op = 'd' THEN NULL ELSE lang END AS lang,
          |       CASE WHEN op = 'd' THEN NULL ELSE content END AS content,
          |       repo AS key_repo, path AS key_path, lsn AS key_lsn
+         |FROM ev""".stripMargin,
+    // repo is 'repo' || NN, so the styled names are concatenations:
+    // snake('repoFiles.repoNN') = repo_files_repo_NN (boundaries at oF,
+    // o→digit, and the dot), camel('repo_files.repoNN') capitalizes the
+    // post-separator segments with tails unchanged, upper is plain.
+    "q93_sink_collection_naming" ->
+      s"""$cte
+         |SELECT lsn, repo,
+         |       concat('dw_repo_files_repo_', substr(repo, 5), '_v1') AS snake_name,
+         |       concat('repoFilesRepo', substr(repo, 5)) AS camel_name,
+         |       concat('REPOFILES.REPO', substr(repo, 5)) AS upper_name
+         |FROM ev""".stripMargin,
+    // exclude list "files_0:lang, content": content dropped in every
+    // collection, lang only in files_0 (part even); repo/path are the
+    // always-kept key.
+    "q94_sink_field_filter" ->
+      s"""$cte
+         |SELECT lsn, concat('files_', cast(part % 2 AS varchar)) AS topic,
+         |       repo, path, commit,
+         |       CASE WHEN part % 2 = 0 THEN NULL ELSE lang END AS lang,
+         |       CAST(NULL AS VARCHAR) AS content
          |FROM ev""".stripMargin,
     "q62_cdc_rebucket" -> s"$cte\n$applyStateSql",
     // replay slices are lsn ranges of width (hi-lo)//4 + 1; version 2 holds

@@ -81,4 +81,50 @@ object SinkModes {
     val ups = insert(events)
     if (keys.isEmpty) ups else Lww.reduce(ups, keys)
   }
+
+  /** Sink per-field include/exclude filter — `FieldFilterFactory`
+    * semantics (`debezium-sink/src/main/java/io/debezium/sink/filter/
+    * FieldFilterFactory.java:25-61`, studied not copied): a list entry is
+    * `field` (applies to every collection) or `collection:field`; a
+    * matching entry includes (include list) or excludes (exclude list)
+    * the field, a non-match yields the opposite; a non-empty EXCLUDE list
+    * takes precedence when both are configured; neither configured keeps
+    * everything. The filter is config-time metadata — it drives a static
+    * per-collection projection ([[projectFields]]), never per-row plan
+    * branching.
+    */
+  def fieldFilter(
+      includeList: String = "",
+      excludeList: String = ""): (String, String) => Boolean = {
+    def entries(l: String): Array[(Option[String], String)] =
+      l.split(",").map(_.trim).filter(_.nonEmpty).map { e =>
+        e.split(":") match {
+          case Array(f)    => (None, f.trim)
+          case Array(t, f) => (Some(t.trim), f.trim)
+          case _ => throw new IllegalArgumentException(
+            s"field filter entry must be 'field' or 'collection:field': '$e'")
+        }
+      }
+    def matches(es: Array[(Option[String], String)], topic: String, field: String): Boolean =
+      es.exists { case (t, f) => f == field.trim && t.forall(_ == topic.trim) }
+    if (excludeList.trim.nonEmpty) {
+      val es = entries(excludeList); (t, f) => !matches(es, t, f)
+    } else if (includeList.trim.nonEmpty) {
+      val es = entries(includeList); (t, f) => matches(es, t, f)
+    } else (_, _) => true
+  }
+
+  /** One collection's sink frame projected by a field filter. Columns in
+    * `keepAlways` (default: the upsert key) survive regardless — dropping
+    * the key would silently degrade upsert to insert, the same reason the
+    * reference validates `primary.key.fields` against the filter. Narrow
+    * projection: the pruned columns never leave the scan.
+    */
+  def projectFields(
+      df: DataFrame,
+      collection: String,
+      filter: (String, String) => Boolean,
+      keepAlways: Seq[String] = Envelope.keyCols): DataFrame =
+    df.select(df.columns.filter(c => keepAlways.contains(c) || filter(collection, c))
+      .map(col).toIndexedSeq: _*)
 }

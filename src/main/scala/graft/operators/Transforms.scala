@@ -648,6 +648,56 @@ object Transforms {
     df.select(cols.toIndexedSeq: _*)
   }
 
+  /** Expression-level naming styles over a DATA column — the route /
+    * collection name is per-record data, so unlike [[renameFields]] (static
+    * schema names, driver-side strings) the styling must be a Catalyst
+    * expression. Semantics lock-step with `NamingStyleUtils.applyNamingStyle`
+    * (`debezium-connector-jdbc/.../util/NamingStyleUtils.java:36-48`):
+    * snake_case inserts `_` at lower→UPPER, letter→digit and digit→letter
+    * boundaries and at dots, then lower-cases (`Strings.toSnakeCase` — same
+    * boundary set as [[toSnakeCase]]); camelCase splits on runs of
+    * dots/underscores, first segment untouched, later segments capitalized
+    * with their tails unchanged. All built-ins — regexp/string kernels
+    * inside whole-stage codegen, no UDF.
+    */
+  def styledColumn(c: Column, style: String): Column = style match {
+    case "default"                   => c
+    case "UPPER_CASE" | "upper_case" => upper(c)
+    case "LOWER_CASE" | "lower_case" => lower(c)
+    case "snake_case" =>
+      val s1 = regexp_replace(c, "([a-z])([A-Z])", "$1_$2")
+      val s2 = regexp_replace(s1, "([A-Za-z])([0-9])", "$1_$2")
+      val s3 = regexp_replace(s2, "([0-9])([A-Za-z])", "$1_$2")
+      lower(translate(s3, ".", "_"))
+    case "camel_case" | "camelCase" =>
+      val parts = filter(split(c, "[._]+"), w => w =!= "")
+      val tail = transform(slice(parts, lit(2), greatest(size(parts) - 1, lit(0))),
+        w => concat(upper(substring(w, 1, 1)), w.substr(lit(2), length(w))))
+      when(size(parts) === 0, lit("")) // a name of only separators
+        .otherwise(concat(element_at(parts, 1), array_join(tail, "")))
+    case s => throw new IllegalArgumentException(s"unknown collection.naming.style: $s")
+  }
+
+  /** CollectionNameTransformation analog (`debezium-connector-jdbc/.../
+    * transforms/CollectionNameTransformation.java:95-135`, studied not
+    * copied): rewrites the routed collection/table name — the record's
+    * topic, i.e. the routing column emitted by [[byLogicalTableRouter]] /
+    * [[contentBasedRouter]] — to `prefix + style(name) + suffix`. Null
+    * routes pass through untouched (the reference skips null-topic
+    * records). One narrow projection, no shuffle.
+    */
+  def collectionNameTransformation(
+      df: DataFrame,
+      routeCol: String = "__route",
+      style: String = "default",
+      prefix: String = "",
+      suffix: String = ""): DataFrame = {
+    require(df.columns.contains(routeCol),
+      s"collectionNameTransformation expects a '$routeCol' routing column")
+    val styled = concat(lit(prefix), styledColumn(col(routeCol), style), lit(suffix))
+    df.withColumn(routeCol, when(col(routeCol).isNull, col(routeCol)).otherwise(styled))
+  }
+
   // ------------------------------------------------------------- tracing
 
   /** W3C traceparent pattern inside a serialized java.util.Properties
