@@ -1034,6 +1034,21 @@ object SparkEntry {
           .select(("lsn" +: "topic" +: all).map(col): _*)
       }.reduce(_ unionAll _)
     }),
+
+    // message.key.columns custom key mapper: "files_0:repo" re-keys the
+    // files_0 collection to repo alone (one LWW winner per repo), while
+    // files_1 falls back to the (repo, path) PK — regex-anchored,
+    // spec-ordered, reference Key.CustomKeyMapper semantics.
+    "q95_custom_key_columns" -> ((s, dir) => {
+      val ev = ChangeLog.flat(s, dir)
+        .withColumn("topic", concat(lit("files_"), (col("part") % 2).cast("string")))
+      val mapper = merge.MultiTable.customKeyMapper("files_0:repo")
+      Seq("files_0", "files_1").map { t =>
+        val keys = mapper(t, Seq("repo", "path", "commit", "lang", "content"))
+        Lww.reduce(ev.where(col("topic") === t), keys)
+          .select("topic", "repo", "path", "commit", "op", "lsn")
+      }.reduce(_ unionAll _)
+    }),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1419,6 +1434,21 @@ object SparkEntry {
          |       CASE WHEN part % 2 = 0 THEN NULL ELSE lang END AS lang,
          |       CAST(NULL AS VARCHAR) AS content
          |FROM ev""".stripMargin,
+    // files_0 (even parts) keyed by repo alone; files_1 by (repo, path).
+    // lsn is unique per event, so each window has a single winner.
+    "q95_custom_key_columns" ->
+      s"""$cte
+         |, routed AS (
+         |  SELECT *, concat('files_', cast(part % 2 AS varchar)) AS topic FROM ev)
+         |SELECT topic, repo, path, commit, op, lsn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY repo ORDER BY commit DESC, lsn DESC) AS rn
+         |  FROM routed WHERE topic = 'files_0') t0
+         |WHERE rn = 1
+         |UNION ALL
+         |SELECT topic, repo, path, commit, op, lsn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |  FROM routed WHERE topic = 'files_1') t1
+         |WHERE rn = 1""".stripMargin,
     "q62_cdc_rebucket" -> s"$cte\n$applyStateSql",
     // replay slices are lsn ranges of width (hi-lo)//4 + 1; version 2 holds
     // the fold of the first two slices.

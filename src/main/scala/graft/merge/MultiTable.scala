@@ -43,6 +43,41 @@ object MultiTable {
       keyCols: Seq[String] = Envelope.keyCols,
       numBuckets: Int = 32)
 
+  /** `message.key.columns` custom key mapper — `Key.CustomKeyMapper`
+    * semantics (`debezium-connector-common/src/main/java/io/debezium/
+    * relational/Key.java:92-150`, studied not copied): the spec is
+    * `tableRegex:col1,col2;...`; each `(tableRegex, col)` pair becomes a
+    * regex over the fully-qualified `table.column` name, matched ANCHORED
+    * and case-insensitively (the reference's `Predicates.includes`). A
+    * table's key is every available column some spec regex matches — in
+    * SPEC order, like the reference's predicate loop — falling back to
+    * `defaultKey` (the table's PK) when nothing matches.
+    *
+    * Config-time only: the result feeds [[TableDef.keyCols]]; nothing
+    * here touches data.
+    */
+  def customKeyMapper(
+      spec: String,
+      defaultKey: Seq[String] = Envelope.keyCols): (String, Seq[String]) => Seq[String] = {
+    val regexes: Seq[java.util.regex.Pattern] =
+      spec.split(";").map(_.trim).filter(_.nonEmpty).toSeq.flatMap { entry =>
+        entry.split(":", 2) match {
+          case Array(table, cols) =>
+            cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { c =>
+              java.util.regex.Pattern.compile(
+                s"${table.trim}\\.$c", java.util.regex.Pattern.CASE_INSENSITIVE)
+            }
+          case _ => throw new IllegalArgumentException(
+            s"message.key.columns entry must be 'tableRegex:col1,col2': '$entry'")
+        }
+      }
+    (table, availableCols) => {
+      val picked = regexes.flatMap(r =>
+        availableCols.filter(c => r.matcher(s"$table.$c").matches())).distinct
+      if (picked.isEmpty) defaultKey else picked
+    }
+  }
+
   /** The catalog: one LakeTable per definition under `root/<name>`.
     * Guardrails validate at construction (bootstrap-time limit checks,
     * `pipeline/GuardrailValidator.java:30-35`).

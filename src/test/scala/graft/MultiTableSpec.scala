@@ -82,4 +82,20 @@ class MultiTableSpec extends SparkSpec {
       tableCol = col("sink_table")).select("sink_table").distinct().collect()
     assert(kept.map(_.getString(0)).toSeq === Seq("a"))
   }
+
+  test("customKeyMapper: regex tables, spec order, PK fallback (message.key.columns)") {
+    val cols = Seq("pk1", "pk2", "pk3", "pk4", "other")
+    val m = MultiTable.customKeyMapper(
+      "inventory.customers:pk1,pk2;(.*).purchaseorders:pk4,pk3", // the reference's own example
+      defaultKey = Seq("pk1"))
+    assert(m("inventory.customers", cols) === Seq("pk1", "pk2"))
+    // regex table part matches any schema prefix; key order follows the SPEC
+    assert(m("shop.purchaseorders", cols) === Seq("pk4", "pk3"))
+    // no predicate match → the table's own PK
+    assert(m("inventory.orders", cols) === Seq("pk1"))
+    // anchored: a column regex must cover the whole table.column string
+    assert(m("inventory.customers2", cols) === Seq("pk1"))
+    // case-insensitive, Predicates.includes semantics
+    assert(m("INVENTORY.CUSTOMERS", cols) === Seq("pk1", "pk2"))
+  }
 }
