@@ -59,16 +59,20 @@ object MultiTable {
   def customKeyMapper(
       spec: String,
       defaultKey: Seq[String] = Envelope.keyCols): (String, Seq[String]) => Seq[String] = {
+    // The reference validates each entry against MSG_KEY_COLUMNS_PATTERN
+    // (`^\s*([^:]+):([^:,]+(,[^:,]+)*)\s*$`, Key.java:98) at config time;
+    // degenerate entries ("table:", ":col") must throw, not silently
+    // produce a no-op mapper that changes which rows win LWW.
+    val entryPattern = java.util.regex.Pattern.compile(
+      "^\\s*([^:]+):([^:,]+(,[^:,]+)*)\\s*$")
     val regexes: Seq[java.util.regex.Pattern] =
       spec.split(";").map(_.trim).filter(_.nonEmpty).toSeq.flatMap { entry =>
-        entry.split(":", 2) match {
-          case Array(table, cols) =>
-            cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { c =>
-              java.util.regex.Pattern.compile(
-                s"${table.trim}\\.$c", java.util.regex.Pattern.CASE_INSENSITIVE)
-            }
-          case _ => throw new IllegalArgumentException(
-            s"message.key.columns entry must be 'tableRegex:col1,col2': '$entry'")
+        require(entryPattern.matcher(entry).matches(),
+          s"message.key.columns entry must be 'tableRegex:col1,col2': '$entry'")
+        val Array(table, cols) = entry.split(":", 2)
+        cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { c =>
+          java.util.regex.Pattern.compile(
+            s"${table.trim}\\.$c", java.util.regex.Pattern.CASE_INSENSITIVE)
         }
       }
     (table, availableCols) => {

@@ -98,9 +98,13 @@ object SinkModes {
       excludeList: String = ""): (String, String) => Boolean = {
     def entries(l: String): Array[(Option[String], String)] =
       l.split(",").map(_.trim).filter(_.nonEmpty).map { e =>
-        e.split(":") match {
-          case Array(f)    => (None, f.trim)
-          case Array(t, f) => (Some(t.trim), f.trim)
+        // split(-1) keeps trailing empties: a typo like "orders:" must
+        // fail loudly, not silently re-parse as an unqualified field
+        // named "orders" (which Java's default split would produce).
+        e.split(":", -1) match {
+          case Array(f) if f.trim.nonEmpty => (None, f.trim)
+          case Array(t, f) if t.trim.nonEmpty && f.trim.nonEmpty =>
+            (Some(t.trim), f.trim)
           case _ => throw new IllegalArgumentException(
             s"field filter entry must be 'field' or 'collection:field': '$e'")
         }

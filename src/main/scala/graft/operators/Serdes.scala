@@ -43,6 +43,13 @@ object Serdes {
     * is schema+payload wrapped (field PRESENT, even if json-null — Jackson
     * `node.get` semantics), else the document itself. Non-object documents
     * (bare scalars, json-null) pass through untouched.
+    *
+    * Reference-faithful quirk, kept deliberately: `JsonSerde.readValue`
+    * (`JsonSerde.java:110-115`) keys the unwrap on `payload` presence
+    * ALONE — not `schema` AND `payload` — so a bare record that itself
+    * has a `payload` field is unwrapped to it, in the reference and here
+    * alike. Consumers with such schemas must not enable payload
+    * unwrapping (same caveat as the reference).
     */
   def unwrapPayload(json: Column): Column =
     when(array_contains(json_object_keys(json), "payload"),

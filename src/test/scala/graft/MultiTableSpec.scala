@@ -97,5 +97,10 @@ class MultiTableSpec extends SparkSpec {
     assert(m("inventory.customers2", cols) === Seq("pk1"))
     // case-insensitive, Predicates.includes semantics
     assert(m("INVENTORY.CUSTOMERS", cols) === Seq("pk1", "pk2"))
+    // degenerate entries are config errors (MSG_KEY_COLUMNS_PATTERN), not
+    // silent PK-fallback no-ops
+    intercept[IllegalArgumentException](MultiTable.customKeyMapper("inventory.orders:"))
+    intercept[IllegalArgumentException](MultiTable.customKeyMapper(":repo"))
+    intercept[IllegalArgumentException](MultiTable.customKeyMapper("no-colon-here"))
   }
 }

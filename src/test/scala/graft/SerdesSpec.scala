@@ -83,9 +83,9 @@ class SerdesSpec extends SparkSpec {
       struct(col("id"), col("name")).as("after"),
       struct(lit(9L).as("lsn")).as("source"),
       lit("c").as("op")), Map("ignoreNullFields" -> "false")).as("j"))
-    val back = wire
-      .select(Serdes.payloadJsonValue(col("j"), rowDdl, Some("after")).as("v"))
-      .select("v.*").orderBy("id").collect()
+    // the DataFrame-level convenience decodes the column in place
+    val back = Serdes.payloadJson(wire, "j", rowDdl, Some("after"))
+      .select("j.*").orderBy("id").collect()
     assert(back.toSeq === Seq(Row(1L, "n1"), Row(2L, null)))
   }
 }

@@ -53,6 +53,10 @@ class SinkNamingSpec extends SparkSpec {
     assert(!both("t", "a") && both("t", "z"))
     val none = SinkModes.fieldFilter()
     assert(none("t", "anything"))
+    // malformed entries fail loudly instead of re-parsing as something else
+    intercept[IllegalArgumentException](SinkModes.fieldFilter(excludeList = "orders:"))
+    intercept[IllegalArgumentException](SinkModes.fieldFilter(includeList = ":field"))
+    intercept[IllegalArgumentException](SinkModes.fieldFilter(excludeList = "a:b:c"))
   }
 
   test("projectFields: static projection keeps keepAlways columns") {
