@@ -282,4 +282,56 @@ class IngestDecontamSpec extends SparkSpec {
       assert(admitted.size === docs.map(_._2).distinct.size, s"seed=$seed: one admission per text")
     }
   }
+
+  test("streaming ingest dedup: exactly-once admission across a checkpoint restart") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft-stream-ingest")
+    val in = root.resolve("in").toString
+    val ckpt = root.resolve("ckpt").toString
+    val outDir = root.resolve("admitted").toString
+    val index = IngestDedup.indexTable(root.resolve("idx").toString, numBuckets = 4)
+
+    // 10 distinct texts, each arriving 4× across the stream (ids i, i+10,
+    // i+20, i+30) — every re-arrival after the first admission must be
+    // turned away, including ones landing AFTER the checkpoint restart.
+    def writeDocs(ids: Range): Unit =
+      ids.map(i => (i.toLong, s"text ${i % 10}")).toDF("doc_id", "text")
+        .repartition(2).write.mode("append").parquet(in)
+
+    // The streaming wiring: file tail → foreachBatch { ingest → sink }.
+    // The streaming epoch id is the ingest batchId, so a replayed epoch
+    // (crash between the index commit and the downstream write) hits the
+    // ingest fence and re-emits its admitted rows instead of re-admitting.
+    def run(): Unit =
+      spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          val admitted = IngestDedup.ingest(b.sparkSession, index, b, batchId)
+          admitted.write.mode("append").parquet(outDir)
+          admitted.unpersist(); ()
+        }
+        .start().awaitTermination()
+
+    writeDocs(0 until 20)
+    run() // first half of the input
+    writeDocs(20 until 40)
+    run() // RESTART against the same checkpoint: only the new files replay
+
+    val out = spark.read.parquet(outDir).select("doc_id", "text").as[(Long, String)].collect()
+    assert(out.length === 10, s"one admission per distinct text, got ${out.toSeq}")
+    assert(out.map(_._2).toSet === (0 until 10).map(i => s"text $i").toSet)
+    // every admitted id is from the pre-restart half (all texts seen there)
+    assert(out.map(_._1).forall(_ < 20), "post-restart re-arrivals must be turned away")
+    // the index canonicals are exactly the admitted ids
+    val canon = index.snapshot(spark).get.select("canonical_id").as[Long].collect().toSet
+    assert(canon === out.map(_._1).toSet)
+    // an idle restart (no new input) processes nothing and commits nothing
+    val vBefore = index.lastCommit().get.version
+    run()
+    assert(index.lastCommit().get.version === vBefore)
+    graft.core.Fs.deleteTree(root)
+  }
 }
