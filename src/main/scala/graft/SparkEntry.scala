@@ -1049,6 +1049,39 @@ object SparkEntry {
           .select("topic", "repo", "path", "commit", "op", "lsn")
       }.reduce(_ unionAll _)
     }),
+
+    // Extended semantic types (io.debezium.data.{Bits,Enum,EnumSet,
+    // VariableScaleDecimal,SparseDoubleVector}): raw wire encodings are
+    // CONSTRUCTED in-plan (BitSet little-endian bytes, BigInteger
+    // big-endian two's complement, sparse maps) and decoded back by the
+    // metadata-driven converter — all codegen'd built-ins. Integer/floor
+    // outputs keep the double comparisons engine-exact.
+    "q96_semantic_types_ext" -> ((s, dir) => {
+      import graft.core.SemanticTypes
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val v = pmod(col("event_id"), lit(40000L))
+      val bitsBin = unhex(concat(
+        lpad(hex(pmod(v, lit(256))), 2, "0"), lpad(hex(shiftright(v, 8)), 2, "0")))
+      val unscaled = col("user_id") - 500 // negative for small user_ids
+      val vsBytes = unhex(lpad(hex(unscaled), 16, "0")) // 8-byte BE two's complement
+      val allowed = Seq("click", "view", "purchase") // signup/error excluded
+      val raw = ev.select(
+        col("event_id"),
+        SemanticTypes.tagged(bitsBin, "bits16", SemanticTypes.bits(16)),
+        SemanticTypes.tagged(col("event_type"), "etype", SemanticTypes.enumType(allowed)),
+        SemanticTypes.tagged(concat_ws(",", col("event_type"), lit("view"), lit("bogus")),
+          "eset", SemanticTypes.enumSetType(allowed)),
+        SemanticTypes.tagged(struct(lit(3).as("scale"), vsBytes.as("value")),
+          "vscale", SemanticTypes.VariableScale),
+        SemanticTypes.tagged(struct(lit(4).as("dimensions"),
+          map(lit(2), col("value")).as("vector")), "dense", SemanticTypes.SparseDoubleVector))
+      SemanticTypes.convert(raw).select(
+        col("event_id"), col("bits16"), col("etype"),
+        array_join(col("eset"), ",").as("eset"),
+        floor(col("vscale") * 1000).cast("long").as("vscale_milli"),
+        floor(col("dense")(1) * 10000).cast("long").as("d2_e4"),
+        size(col("dense")).as("dims"))
+    }),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1449,6 +1482,20 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
          |  FROM routed WHERE topic = 'files_1') t1
          |WHERE rn = 1""".stripMargin,
+    // decode(encode(x)) = x for every wire form; the floor-of-scaled
+    // doubles make the float comparisons engine-exact (both engines run
+    // the same IEEE op chain before the floor).
+    "q96_semantic_types_ext" ->
+      """SELECT event_id,
+        |       event_id % 40000 AS bits16,
+        |       CASE WHEN event_type IN ('click','view','purchase')
+        |            THEN event_type END AS etype,
+        |       CASE WHEN event_type IN ('click','view','purchase')
+        |            THEN concat(event_type, ',view') ELSE 'view' END AS eset,
+        |       CAST(floor(((user_id - 500) / 1000.0) * 1000) AS BIGINT) AS vscale_milli,
+        |       CAST(floor(value * 10000) AS BIGINT) AS d2_e4,
+        |       CAST(4 AS INT) AS dims
+        |FROM events""".stripMargin,
     "q62_cdc_rebucket" -> s"$cte\n$applyStateSql",
     // replay slices are lsn ranges of width (hi-lo)//4 + 1; version 2 holds
     // the fold of the first two slices.

@@ -36,7 +36,53 @@ object SemanticTypes {
   val Year = "Year"                     // int32
   val Json = "Json"                     // string (query via from_json/get_json_object)
   val Uuid = "Uuid"                     // string (normalized lower-case)
+  val Xml = "Xml"                       // string (data/Xml.java — passthrough)
+  val FloatVector = "FloatVector"       // array<float> (data/vector/FloatVector.java)
+  val DoubleVector = "DoubleVector"     // array<double> (data/vector/DoubleVector.java)
+  // struct(dimensions int, vector map<int,double>) — pg `sparsevec`
+  // (data/vector/SparseDoubleVector.java:28-30: DIMENSIONS_FIELD/VECTOR_FIELD)
+  val SparseDoubleVector = "SparseDoubleVector"
+  // struct(scale int32, value bytes = BigInteger.toByteArray() big-endian
+  // two's complement) — data/VariableScaleDecimal.java:27-28,84-102
+  val VariableScale = "VariableScaleDecimal"
   private val DecimalRe = """Decimal\((\d+),(\d+)\)""".r
+  private val BitsRe = """Bits\((\d+)\)""".r         // data/Bits.java: BitSet.toByteArray LE bytes
+  private val EnumRe = """Enum\(([^)]*)\)""".r       // data/Enum.java: string + `allowed` param
+  private val EnumSetRe = """EnumSet\(([^)]*)\)""".r // data/EnumSet.java: comma-separated string
+
+  /** `Bits(n)` semantic name (MySQL BIT(n); n ≤ 63 decodes to long). */
+  def bits(n: Int): String = s"Bits($n)"
+
+  /** `Enum(a|b|c)` / `EnumSet(a|b|c)` semantic names (the schema's
+    * `allowed` parameter, pipe-separated to keep the name comma-free).
+    */
+  def enumType(allowed: Seq[String]): String = s"Enum(${allowed.mkString("|")})"
+  def enumSetType(allowed: Seq[String]): String = s"EnumSet(${allowed.mkString("|")})"
+
+  /** Unsigned big-endian integer value of a short binary column (built-in
+    * chain: hex → base-16 conv → decimal). Exact for ≤ 8 bytes.
+    */
+  private def beUnsigned(c: Column): Column =
+    conv(hex(c), 16, 10).cast(DecimalType(20, 0))
+
+  /** Signed two's-complement big-endian integer of a variable-length
+    * binary column (BigInteger.toByteArray layout), as decimal(21,0):
+    * sign-extend by the actual byte length when the first byte's high bit
+    * is set. Exact for ≤ 8 bytes — the practical range of variable-scale
+    * NUMERIC values a sink materializes as double.
+    */
+  private def beSigned(c: Column): Column = {
+    val firstByte = conv(hex(substring(c, 1, 1)), 16, 10).cast(IntegerType)
+    // 2^(8·len) as EXACT decimal literals — a double pow() cast to decimal
+    // goes through Double.toString, which rounds 2^56 and 2^64 to 17
+    // significant digits (observed: 2^64 → …552000, off by 384, corrupting
+    // every 7/8-byte negative decode by the rounding residue).
+    val width = (1 to 8).foldLeft(lit(0).cast(DecimalType(21, 0))) { (acc, n) =>
+      when(length(c) === n,
+        lit(BigDecimal(2).pow(8 * n).underlying).cast(DecimalType(21, 0))).otherwise(acc)
+    }
+    when(firstByte >= 128, beUnsigned(c) - width).otherwise(beUnsigned(c))
+  }
 
   /** `Decimal(p,s)` semantic name (decimal.handling.mode=string analog). */
   def decimal(precision: Int, scale: Int): String = s"Decimal($precision,$scale)"
@@ -68,7 +114,37 @@ object SemanticTypes {
     case Year           => c.cast(IntegerType)
     case Json           => c
     case Uuid           => lower(c)
+    case Xml            => c
+    case FloatVector | DoubleVector => c // already array<float>/array<double>
     case DecimalRe(p, s) => c.cast(DecimalType(p.toInt, s.toInt))
+    case BitsRe(n) =>
+      // BitSet.toByteArray is LITTLE-endian bytes at a FIXED width
+      // ceil(n/8) (Bits.java:55-60); reverse the bytes statically, then
+      // the unsigned big-endian chain yields the numeric bit pattern.
+      val bytes = (n.toInt + 7) / 8
+      require(n.toInt <= 63, s"Bits($n) exceeds long range; keep the raw binary")
+      // BitSet.toByteArray TRIMS trailing zero bytes, so the column may be
+      // shorter than the width: substring past the end is empty binary,
+      // hex("") = "", and the concat degrades to the present low bytes.
+      val beHex = concat((bytes to 1 by -1).map(i => hex(substring(c, i, 1))): _*)
+      coalesce(conv(beHex, 16, 10).cast(LongType), lit(0L))
+    case EnumRe(allowed) =>
+      // invalid values → null (the reference's converters emit null/empty
+      // for values outside the `allowed` schema parameter)
+      when(c.isin(allowed.split("\\|").toIndexedSeq: _*), c)
+    case EnumSetRe(allowed) =>
+      // comma-separated string → array<string>, unknown members dropped
+      val ok = typedLit(allowed.split("\\|").toSeq)
+      filter(split(c, ","), v => array_contains(ok, v))
+    case VariableScale =>
+      // struct(scale, value) → double: unscaled / 10^scale
+      // (decimal.handling.mode=double analog for variable-scale NUMERIC)
+      beSigned(c.getField("value")).cast(DoubleType) /
+        pow(lit(10.0), c.getField("scale").cast(DoubleType))
+    case SparseDoubleVector =>
+      // densify: element i of 1..dimensions from the sparse map, else 0.0
+      transform(sequence(lit(1), c.getField("dimensions").cast(IntegerType)),
+        i => coalesce(try_element_at(c.getField("vector"), i), lit(0.0)))
     case _              => c
   }
 

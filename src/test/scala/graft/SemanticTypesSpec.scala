@@ -46,4 +46,67 @@ class SemanticTypesSpec extends SparkSpec {
     val back = DataType.fromJson(json).asInstanceOf[StructType]
     assert(semanticOf(back("c")) === Some(MicroTimestamp))
   }
+
+  test("Bits(n): BitSet.toByteArray little-endian bytes decode to the bit pattern") {
+    def enc(v: Long): Array[Byte] = {
+      val bs = java.util.BitSet.valueOf(Array(v))
+      bs.toByteArray // little-endian, trailing zero bytes TRIMMED
+    }
+    val raw = Seq((5L, enc(5L)), (0L, enc(0L)), (0x1234L, enc(0x1234L)),
+      (0x80L, enc(0x80L))).toDF("expect", "bin")
+      .select(col("expect"), tagged(col("bin"), "b", bits(16)))
+    val out = convert(raw).select("expect", "b").as[(Long, Long)].collect()
+    out.foreach { case (e, got) => assert(got === e, s"bits decode of $e") }
+  }
+
+  test("Enum/EnumSet: allowed-values validation and set split") {
+    val raw = Seq(("blue", "blue,green,teal"), ("mauve", "")).toDF("e", "es").select(
+      tagged(col("e"), "e", enumType(Seq("red", "blue", "green"))),
+      tagged(col("es"), "es", enumSetType(Seq("red", "blue", "green"))))
+    val out = convert(raw).as[(Option[String], Seq[String])].collect()
+    assert(out(0) === ((Some("blue"), Seq("blue", "green")))) // teal dropped
+    assert(out(1) === ((None, Seq())))                        // invalid enum → null
+  }
+
+  test("VariableScaleDecimal: big-endian two's-complement unscaled / 10^scale") {
+    def enc(bd: BigDecimal): (Array[Byte], Int) =
+      (bd.underlying.unscaledValue.toByteArray, bd.scale)
+    val cases = Seq(BigDecimal("123.45"), BigDecimal("-0.002"), BigDecimal("0"),
+      BigDecimal("-98765.4321"), BigDecimal("170.00"))
+    val raw = cases.map { bd => val (v, s) = enc(bd); (bd.toString, v, s) }
+      .toDF("expect", "value", "scale")
+      .select(col("expect"),
+        tagged(struct(col("scale"), col("value")), "d", VariableScale))
+    val out = convert(raw).select("expect", "d").as[(String, Double)].collect()
+    out.foreach { case (e, got) =>
+      assert(math.abs(got - e.toDouble) < 1e-9, s"vscale decode of $e got $got") }
+
+    // 7/8-byte encodings (zero-padded negative longs — the wire form a
+    // fixed-width encoder emits): the sign-extension width must be the
+    // EXACT 2^56 / 2^64, not a double-rounded one (regression: -0.487
+    // decoded as -0.871 through the 384-off 2^64).
+    val longCases = Seq(-487L, -1L, 13L, -98765432101L)
+    val rawL = longCases.map(v => (v, v)).toDF("expect", "v")
+      .select(col("expect"),
+        tagged(struct(lit(3).as("scale"),
+          unhex(lpad(hex(col("v")), 16, "0")).as("value")), "d", VariableScale),
+        tagged(struct(lit(0).as("scale"),
+          unhex(substring(lpad(hex(col("v")), 16, "0"), 3, 14)).as("value")), "d7", VariableScale))
+    convert(rawL).select("expect", "d", "d7").as[(Long, Double, Double)].collect()
+      .foreach { case (e, d8, d7) =>
+        assert(math.abs(d8 - e / 1000.0) < 1e-6, s"8-byte decode of $e got $d8")
+        // 7-byte form only holds values that fit 56 bits
+        if (math.abs(e) < (1L << 55)) assert(d7 === e.toDouble, s"7-byte decode of $e got $d7")
+      }
+  }
+
+  test("SparseDoubleVector densifies; Float/DoubleVector and Xml pass through") {
+    val raw = Seq((5, Map(1 -> 1.5, 4 -> -2.0))).toDF("dims", "vec").select(
+      tagged(struct(col("dims").as("dimensions"), col("vec").as("vector")), "sv",
+        SparseDoubleVector),
+      tagged(typedLit(Seq(1.0f, 2.0f)), "fv", FloatVector),
+      tagged(lit("<a/>"), "x", Xml))
+    val out = convert(raw).as[(Seq[Double], Seq[Float], String)].head()
+    assert(out === ((Seq(1.5, 0.0, 0.0, -2.0, 0.0), Seq(1.0f, 2.0f), "<a/>")))
+  }
 }
