@@ -1082,6 +1082,37 @@ object SparkEntry {
         floor(col("dense")(1) * 10000).cast("long").as("d2_e4"),
         size(col("dense")).as("dims"))
     }),
+
+    // io.debezium.time family: Time (ms) / NanoTime (ns) normalize to the
+    // same µs-since-midnight, ZonedTime drops its offset to UTC, durations
+    // floor to µs, and the ISO-8601 Interval string parses to the
+    // parquet-safe (months, days, micros) struct.
+    "q97_semantic_time_types" -> ((s, dir) => {
+      import graft.core.SemanticTypes
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val tsUtc = col("ts").cast("timestamp") // parquet NTZ → session-UTC instant
+      val msOfDay = pmod(unix_millis(tsUtc), lit(86400000L))
+      val zt = concat(
+        date_format(tsUtc + expr("INTERVAL 2 HOURS"), "HH:mm:ss.SSSSSS"), lit("+02:00"))
+      val iso = concat(
+        lit("P"), (col("event_id") % 3).cast("string"), lit("Y"),
+        (col("user_id") % 12).cast("string"), lit("M"),
+        (col("event_id") % 28).cast("string"), lit("DT"),
+        (col("event_id") % 24).cast("string"), lit("H"),
+        (col("user_id") % 60).cast("string"), lit("M"),
+        (col("event_id") % 60).cast("string"), lit(".25S"))
+      val raw = ev.select(
+        col("event_id"),
+        SemanticTypes.tagged(msOfDay.cast("int"), "time_us", SemanticTypes.Time),
+        SemanticTypes.tagged(msOfDay * 1000000L, "nanotime_us", SemanticTypes.NanoTime),
+        SemanticTypes.tagged(zt, "zt_us", SemanticTypes.ZonedTime),
+        SemanticTypes.tagged(col("event_id") * 7L, "dur_us", SemanticTypes.MicroDuration),
+        SemanticTypes.tagged(iso, "iv", SemanticTypes.Interval))
+      SemanticTypes.convert(raw).select(
+        col("event_id"), col("time_us"), col("nanotime_us"), col("zt_us"), col("dur_us"),
+        col("iv.months").as("iv_months"), col("iv.days").as("iv_days"),
+        col("iv.micros").as("iv_micros"))
+    }),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1495,6 +1526,17 @@ object SparkEntry {
         |       CAST(floor(((user_id - 500) / 1000.0) * 1000) AS BIGINT) AS vscale_milli,
         |       CAST(floor(value * 10000) AS BIGINT) AS d2_e4,
         |       CAST(4 AS INT) AS dims
+        |FROM events""".stripMargin,
+    "q97_semantic_time_types" ->
+      """SELECT event_id,
+        |       (epoch_ms(ts) % 86400000) * 1000 AS time_us,
+        |       (epoch_ms(ts) % 86400000) * 1000 AS nanotime_us,
+        |       epoch_us(ts) % 86400000000 AS zt_us,
+        |       event_id * 7 AS dur_us,
+        |       CAST((event_id % 3) * 12 + (user_id % 12) AS INT) AS iv_months,
+        |       CAST(event_id % 28 AS INT) AS iv_days,
+        |       (event_id % 24) * 3600000000 + (user_id % 60) * 60000000
+        |         + (event_id % 60) * 1000000 + 250000 AS iv_micros
         |FROM events""".stripMargin,
     "q62_cdc_rebucket" -> s"$cte\n$applyStateSql",
     // replay slices are lsn ranges of width (hi-lo)//4 + 1; version 2 holds

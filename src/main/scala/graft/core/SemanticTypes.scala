@@ -33,6 +33,15 @@ object SemanticTypes {
   val NanoTimestamp = "NanoTimestamp"   // int64: epoch nanos (truncates to micros)
   val ZonedTimestamp = "ZonedTimestamp" // string: ISO-8601 with offset
   val MicroTime = "MicroTime"           // int64: micros since midnight
+  val Time = "Time"                     // int32: MILLIS since midnight (time/Time.java:40)
+  val NanoTime = "NanoTime"             // int64: nanos since midnight (time/NanoTime.java:46)
+  val ZonedTime = "ZonedTime"           // string: time-of-day with offset (time/ZonedTime.java)
+  val MicroDuration = "MicroDuration"   // int64: duration micros (time/MicroDuration.java)
+  val NanoDuration = "NanoDuration"     // int64: duration nanos (time/NanoDuration.java)
+  // ISO-8601 period string "PnYnMnDTnHnMn.nS" (time/Interval.toIsoString,
+  // Interval.java:70-76) → struct(months, days, micros): the parquet-safe
+  // shape of CalendarInterval (Spark's interval type cannot be written)
+  val Interval = "Interval"
   val Year = "Year"                     // int32
   val Json = "Json"                     // string (query via from_json/get_json_object)
   val Uuid = "Uuid"                     // string (normalized lower-case)
@@ -111,6 +120,29 @@ object SemanticTypes {
     case NanoTimestamp  => timestamp_micros((c.cast(LongType) / 1000L).cast(LongType)).cast(TimestampNTZType)
     case ZonedTimestamp => to_timestamp(c).cast(TimestampNTZType)
     case MicroTime      => c.cast(LongType)
+    // all time-of-day encodings normalize to µs-since-midnight longs so
+    // Time/MicroTime/NanoTime columns compare directly (the reference
+    // keeps three distinct widths; a lake wants ONE comparable unit)
+    case Time           => c.cast(LongType) * 1000L
+    case NanoTime       => (c.cast(LongType) / 1000L).cast(LongType)
+    case ZonedTime      =>
+      // offset applied, UTC time-of-day kept; pmod absorbs offsets that
+      // cross midnight in either direction
+      pmod(unix_micros(to_timestamp(concat(lit("1970-01-01T"), c))), lit(86400000000L))
+    case MicroDuration  => c.cast(LongType)
+    case NanoDuration   => (c.cast(LongType) / 1000L).cast(LongType)
+    case Interval =>
+      def comp(re: String): Column =
+        coalesce(nullif(regexp_extract(c, re, 1), lit("")).cast(LongType), lit(0L))
+      val secs = coalesce(
+        nullif(regexp_extract(c, "([\\d.]+)S", 1), lit("")).cast(DecimalType(20, 9)),
+        lit(0).cast(DecimalType(20, 9)))
+      // M is months only before T, minutes only after it — anchor both
+      val months = comp("^P(?:\\d+Y)?(\\d+)M") + comp("(\\d+)Y") * 12L
+      val micros = comp("(\\d+)H") * 3600000000L + comp("T(?:\\d+H)?(\\d+)M") * 60000000L +
+        (secs * 1000000L).cast(LongType)
+      struct(months.cast(IntegerType).as("months"),
+        comp("(\\d+)D").cast(IntegerType).as("days"), micros.as("micros"))
     case Year           => c.cast(IntegerType)
     case Json           => c
     case Uuid           => lower(c)

@@ -100,6 +100,35 @@ class SemanticTypesSpec extends SparkSpec {
       }
   }
 
+  test("time-of-day µs normalization, ZonedTime offset, durations, Interval parse") {
+    val raw = Seq((37230123, "10:15:30.123456+02:00", "P1Y2M3DT4H5M6.25S"))
+      .toDF("ms", "zt", "iso").select(
+        tagged(col("ms"), "t", Time),
+        tagged(col("ms").cast("long") * 1000000L, "nt", NanoTime),
+        tagged(col("zt"), "ztv", ZonedTime),
+        tagged(lit(1500L), "du", MicroDuration),
+        tagged(lit(1500999L), "dn", NanoDuration),
+        tagged(col("iso"), "iv", Interval))
+    val r = convert(raw).head()
+    assert(r.getLong(0) === 37230123000L) // ms → µs
+    assert(r.getLong(1) === 37230123000L) // ns → µs (same instant)
+    assert(r.getLong(2) === (8 * 3600 + 15 * 60 + 30) * 1000000L + 123456) // UTC
+    assert(r.getLong(3) === 1500L)
+    assert(r.getLong(4) === 1500L) // ns duration floors to µs
+    val iv = r.getStruct(5)
+    assert(iv.getInt(0) === 14 && iv.getInt(1) === 3)
+    assert(iv.getLong(2) === (4 * 3600 + 5 * 60) * 1000000L + 6250000L)
+
+    // partial periods: absent components are zero, minutes-only after T
+    val parts = Seq("PT30M", "P5D", "P2M", "PT0.5S").toDF("iso")
+      .select(tagged(col("iso"), "iv", Interval))
+    val out = convert(parts).select("iv.*").as[(Int, Int, Long)].collect()
+    assert(out(0) === ((0, 0, 1800000000L)))
+    assert(out(1) === ((0, 5, 0L)))
+    assert(out(2) === ((2, 0, 0L)))
+    assert(out(3) === ((0, 0, 500000L)))
+  }
+
   test("SparseDoubleVector densifies; Float/DoubleVector and Xml pass through") {
     val raw = Seq((5, Map(1 -> 1.5, 4 -> -2.0))).toDF("dims", "vec").select(
       tagged(struct(col("dims").as("dimensions"), col("vec").as("vector")), "sv",
