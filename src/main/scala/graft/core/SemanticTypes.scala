@@ -43,6 +43,11 @@ object SemanticTypes {
   // shape of CalendarInterval (Spark's interval type cannot be written)
   val Interval = "Interval"
   val Year = "Year"                     // int32
+  // MongoDB-style ISO offset strings (time/{IsoDate,IsoTime,IsoTimestamp}
+  // .java: ISO_OFFSET_DATE / ISO_OFFSET_TIME / ISO_OFFSET_DATE_TIME)
+  val IsoDate = "IsoDate"               // "2024-01-15Z" → DateType (named local date)
+  val IsoTime = "IsoTime"               // offset time → UTC µs since midnight
+  val IsoTimestamp = "IsoTimestamp"     // offset datetime → UTC TimestampNTZ
   val Json = "Json"                     // string (query via from_json/get_json_object)
   val Uuid = "Uuid"                     // string (normalized lower-case)
   val Xml = "Xml"                       // string (data/Xml.java — passthrough)
@@ -144,6 +149,10 @@ object SemanticTypes {
       struct(months.cast(IntegerType).as("months"),
         comp("(\\d+)D").cast(IntegerType).as("days"), micros.as("micros"))
     case Year           => c.cast(IntegerType)
+    case IsoDate        => to_date(regexp_replace(c, "(Z|[+-]\\d{2}:?\\d{2})$", ""))
+    case IsoTime        =>
+      pmod(unix_micros(to_timestamp(concat(lit("1970-01-01T"), c))), lit(86400000000L))
+    case IsoTimestamp   => to_timestamp(c).cast(TimestampNTZType)
     case Json           => c
     case Uuid           => lower(c)
     case Xml            => c

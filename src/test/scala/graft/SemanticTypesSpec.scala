@@ -119,6 +119,18 @@ class SemanticTypesSpec extends SparkSpec {
     assert(iv.getInt(0) === 14 && iv.getInt(1) === 3)
     assert(iv.getLong(2) === (4 * 3600 + 5 * 60) * 1000000L + 6250000L)
 
+    // ISO offset strings (IsoDate keeps the NAMED local date; IsoTime and
+    // IsoTimestamp resolve their offsets to UTC)
+    val isoRaw = Seq(("2024-01-15+09:00", "23:30:00.000000+02:00",
+      "2024-01-15T01:30:00.000000+02:00")).toDF("d", "t", "ts").select(
+      tagged(col("d"), "d", IsoDate),
+      tagged(col("t"), "t", IsoTime),
+      tagged(col("ts"), "ts", IsoTimestamp))
+    val ir = convert(isoRaw).head()
+    assert(ir.getDate(0).toString === "2024-01-15")
+    assert(ir.getLong(1) === (21 * 3600 + 30 * 60) * 1000000L) // 23:30+02 → 21:30Z
+    assert(ir.getAs[java.time.LocalDateTime](2).toString === "2024-01-14T23:30")
+
     // partial periods: absent components are zero, minutes-only after T
     val parts = Seq("PT30M", "P5D", "P2M", "PT0.5S").toDF("iso")
       .select(tagged(col("iso"), "iv", Interval))
