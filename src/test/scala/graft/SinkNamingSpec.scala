@@ -59,6 +59,22 @@ class SinkNamingSpec extends SparkSpec {
     intercept[IllegalArgumentException](SinkModes.fieldFilter(excludeList = "a:b:c"))
   }
 
+  test("plan shape: serde decode, styling, field filter, semantic convert are shuffle-free") {
+    import graft.core.SemanticTypes
+    import graft.operators.Serdes
+    val df = Seq((1L, """{"payload":{"id":1,"name":"x"}}""", "myTable", 37230123))
+      .toDF("k", "wire", "__route", "ms")
+    val out = Transforms.collectionNameTransformation(
+      SinkModes.projectFields(
+        df.withColumn("decoded", Serdes.payloadJsonValue(col("wire"), "id bigint, name string"))
+          .withColumn("t_us", SemanticTypes.toSpark(col("ms"), SemanticTypes.Time)),
+        "c1", SinkModes.fieldFilter(excludeList = "c1:ms"), keepAlways = Seq("k")),
+      style = "snake_case")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"decode/style/filter operators must be narrow projections:\n$plan")
+  }
+
   test("projectFields: static projection keeps keepAlways columns") {
     val df = Seq(("r", "p", "c", "l")).toDF("repo", "path", "commit", "lang")
     val f = SinkModes.fieldFilter(excludeList = "files:lang, repo")
