@@ -295,8 +295,15 @@ final class LakeTable(
     val raw = (if (isHead) bucketedState(spark, ci, buckets, ci.schema) else None)
       .orElse(snapshotRaw(spark, ci, buckets))
     raw.map { df =>
+      // The struct comparison is the exact fence but does NOT push to
+      // parquet; the redundant `commit >= fence.commit` conjunct is
+      // implied by it (struct > ⟹ first component ≥) and IS pushable, so
+      // row-group/file min-max stats skip everything wholly before the
+      // truncate — post-truncate reads scan O(post-truncate data), not
+      // O(table history), until compaction physically drops the dead rows.
       val fenced = ci.fence.fold(df)(f =>
-        df.where(struct(col("commit"), col("lsn")) > struct(lit(f.commit), lit(f.lsn))))
+        df.where(col("commit") >= lit(f.commit) &&
+          struct(col("commit"), col("lsn")) > struct(lit(f.commit), lit(f.lsn))))
       graft.operators.Lww.reduce(fenced, keyCols)
     }
   }

@@ -94,6 +94,20 @@ class LakeTableSpec extends SparkSpec {
     assert(tableState(table) === foldOracle(log))
   }
 
+  test("truncate fence pushes a commit lower bound into the MoR state scan") {
+    val log = randomLog(4, 300, withTruncate = true)
+    val table = new LakeTable(tmp(), numBuckets = 8, mergeOnRead = true)
+    CdcPipeline.replay(spark, log.toDF(), table, numBatches = 4)
+    assert(tableState(table) === foldOracle(log)) // semantics unchanged
+    assert(table.lastCommit().get.fence.isDefined, "log must contain a truncate")
+    // the struct fence itself cannot push to parquet; the implied
+    // commit >= fence.commit conjunct must reach PushedFilters so files
+    // wholly before the truncate are skipped by min/max stats
+    val plan = table.snapshot(spark).get.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(commit"),
+      s"fence lower bound must reach the scan's pushed filters:\n$plan")
+  }
+
   test("schema evolution: column add then type widen across batches") {
     val table = new LakeTable(tmp(), numBuckets = 4)
     val b0 = Seq(FlatEvent.mk(("r", "a"), 1, "c"), FlatEvent.mk(("r", "b"), 2, "c")).toDF()
