@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Envelope
-import graft.sources.{ChangeLog, Snapshot}
-import graft.operators.{Lww, Serdes, Transforms}
+import graft.sources.{ChangeLog, DocumentLog, Snapshot}
+import graft.operators.{DocumentCdc, Lww, Serdes, Transforms}
 import graft.streaming.CdcPipeline
 import graft.table.LakeTable
 import graft.tdp.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
@@ -1113,6 +1113,112 @@ object SparkEntry {
         col("iv.months").as("iv_months"), col("iv.days").as("iv_days"),
         col("iv.micros").as("iv_micros"))
     }),
+
+    // ------------------------------------------------------------- //
+    // Document-store (MongoDB connector) CDC family                  //
+    // ------------------------------------------------------------- //
+
+    // ExtractNewDocumentState over document change events: full-document
+    // capture passes `after` through; change-stream partial updates
+    // rebuild the document from the pre-image + updatedFields −
+    // removedFields; deletes rewrite to {__deleted:true,_id}. Documents
+    // ride as Spark VARIANT and re-serialize canonically (sorted keys),
+    // so the oracle rebuilds the exact text per event.
+    "q98_mongo_extract_document" -> ((s, dir) => {
+      val ev = DocumentLog.events(s, dir)
+      DocumentCdc.extractNewDocumentState(ev,
+        deleteMode = "rewrite", rewriteWithId = true)
+        .select("id", "lsn", "op", "doc")
+    }),
+    // MongoDataConverter array.encoding=document (arrays → {_0,_1,…}
+    // documents) and flatten.struct (nested docs → delimiter-joined
+    // top-level keys) — both codegen'd single-pass JSON text kernels.
+    "q99_mongo_array_flatten" -> ((s, dir) => {
+      val full = DocumentLog.events(s, dir).where(col("after").isNotNull)
+      val ad = DocumentCdc.json_array_to_document(col("after"))
+      full.select(col("id"), col("lsn"), ad.as("doc_ad"),
+        DocumentCdc.json_flatten_doc(ad, lit("_")).as("doc_flat"))
+    }),
+    // BSON extended-JSON scalar normalization (MongoDataConverter
+    // getObject semantics: $oid/$date/$number*/$binary wrappers → plain
+    // JSON values) + typed variant extraction off the normalized text.
+    "q100_mongo_extended_json" -> ((s, dir) => {
+      val docs = DocumentLog.extendedJsonDocs(s, dir)
+      val norm = DocumentCdc.json_normalize_extended(col("ext_doc"))
+      val v = parse_json(norm)
+      docs.select(col("doc_id"), norm.as("doc"),
+        variant_get(v, "$._id", "string").as("oid"),
+        variant_get(v, "$.created", "bigint").as("created_ms"),
+        variant_get(v, "$.n", "int").as("n"),
+        variant_get(v, "$.price", "string").as("price"),
+        variant_get(v, "$.blob", "string").as("blob_b64"))
+    }),
+    // MongoEventRouter: the outbox fields live INSIDE the document —
+    // route by aggregatetype, key by aggregateid, expand.json.payload
+    // expands the payload sub-document into typed columns.
+    "q101_mongo_outbox" -> ((s, dir) => {
+      val ins = DocumentLog.events(s, dir).where(col("op") === "c")
+      val av = parse_json(col("after"))
+      val outbox = ins.select(col("lsn"), to_json(struct(
+        col("id").as("_id"),
+        col("id").as("aggregateid"),
+        variant_get(av, "$.lang", "string").as("aggregatetype"),
+        lit("doc_changed").as("event_type"),
+        struct(
+          variant_get(av, "$.meta.head", "string").as("head"),
+          variant_get(av, "$.meta.len", "int").as("len")).as("payload")))
+        .as("doc"))
+      DocumentCdc.documentOutboxRouter(outbox,
+        payloadDdl = "head string, len int")
+        .select(col("topic"), col("key"), col("payload.head").as("head"),
+          col("payload.len").as("len"), col("lsn"))
+    }),
+
+    // SQL-Server-style change-table ingestion: update-before/update-after
+    // row pairs fold into one 'u' event (one groupBy on the log position —
+    // O(batch), skew-immune); the __$update_mask bitmask decodes to
+    // changed-column names; NULL max-type columns whose mask bit says
+    // UNCHANGED are repaired to the unavailable placeholder (the value
+    // q17's reselect SMT then patches from sink state).
+    "q102_sqlserver_change_table" -> ((s, dir) => {
+      val captured = Seq("repo", "path", "commit", "lang", "content", "notes")
+      val raw = graft.sources.ChangeTable.syntheticRows(s, dir)
+      val repaired = graft.sources.ChangeTable.repairMaxColumns(
+        raw, captured, maxCols = Seq("notes"), placeholder = "__unavailable__")
+      val ev = graft.sources.ChangeTable.toEvents(repaired, captured)
+      val row = coalesce(col("after"), col("before"))
+      ev.select(col("op"), col("lsn"),
+        row.getField("repo").as("repo"), row.getField("path").as("path"),
+        row.getField("commit").as("commit"), row.getField("lang").as("lang"),
+        row.getField("content").as("content"), row.getField("notes").as("notes"),
+        array_join(col("changed"), ",").as("changed"))
+    }),
+
+    // GTID-set restart fencing (the binlog comparator's first rule): the
+    // committed/executed set accumulates DISTRIBUTED via gaps-and-islands
+    // interval compaction (per-server canonical `srvN:a-b:c` strings, 8
+    // rows to the driver), and the replayed log is fenced by codegen'd
+    // GTID-set membership — events already contained are dropped, exactly
+    // the reference's events-to-skip restart semantics.
+    "q103_gtid_fencing" -> ((s, dir) => {
+      import s.implicits._
+      val log = ChangeLog.base(s, dir).withColumn("gtid",
+        concat(lit("srv"), col("part").cast("string"), lit(":"), col("lsn").cast("string")))
+      val done = log.where(col("lsn") % 7 =!= 0)
+      val w = Window.partitionBy(col("part")).orderBy(col("lsn"))
+      val islands = done
+        .withColumn("island", col("lsn") - row_number().over(w))
+        .groupBy(col("part"), col("island"))
+        .agg(min(col("lsn")).as("s"), max(col("lsn")).as("e"))
+      val perServer = islands.groupBy(col("part")).agg(
+        array_join(transform(array_sort(collect_list(struct(col("s"), col("e")))),
+          p => when(p.getField("s") === p.getField("e"), p.getField("s").cast("string"))
+            .otherwise(concat(p.getField("s"), lit("-"), p.getField("e")))), ":").as("ivs"))
+        .select(concat(lit("srv"), col("part").cast("string"), lit(":"), col("ivs")).as("srvset"))
+      val committed = perServer.orderBy("srvset").as[String].collect().mkString(",")
+      log.where(!graft.operators.Gtid.gtid_in_set(col("gtid"), lit(committed)))
+        .select("repo", "path", "commit", "lang", "content", "op", "part", "lsn")
+    }),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1131,6 +1237,26 @@ object SparkEntry {
 
   private val applyState0Sql = // same, over ev0 (no replays)
     applyStateSql.replace("FROM ev)", "FROM ev0)")
+
+  /** Document-event grid, lock-step with [[DocumentLog.events]]. */
+  private val mongoCte =
+    """WITH g AS (
+      |  SELECT doc_id, v,
+      |         CASE WHEN v = 1 THEN 'c'
+      |              WHEN v = 2 THEN (CASE WHEN doc_id % 4 = 0 THEN 'd' ELSE 'u' END)
+      |              ELSE (CASE WHEN doc_id % 8 = 0 THEN 'c' ELSE 'u' END) END AS op,
+      |         doc_id * 3 + v AS lsn, CAST(doc_id % 8 AS int) AS part, text, lang
+      |  FROM documents CROSS JOIN (VALUES (1), (2), (3)) vs(v)
+      |  WHERE NOT (v = 3 AND doc_id % 4 = 0 AND doc_id % 8 <> 0)
+      |), d AS (
+      |  SELECT g.*,
+      |    'repo' || lpad(CAST(doc_id % 10 AS varchar), 2, '0') ||
+      |      '/src/f' || CAST(doc_id AS varchar) || '.txt' AS id,
+      |    'c' || lpad(CAST(lsn AS varchar), 10, '0') AS commit_v,
+      |    substr(substr(text, 1, 200) || ' #v' || CAST(v AS varchar), 1, 12) AS head_v,
+      |    length(substr(text, 1, 200) || ' #v' || CAST(v AS varchar)) AS len_v
+      |  FROM g
+      |)""".stripMargin
 
   /** Shingle/words helpers shared by the dedup oracles (DuckDB list
     * comprehensions; lock-step with [[Dedup.shingles]]/[[TextAnalysis.words]]).
@@ -1538,6 +1664,83 @@ object SparkEntry {
         |       (event_id % 24) * 3600000000 + (user_id % 60) * 60000000
         |         + (event_id % 60) * 1000000 + 250000 AS iv_micros
         |FROM events""".stripMargin,
+    // Document-CDC family: the oracle rebuilds each canonical document
+    // text with json_object/json_array (argument order = the sorted key
+    // order the engine emits). mongoCte mirrors DocumentLog.events.
+    "q98_mongo_extract_document" ->
+      s"""$mongoCte
+         |SELECT id, lsn, op,
+         |  CASE
+         |    WHEN op = 'd' THEN CAST(json_object('__deleted', true, '_id', id) AS varchar)
+         |    WHEN op = 'c' OR lsn % 2 = 0 THEN CAST(json_object(
+         |      '__deleted', false, '_id', id, 'commit', commit_v, 'lang', lang,
+         |      'meta', json_object('head', head_v, 'len', len_v),
+         |      'tags', json_array('p' || CAST(part AS varchar), 'v' || CAST(v AS varchar))) AS varchar)
+         |    WHEN lsn % 4 = 1 THEN CAST(json_object(
+         |      '__deleted', false, '_id', id, 'commit', commit_v, 'lang', lang,
+         |      'meta', json_object('head', head_v, 'len', len_v)) AS varchar)
+         |    ELSE CAST(json_object(
+         |      '__deleted', false, '_id', id, 'commit', commit_v, 'lang', lang,
+         |      'meta', json_object('head', head_v, 'len', len_v),
+         |      'tags', json_array('p' || CAST(part AS varchar), 'v' || CAST(v - 1 AS varchar))) AS varchar)
+         |  END AS doc
+         |FROM d""".stripMargin,
+    "q99_mongo_array_flatten" ->
+      s"""$mongoCte
+         |SELECT id, lsn,
+         |  CAST(json_object('_id', id, 'commit', commit_v, 'lang', lang,
+         |    'meta', json_object('head', head_v, 'len', len_v),
+         |    'tags', json_object('_0', 'p' || CAST(part AS varchar),
+         |                        '_1', 'v' || CAST(v AS varchar))) AS varchar) AS doc_ad,
+         |  CAST(json_object('_id', id, 'commit', commit_v, 'lang', lang,
+         |    'meta_head', head_v, 'meta_len', len_v,
+         |    'tags__0', 'p' || CAST(part AS varchar),
+         |    'tags__1', 'v' || CAST(v AS varchar)) AS varchar) AS doc_flat
+         |FROM d WHERE op = 'c' OR (op = 'u' AND lsn % 2 = 0)""".stripMargin,
+    "q100_mongo_extended_json" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |         'repo' || lpad(CAST(doc_id % 10 AS varchar), 2, '0')
+        |           || '/src/f' || CAST(doc_id AS varchar) || '.txt' AS id
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(json_object('_id', substr(md5(id), 1, 24),
+        |    'blob', to_base64(encode(substr(text, 1, 8))),
+        |    'created', 1700000000000 + doc_id * 1000,
+        |    'n', doc_id % 7,
+        |    'price', CAST(length(text) AS varchar) || '.25') AS varchar) AS doc,
+        |  substr(md5(id), 1, 24) AS oid,
+        |  1700000000000 + doc_id * 1000 AS created_ms,
+        |  CAST(doc_id % 7 AS int) AS n,
+        |  CAST(length(text) AS varchar) || '.25' AS price,
+        |  to_base64(encode(substr(text, 1, 8))) AS blob_b64
+        |FROM d""".stripMargin,
+    "q101_mongo_outbox" ->
+      s"""$mongoCte
+         |SELECT 'outbox.event.' || lang AS topic, id AS key,
+         |       head_v AS head, CAST(len_v AS int) AS len, lsn
+         |FROM d WHERE op = 'c'""".stripMargin,
+    "q102_sqlserver_change_table" ->
+      s"""$mongoCte
+         |SELECT op, lsn,
+         |  'repo' || lpad(CAST(doc_id % 10 AS varchar), 2, '0') AS repo,
+         |  'src/f' || CAST(doc_id AS varchar) || '.txt' AS path,
+         |  CASE WHEN op = 'd' THEN 'c' || lpad(CAST(lsn - 1 AS varchar), 10, '0')
+         |       ELSE commit_v END AS commit,
+         |  lang,
+         |  CASE WHEN op = 'd' THEN substr(text, 1, 200) || ' #v' || CAST(v - 1 AS varchar)
+         |       ELSE substr(text, 1, 200) || ' #v' || CAST(v AS varchar) END AS content,
+         |  CASE WHEN op = 'u' THEN (CASE WHEN lsn % 5 = 0 THEN NULL ELSE '__unavailable__' END)
+         |       ELSE 'note' || CAST(doc_id AS varchar) END AS notes,
+         |  CASE WHEN op = 'u' THEN
+         |    (CASE WHEN lsn % 5 = 0 THEN 'repo,path,commit,lang,content,notes'
+         |          ELSE 'commit,content' END) END AS changed
+         |FROM d""".stripMargin,
+    // The committed set holds every lsn % 7 <> 0 GTID; fencing keeps the rest.
+    "q103_gtid_fencing" ->
+      s"""$cte
+         |SELECT repo, path, commit, lang, content, op, part, lsn
+         |FROM ev0 WHERE lsn % 7 = 0""".stripMargin,
     "q62_cdc_rebucket" -> s"$cte\n$applyStateSql",
     // replay slices are lsn ranges of width (hi-lo)//4 + 1; version 2 holds
     // the fold of the first two slices.
