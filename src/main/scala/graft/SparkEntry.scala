@@ -1219,6 +1219,36 @@ object SparkEntry {
       log.where(!graft.operators.Gtid.gtid_in_set(col("gtid"), lit(committed)))
         .select("repo", "path", "commit", "lang", "content", "op", "part", "lsn")
     }),
+
+    // ------------------------------------------------------------- //
+    // Oracle-connector buffered-transaction family (LogMiner)        //
+    // ------------------------------------------------------------- //
+
+    // Buffered commit emission: interleaved per-transaction events with
+    // exact LIFO partial-undo cancellation (rollback-flagged rows remove
+    // the latest live event of their row id), ROLLBACK discard, and
+    // in-order dispatch tagged (commit_scn, emit_seq) — all as windows +
+    // one join keyed by txn, O(buffered window) shuffle, no driver cache.
+    "q104_txn_buffer_commit" -> ((s, dir) => {
+      val ev = graft.sources.TxnLog.events(s, dir).where(col("op") =!= "lob")
+      graft.operators.TxnBuffer.commitOrdered(ev, graft.sources.TxnLog.decisions(s))
+        .select("txn_id", "scn", "op", "row_id", "content", "commit_scn", "emit_seq")
+    }),
+    // Buffer summary with retention abandonment: per-txn live event count
+    // + status (committed / rolled_back / abandoned past the retention
+    // fence / in_flight) — the log.mining.transaction.retention analog.
+    "q105_txn_buffer_state" -> ((s, dir) =>
+      graft.operators.TxnBuffer.bufferState(
+        graft.sources.TxnLog.events(s, dir),
+        graft.sources.TxnLog.decisions(s), retentionCutoffScn = 160L)),
+    // LOB_WRITE fragment merge: fragments assemble in SCN order and fold
+    // into the latest live DML preceding them; fragment rows are consumed.
+    "q106_txn_lob_merge" -> ((s, dir) => {
+      import graft.operators.TxnBuffer
+      val live = TxnBuffer.undoFiltered(graft.sources.TxnLog.events(s, dir))
+      TxnBuffer.attachCommits(TxnBuffer.lobMerged(live), graft.sources.TxnLog.decisions(s))
+        .select("txn_id", "scn", "op", "row_id", "content", "commit_scn", "emit_seq")
+    }),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1256,6 +1286,48 @@ object SparkEntry {
       |    substr(substr(text, 1, 200) || ' #v' || CAST(v AS varchar), 1, 12) AS head_v,
       |    length(substr(text, 1, 200) || ' #v' || CAST(v AS varchar)) AS len_v
       |  FROM g
+      |)""".stripMargin
+
+  /** LogMiner-shaped transaction log + LIFO undo survivors, lock-step
+    * with [[graft.sources.TxnLog]] / [[graft.operators.TxnBuffer.undoFiltered]]:
+    * a +1 event survives iff the (txn,row) running balance never returns
+    * below its own level (nearest-unmatched-push pairing).
+    */
+  private val txnCte =
+    """WITH e0 AS (
+      |  SELECT 'txn' || lpad(CAST(doc_id % 40 AS varchar), 3, '0') AS txn_id,
+      |         doc_id * 8 + CASE WHEN v = 1 THEN 1 ELSE 4 END AS scn,
+      |         CASE WHEN v = 1 THEN 'c' WHEN doc_id % 4 = 0 THEN 'd' ELSE 'u' END AS op,
+      |         'r' || CAST(doc_id AS varchar) AS row_id,
+      |         false AS rollback_flag,
+      |         CASE WHEN v = 2 AND doc_id % 4 = 0 THEN NULL
+      |              ELSE substr(text, 1, 200) || ' #v' || CAST(v AS varchar) END AS content
+      |  FROM documents CROSS JOIN (VALUES (1), (2)) vs(v)
+      |  UNION ALL
+      |  SELECT 'txn' || lpad(CAST(doc_id % 40 AS varchar), 3, '0'), doc_id * 8 + 6, 'u',
+      |         'r' || CAST(doc_id AS varchar), true, NULL
+      |  FROM documents WHERE doc_id % 11 = 3
+      |  UNION ALL
+      |  SELECT 'txn' || lpad(CAST(doc_id % 40 AS varchar), 3, '0'), doc_id * 8 + k, 'lob',
+      |         'r' || CAST(doc_id AS varchar), false,
+      |         'L' || CAST(k AS varchar) || ':' || substr(text, 50, 40)
+      |  FROM documents CROSS JOIN (VALUES (2), (3)) ks(k)
+      |  WHERE doc_id % 13 = 5 AND doc_id % 11 <> 3
+      |), dec AS (
+      |  SELECT 'txn' || lpad(CAST(t AS varchar), 3, '0') AS txn_id,
+      |         CASE WHEN t % 5 = 0 THEN 'ROLLBACK' ELSE 'COMMIT' END AS kind,
+      |         10000000 + t AS decision_scn
+      |  FROM range(0, 40) r(t) WHERE NOT (t % 5 <> 0 AND t % 7 = 3)
+      |), bal AS (
+      |  SELECT *, sum(CASE WHEN rollback_flag THEN -1 WHEN op = 'lob' THEN 0 ELSE 1 END)
+      |       OVER (PARTITION BY txn_id, row_id ORDER BY scn ROWS UNBOUNDED PRECEDING) AS b
+      |  FROM e0
+      |), live AS (
+      |  SELECT * FROM (
+      |    SELECT *, min(b) OVER (PARTITION BY txn_id, row_id ORDER BY scn
+      |                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS mf
+      |    FROM bal) t
+      |  WHERE op = 'lob' OR (NOT rollback_flag AND mf >= b)
       |)""".stripMargin
 
   /** Shingle/words helpers shared by the dedup oracles (DuckDB list
@@ -1741,6 +1813,43 @@ object SparkEntry {
       s"""$cte
          |SELECT repo, path, commit, lang, content, op, part, lsn
          |FROM ev0 WHERE lsn % 7 = 0""".stripMargin,
+    "q104_txn_buffer_commit" ->
+      s"""$txnCte
+         |SELECT l.txn_id, l.scn, l.op, l.row_id, l.content,
+         |       d.decision_scn AS commit_scn,
+         |       CAST(row_number() OVER (PARTITION BY l.txn_id ORDER BY l.scn) AS int) AS emit_seq
+         |FROM live l JOIN dec d ON l.txn_id = d.txn_id AND d.kind = 'COMMIT'
+         |WHERE l.op <> 'lob'""".stripMargin,
+    "q105_txn_buffer_state" ->
+      s"""$txnCte
+         |SELECT l.txn_id, count(*) AS events_live,
+         |       min(l.scn) AS start_scn, max(l.scn) AS end_scn,
+         |       CASE WHEN d.kind = 'COMMIT' THEN 'committed'
+         |            WHEN d.kind = 'ROLLBACK' THEN 'rolled_back'
+         |            WHEN min(l.scn) < 160 THEN 'abandoned'
+         |            ELSE 'in_flight' END AS status
+         |FROM live l LEFT JOIN dec d USING (txn_id)
+         |WHERE l.op <> 'lob'
+         |GROUP BY l.txn_id, d.kind""".stripMargin,
+    "q106_txn_lob_merge" ->
+      s"""$txnCte
+         |, frag AS (
+         |  SELECT txn_id, row_id, min(scn) AS ffs,
+         |         string_agg(content, '' ORDER BY scn) AS lobtxt
+         |  FROM live WHERE op = 'lob' GROUP BY txn_id, row_id
+         |), own AS (
+         |  SELECT l.*, f.ffs, f.lobtxt,
+         |         max(CASE WHEN l.scn < f.ffs THEN l.scn END)
+         |           OVER (PARTITION BY l.txn_id, l.row_id) AS owner_scn
+         |  FROM (SELECT * FROM live WHERE op <> 'lob') l
+         |  LEFT JOIN frag f USING (txn_id, row_id)
+         |)
+         |SELECT o.txn_id, o.scn, o.op, o.row_id,
+         |       CASE WHEN o.scn = o.owner_scn AND o.lobtxt IS NOT NULL
+         |            THEN o.lobtxt ELSE o.content END AS content,
+         |       d.decision_scn AS commit_scn,
+         |       CAST(row_number() OVER (PARTITION BY o.txn_id ORDER BY o.scn) AS int) AS emit_seq
+         |FROM own o JOIN dec d ON o.txn_id = d.txn_id AND d.kind = 'COMMIT'""".stripMargin,
     "q62_cdc_rebucket" -> s"$cte\n$applyStateSql",
     // replay slices are lsn ranges of width (hi-lo)//4 + 1; version 2 holds
     // the fold of the first two slices.
