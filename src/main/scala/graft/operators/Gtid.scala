@@ -118,24 +118,57 @@ object GtidOps {
       ivs.forall { case (s, e) => cover.exists { case (cs, ce) => cs <= s && e <= ce } }
     }
 
-  /** Single-GTID membership (`contains("uuid:txid")`). */
+  /** Single-GTID membership (`contains("uuid:txid")`). Binary search over
+    * the sorted, non-overlapping interval vector — a large executed set
+    * (thousands of islands per server on a fragmented log) costs
+    * O(log islands) per event, not O(islands).
+    */
   def containsGtid(set: IntervalMap, gtid: String): Boolean = {
     val colon = gtid.lastIndexOf(':')
     require(colon > 0, s"malformed GTID: $gtid")
     val uuid = gtid.substring(0, colon)
     val tx = gtid.substring(colon + 1).trim.toLong
-    set.getOrElse(uuid, Vector.empty).exists { case (s, e) => s <= tx && tx <= e }
+    val ivs = set.getOrElse(uuid, Vector.empty)
+    var lo = 0
+    var hi = ivs.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val (s, e) = ivs(mid)
+      if (tx < s) hi = mid - 1
+      else if (tx > e) lo = mid + 1
+      else return true
+    }
+    false
   }
 
-  // UTF8String entry points for the codegen'd expressions
+  // Per-thread single-entry memo of the last parsed set: the fence set is
+  // a LITERAL in the plan, so every row of a task re-presents the same
+  // string — without the memo `gtid_in_set` re-parses the whole executed
+  // set per event (O(events × islands), measured 12 s on a 150k-row sweep
+  // query at sf0.1; ~1 s with it). The UTF8String is cloned before
+  // caching because Spark may reuse the backing buffer between rows.
+  private val lastParsed = new ThreadLocal[(UTF8String, IntervalMap)]
+  private def parseCached(s: UTF8String): IntervalMap = {
+    val c = lastParsed.get()
+    if (c != null && c._1 == s) c._2
+    else {
+      val m = parse(s.toString)
+      lastParsed.set((s.clone(), m))
+      m
+    }
+  }
+
+  // UTF8String entry points for the codegen'd expressions. The right
+  // argument (the executed/committed SET) takes the parse memo; the left
+  // varies per row.
   def setContains(a: UTF8String, b: UTF8String): Boolean =
-    containedWithin(parse(a.toString), parse(b.toString))
+    containedWithin(parse(a.toString), parseCached(b))
   def gtidInSet(gtid: UTF8String, set: UTF8String): Boolean =
-    containsGtid(parse(set.toString), gtid.toString)
+    containsGtid(parseCached(set), gtid.toString)
   def setUnion(a: UTF8String, b: UTF8String): UTF8String =
-    UTF8String.fromString(render(union(parse(a.toString), parse(b.toString))))
+    UTF8String.fromString(render(union(parse(a.toString), parseCached(b))))
   def setSubtract(a: UTF8String, b: UTF8String): UTF8String =
-    UTF8String.fromString(render(subtract(parse(a.toString), parse(b.toString))))
+    UTF8String.fromString(render(subtract(parse(a.toString), parseCached(b))))
 }
 
 object Gtid {

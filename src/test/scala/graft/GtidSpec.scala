@@ -99,6 +99,22 @@ class GtidSpec extends SparkSpec {
     assert(got(0).getString(1) === got(1).getString(1)) // union commutes in codegen too
   }
 
+  test("parse memo stays correct when the set argument alternates per row") {
+    import spark.implicits._
+    // two different sets interleaved row-by-row: a stale single-entry memo
+    // would answer with the WRONG set if the equality check were skipped
+    val rows = (1L to 40L).map { i =>
+      val set = if (i % 2 == 0) "srv0:1-10" else "srv0:20-30"
+      (s"srv0:$i", set, i)
+    }.toDF("gtid", "set", "i")
+    val kept = rows.where(Gtid.gtid_in_set(col("gtid"), col("set")))
+      .select("i").as[Long].collect().toSet
+    val expect = (1L to 40L).filter { i =>
+      if (i % 2 == 0) i >= 1 && i <= 10 else i >= 20 && i <= 30
+    }.toSet
+    assert(kept === expect)
+  }
+
   test("GtidSetAgg accumulates the executed set regardless of grouping/order") {
     import spark.implicits._
     val agg = udaf(new Gtid.GtidSetAgg)
