@@ -1220,6 +1220,29 @@ object SparkEntry {
         .select("repo", "path", "commit", "lang", "content", "op", "part", "lsn")
     }),
 
+    // Streaming engine end-to-end UNDER THE ORACLE (the §2.4 embedded-
+    // consumer row, previously spec-only): the envelope log staged as
+    // parquet files, tailed by CdcPipeline.start (AvailableNow →
+    // foreachBatch apply) in TWO runs against the SAME checkpoint — a
+    // mid-input restart — then the converged table read back. Oracle =
+    // the q03/q04 declarative fold: source-offset recovery + idempotent
+    // re-fencing must reproduce the exact batch-path state.
+    "q107_cdc_streaming_e2e" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-stream-e2e").toString
+      val inDir = s"$root/in"; val ckpt = s"$root/ckpt"
+      val table = new LakeTable(s"$root/table", numBuckets = 16)
+      val flat = ChangeLog.flat(s, dir)
+      def stage(f: DataFrame): Unit =
+        Envelope.wrap(f).repartition(4).write.mode("append").parquet(inDir)
+      stage(flat.where(col("part") % 2 === 0))
+      CdcPipeline.start(s, inDir, ckpt, table, salt = 4, maxFilesPerTrigger = 3)
+        .awaitTermination()
+      stage(flat.where(col("part") % 2 === 1))
+      CdcPipeline.start(s, inDir, ckpt, table, salt = 4, maxFilesPerTrigger = 3)
+        .awaitTermination()
+      withSha(table.snapshot(s).get)
+    }),
+
     // ------------------------------------------------------------- //
     // Oracle-connector buffered-transaction family (LogMiner)        //
     // ------------------------------------------------------------- //
@@ -1813,6 +1836,8 @@ object SparkEntry {
       s"""$cte
          |SELECT repo, path, commit, lang, content, op, part, lsn
          |FROM ev0 WHERE lsn % 7 = 0""".stripMargin,
+    // streaming path converges to the same fold as the batch replay
+    "q107_cdc_streaming_e2e" -> s"$cte\n$applyStateSql",
     "q104_txn_buffer_commit" ->
       s"""$txnCte
          |SELECT l.txn_id, l.scn, l.op, l.row_id, l.content,
