@@ -844,8 +844,8 @@ object SparkEntry {
       tdp.IngestDedup.ingestNear(s, index,
         Corpus.documents(s, dir).where(col("doc_id") % 3 =!= 0)
           .select("doc_id", "text"), 0L).unpersist()
-      // stays persisted (load-bearing — a recompute after registration
-      // would observe its own band keys); freed by the sweep's clearCache
+      // result is localCheckpoint'd by ingestNear (lineage truncated — it
+      // can never recompute against a superseded index registration)
       tdp.IngestDedup.ingestNear(s, index, Corpus.docsWithDups(s, dir)
           .select("doc_id", "text"), 1L)
         .select(col("doc_id"))

@@ -147,9 +147,15 @@ object IngestDedup {
             "left_semi")
       }
     }
-    val admitted = unseen(spark, index, batch, idCol, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    admitted.count()
+    // localCheckpoint, not persist: the registration below re-points the
+    // index's bucketed catalog table (DROP/CREATE inside the merge), and
+    // Spark's CacheManager cascade-invalidates any cached plan that
+    // references it — a persisted `admitted` silently became a FULL
+    // recompute against a superseded registration on the caller's first
+    // action (58 s re-run of the whole admit pipeline in the q84 profile,
+    // reading link dirs the next gc pass deletes). Checkpointing truncates
+    // the lineage, so the returned frame can never recompute.
+    val admitted = unseen(spark, index, batch, idCol, textCol).localCheckpoint()
     graft.merge.CdcApply.applyBatch(spark, index, digestEvents(admitted, idCol, textCol),
       batchId, writeMetrics = false, fenceByWatermark = false)
     admitted
@@ -275,6 +281,7 @@ object IngestDedup {
     val keyed = withBandKeys(batch, bands, rowsPerBand, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      keyed.count() // materialize BEFORE the self-join (see ingestNear)
       val out = admitAgainstIndex(spark, index, inBatchNearWinners(keyed, idCol), idCol)
         .persist(StorageLevel.MEMORY_AND_DISK)
       out.count()
@@ -284,8 +291,8 @@ object IngestDedup {
 
   /** One near-dedup ingest step (see the section doc): returns the
     * admitted rows — batch columns plus the `__bkeys` band-key array —
-    * MATERIALIZED (persisted + counted) before the index registration, so
-    * the caller's frame cannot observe its own keys. Retry recovery
+    * MATERIALIZED (eager localCheckpoint) before the index registration,
+    * so the caller's frame cannot observe its own keys. Retry recovery
     * mirrors [[ingest]]: an admitted doc registered every one of its band
     * keys under its own id (all were new at admit time, and ids are
     * unique), so on a fenced re-call the semi-join on
@@ -304,6 +311,13 @@ object IngestDedup {
     val keyed = withBandKeys(batch, bands, rowsPerBand, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // Materialize the band-keyed batch BEFORE anything consumes it: the
+      // shingle+minhash pass (16 md5 minima over every shingle) is the
+      // single most expensive map in the pipeline, and the first consumer
+      // is a SELF-join — two scan branches racing to populate the same
+      // cache partitions compute that pass up to twice (profiled: the
+      // edges materialization dropped ~2× with this count in place).
+      keyed.count()
       val winners = inBatchNearWinners(keyed, idCol)
       val fenced = index.lastCommit().exists(_.batchId >= batchId)
       if (fenced) {
@@ -317,9 +331,11 @@ object IngestDedup {
             winners.join(owned, Seq(idCol), "left_semi")
         }
       }
-      val admitted = admitAgainstIndex(spark, index, winners, idCol)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      admitted.count()
+      // localCheckpoint, not persist — same invalidation hazard as
+      // [[ingest]]: the merge's bucketed-registration DROP/CREATE would
+      // cascade-uncache a persisted result and the caller's first action
+      // would re-run the whole admit pipeline (profiled: 58 s at sf0.1).
+      val admitted = admitAgainstIndex(spark, index, winners, idCol).localCheckpoint()
       graft.merge.CdcApply.applyBatch(spark, index, bandEvents(admitted, idCol),
         batchId, writeMetrics = false, fenceByWatermark = false)
       admitted
