@@ -1243,6 +1243,23 @@ object SparkEntry {
       withSha(table.snapshot(s).get)
     }),
 
+    // §2.1 surrogate-key incremental snapshot: chunk ranges computed over
+    // a NON-PK column — the execute-snapshot signal's `surrogate-key`
+    // field (`ExecuteSnapshot.java:62-69,118-119`). The window is held
+    // CONSTANT across chunks so the output is chunk-membership-
+    // independent; correctness of the surrogate range partition then
+    // shows up as exactly-once coverage (an overlap duplicates a row, a
+    // gap drops one — either hash-mismatches the oracle fold).
+    "q108_cdc_surrogate_snapshot" -> ((s, dir) => {
+      val log = ChangeLog.base(s, dir)
+      val mx = maxLsn(log)
+      val rows = Lww.applyState(log).select(payload: _*)
+      Snapshot.incremental(rows, log, numChunks = 4,
+        windowFor = _ => (mx / 4, mx / 2),
+        surrogateKey = Some("commit"))
+        .select(payload :+ col("lsn"): _*)
+    }),
+
     // ------------------------------------------------------------- //
     // Oracle-connector buffered-transaction family (LogMiner)        //
     // ------------------------------------------------------------- //
@@ -1838,6 +1855,25 @@ object SparkEntry {
          |FROM ev0 WHERE lsn % 7 = 0""".stripMargin,
     // streaming path converges to the same fold as the batch replay
     "q107_cdc_streaming_e2e" -> s"$cte\n$applyStateSql",
+    // constant window ⇒ result is the fold minus keys touched in
+    // (max/4, max/2], each emitted at lsn = max/4 — independent of which
+    // surrogate-range chunk served the row (exactly-once partition check)
+    "q108_cdc_surrogate_snapshot" ->
+      s"""$cte
+         |, state AS (
+         |  SELECT repo, path, commit, lang, content
+         |  FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |    FROM ev0) t
+         |  WHERE rn = 1 AND op <> 'd')
+         |SELECT s.repo, s.path, s.commit, s.lang, s.content,
+         |       (SELECT max(lsn) FROM ev0) // 4 AS lsn
+         |FROM state s
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM ev0 e
+         |  WHERE e.repo = s.repo AND e.path = s.path
+         |    AND e.lsn > (SELECT max(lsn) FROM ev0) // 4
+         |    AND e.lsn <= (SELECT max(lsn) FROM ev0) // 2)""".stripMargin,
     "q104_txn_buffer_commit" ->
       s"""$txnCte
          |SELECT l.txn_id, l.scn, l.op, l.row_id, l.content,

@@ -187,10 +187,22 @@ object Snapshot {
       numChunks: Int,
       windowFor: Int => (Long, Long),
       parts: Int = 8,
-      chunkExpr: Option[Column] = None): DataFrame = {
+      chunkExpr: Option[Column] = None,
+      surrogateKey: Option[String] = None): DataFrame = {
+    // surrogate-key: chunk by this column INSTEAD of the PK — the
+    // execute-snapshot signal's `surrogate-key` field (reference:
+    // `ExecuteSnapshot.java:62-69,118-119`; a missing column is a loud
+    // config error, `AbstractChunkQueryBuilder.java:264-269`). Range
+    // chunking is key-agnostic here, so the override is just a different
+    // key-column list for the bound sampling + predicates.
+    surrogateKey.foreach { k =>
+      require(rows.columns.contains(k),
+        s"surrogate key \"$k\" doesn't exist in the snapshot source (columns: ${rows.columns.mkString(", ")})")
+    }
     val preds: Seq[Column] = chunkExpr match {
       case Some(e) => (0 until numChunks).map(i => e === i)
-      case None    => rangeChunkPredicates(rows, numChunks)
+      case None    => rangeChunkPredicates(rows, numChunks,
+        keyCols = surrogateKey.map(Seq(_)).getOrElse(Envelope.keyCols))
     }
     val chunks = preds.zipWithIndex.map { case (p, i) =>
       val (lo, hi) = windowFor(i)
@@ -215,12 +227,13 @@ object Snapshot {
       stream: DataFrame,
       numChunks: Int,
       parts: Int = 8,
-      chunkExpr: Option[Column] = None): DataFrame = {
+      chunkExpr: Option[Column] = None,
+      surrogateKey: Option[String] = None): DataFrame = {
     val b = stream.agg(min(col("lsn")), max(col("lsn"))).collect()(0)
     val (lo0, hi0) = if (b.isNullAt(0)) (0L, 0L) else (b.getLong(0) - 1, b.getLong(1))
     val width = math.max(1L, (hi0 - lo0) / numChunks + 1)
     incremental(rows, stream, numChunks,
       windowFor = i => (lo0 + i * width, math.min(lo0 + (i + 1) * width, hi0)),
-      parts = parts, chunkExpr = chunkExpr)
+      parts = parts, chunkExpr = chunkExpr, surrogateKey = surrogateKey)
   }
 }

@@ -103,17 +103,32 @@ object CdcPipeline {
               }
               def conditioned(df: DataFrame): DataFrame =
                 if (cond.isEmpty) df else df.where(expr(cond))
+              // `key:<column>` in the chunk-expression slot = SURROGATE
+              // KEY (the signal's `surrogate-key` field, reference
+              // `ExecuteSnapshot.java:62-69,118-119`): range-cluster the
+              // staging by that column instead of the PK. A missing
+              // column is a loud config error, not a silent PK fallback
+              // (`AbstractChunkQueryBuilder.java:264-269`).
+              val surrogate = if (chunkExpr.startsWith("key:"))
+                Some(chunkExpr.stripPrefix("key:").trim) else None
+              val indexExpr = if (surrogate.isDefined) "" else chunkExpr
               val staged =
-                if (chunks <= 1 || chunkExpr.nonEmpty) ""
+                if (chunks <= 1 || indexExpr.nonEmpty) ""
                 else {
                   val dir = ch + ".snapshot-staged"
-                  conditioned(sp.read.parquet(path))
-                    .repartitionByRange(chunks, table.keyCols.map(col): _*)
+                  val src = conditioned(sp.read.parquet(path))
+                  surrogate.foreach { k =>
+                    require(src.columns.contains(k),
+                      s"surrogate key \"$k\" doesn't exist in $path (columns: ${src.columns.mkString(", ")})")
+                  }
+                  val stageKeys = surrogate.map(Seq(_)).getOrElse(table.keyCols)
+                  src
+                    .repartitionByRange(chunks, stageKeys.map(col): _*)
                     .withColumn("__chunk", spark_partition_id())
                     .write.partitionBy("__chunk").mode("overwrite").parquet(dir)
                   dir
                 }
-              Signals.initSnapshot(ch, path, chunks, staged, chunkExpr, cond)
+              Signals.initSnapshot(ch, path, chunks, staged, indexExpr, cond)
               Notifications.emit(sp, table.root, Notifications.Started,
                 chunks = math.max(chunks, 1), data = path)
             case Signals.PauseSnapshot =>

@@ -262,13 +262,14 @@ object IngestDedup {
   /** Batch rows admissible against the index right now: in-batch cluster
     * canonicals with zero registered band keys, `__bkeys` appended —
     * the near analog of [[unseen]]. Unlike the cheap exact path this one
-    * MATERIALIZES (persist + count) before returning: the band-keyed
+    * MATERIALIZES (eager localCheckpoint) before returning: the band-keyed
     * batch feeds the clustering self-join, the collision check and the
     * result, and leaving it lazy recomputes the shingling/minhash pass
-    * once per consumer. The returned frame is persisted and pinned to
-    * the index's CURRENT commit (registering afterwards cannot leak the
-    * batch's own keys into it); callers should `unpersist()` it when
-    * done — the [[ingestNear]] contract.
+    * once per consumer. A checkpoint, not a persist, pins the result to
+    * the index's CURRENT commit unconditionally: a persisted frame is
+    * cascade-UNCACHED when a later registration re-points the index's
+    * bucketed catalog table, and the silent recompute would observe the
+    * batch's own keys — wrong results, not just wasted work.
     */
   def unseenNear(
       spark: SparkSession,
@@ -282,12 +283,28 @@ object IngestDedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       keyed.count() // materialize BEFORE the self-join (see ingestNear)
-      val out = admitAgainstIndex(spark, index, inBatchNearWinners(keyed, idCol), idCol)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      out.count()
-      out
+      admitAgainstIndex(spark, index, inBatchNearWinners(keyed, idCol), idCol)
+        .localCheckpoint()
     } finally keyed.unpersist()
   }
+
+  /** The UN-materialized [[unseenNear]] plan (no persist, no checkpoint) —
+    * for plan inspection: the admission join's state side must be the
+    * index's bucketed scan. Checkpointing truncates lineage, so the shape
+    * is only visible here. NOT safe to consume after a registration and
+    * recomputes the shingling pass per action; callers wanting rows use
+    * [[unseenNear]].
+    */
+  private[graft] def unseenNearLazy(
+      spark: SparkSession,
+      index: LakeTable,
+      batch: DataFrame,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    admitAgainstIndex(spark, index,
+      inBatchNearWinners(withBandKeys(batch, bands, rowsPerBand, textCol), idCol), idCol)
 
   /** One near-dedup ingest step (see the section doc): returns the
     * admitted rows — batch columns plus the `__bkeys` band-key array —

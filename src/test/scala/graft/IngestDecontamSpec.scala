@@ -241,11 +241,14 @@ class IngestDecontamSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val lazyUnseen = IngestDedup.unseenNear(spark, index, batch)
+      // unseenNear returns a CHECKPOINTED frame (lineage truncated), so the
+      // join shape is asserted on its lazy twin and the values on the real one.
+      val lazyUnseen = IngestDedup.unseenNearLazy(spark, index, batch)
       val plan = lazyUnseen.queryExecution.executedPlan.toString
       assert(plan.contains("Bucketed: true"),
         s"a 10^9-key band index must join through the bucketed scan (no state re-shuffle):\n$plan")
-      assert(lazyUnseen.select("doc_id").as[Long].collect().toSet === Set(4L))
+      assert(IngestDedup.unseenNear(spark, index, batch)
+        .select("doc_id").as[Long].collect().toSet === Set(4L))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 

@@ -132,6 +132,48 @@ class SignalsSpec extends SparkSpec {
     assert(applied() === Set("snap1", "snap2", "snap4", "snap6", "snap8"))
   }
 
+  test("surrogate-key staging (key:<col>) range-clusters by a non-PK column; missing column fails loudly") {
+    val inDir = tmp(); val ckpt = tmp(); val sigDir = tmp()
+    val channel = s"$sigDir/signals.jsonl"
+    val table = new LakeTable(tmp(), numBuckets = 4)
+    var tick = 0L
+    def runBatch(): Unit = {
+      tick += 1
+      val ev = Seq(FlatEvent.mk(("repoT", "tick.txt"), tick, "u")).toDF()
+      graft.core.Envelope.wrap(ev).coalesce(1).write.mode("append").parquet(inDir)
+      CdcPipeline.start(spark, inDir, ckpt, table, signalChannel = Some(channel)).awaitTermination()
+    }
+    // content sorts OPPOSITE to the PK (repo): surrogate ranges must follow
+    // content order, not key order — proves the staging really keys on it
+    val snapRows = (0 until 9)
+      .map(i => (s"snap$i", s"f$i.txt", "c0000000001", "scala", s"v${8 - i} backfill"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    val snapPath = s"$sigDir/snap.parquet"
+    snapRows.write.parquet(snapPath)
+    Signals.send(channel, Signals.SignalRecord("k1", Signals.ExecuteSnapshot,
+      s"$snapPath#3#key:content"))
+    runBatch() // stage by surrogate range + apply chunk 0
+    val staged = spark.read.parquet(s"$channel.snapshot-staged")
+      .select(col("content"), col("__chunk").cast("int").as("c"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(staged.values.toSet === Set(0, 1, 2), "all three surrogate range chunks populated")
+    val ordered = staged.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted).toMap
+    (0 until 2).foreach(i => assert(ordered(i).max < ordered(i + 1).min,
+      s"chunk $i must be a content range below chunk ${i + 1}"))
+    runBatch(); runBatch() // drain chunks 1..2
+    assert(table.snapshot(spark).get.where(col("repo").startsWith("snap")).count() === 9L,
+      "surrogate-chunked backfill covers every row exactly once")
+
+    // reference: a surrogate key naming a non-existent column is a config
+    // error, not a silent PK fallback (AbstractChunkQueryBuilder.java:264-269)
+    Signals.send(channel, Signals.SignalRecord("k2", Signals.ExecuteSnapshot,
+      s"$snapPath#3#key:no_such_col"))
+    val err = intercept[Exception] { runBatch() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("no_such_col")), s"got: ${messages(err)}")
+  }
+
   test("byte-based admission (maxBytesPerTrigger) streams and converges") {
     val inDir = tmp(); val ckpt = tmp()
     val table = new LakeTable(tmp(), numBuckets = 4)

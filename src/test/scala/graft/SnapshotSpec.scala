@@ -122,6 +122,30 @@ class SnapshotSpec extends SparkSpec {
     assert(full.select(cols.map(col): _*).exceptAll(merged.select(cols.map(col): _*)).count() === 0)
   }
 
+  test("surrogate-key chunking: non-PK ranges still converge; missing column errors loudly") {
+    val log = ChangeLog.base(spark, sf)
+    val mx = log.agg(max("lsn")).as[Long].head()
+    val rows = Lww.applyState(log).select("repo", "path", "commit", "lang", "content")
+    // chunk by `commit` (non-PK, duplicated values) — the range partition
+    // must still cover every row exactly once for the union to converge
+    val snap = Snapshot.incremental(rows, log, numChunks = 4,
+      windowFor = i => (mx * i / 8, mx * (i + 1) / 8),
+      surrogateKey = Some("commit"))
+    val merged = Lww.applyState(snap.unionByName(log))
+    val full = Lww.applyState(log)
+    val cols = Seq("repo", "path", "content")
+    assert(merged.select(cols.map(col): _*).exceptAll(full.select(cols.map(col): _*)).count() === 0)
+    assert(full.select(cols.map(col): _*).exceptAll(merged.select(cols.map(col): _*)).count() === 0)
+    // reference: a surrogate key naming a non-existent column is a config
+    // error, not a silent PK fallback (AbstractChunkQueryBuilder.java:264-269)
+    val err = intercept[IllegalArgumentException] {
+      Snapshot.incremental(rows, log, numChunks = 4,
+        windowFor = i => (mx * i / 8, mx * (i + 1) / 8),
+        surrogateKey = Some("no_such_col"))
+    }
+    assert(err.getMessage.contains("no_such_col"))
+  }
+
   test("read-only incremental snapshot (observed-offset watermarks) converges like the signal-based one") {
     val log = ChangeLog.base(spark, sf)
     val rows = Lww.applyState(log).select("repo", "path", "commit", "lang", "content")
