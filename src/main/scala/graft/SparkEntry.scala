@@ -1260,6 +1260,45 @@ object SparkEntry {
         .select(payload :+ col("lsn"): _*)
     }),
 
+    // §1.4/§2.5 CustomConverter SPI: an ordered chain of user column
+    // converters, each matching on the relational column descriptor
+    // (declared source type / qualified name) and registering a schema +
+    // value rewrite; FIRST registration wins, unmatched columns pass
+    // through (`CustomConverterRegistry.java:57-135`). Chain below: CHAR
+    // columns upper-cased (claims `commit` — the lower-casing byName
+    // converter later in the chain must never fire), `lsn` hex-encoded.
+    "q109_custom_converters" -> ((s, dir) => {
+      import graft.core.{ColumnConverters => CC, SourceMetadata => SM}
+      val tagged = SM.propagate(ChangeLog.base(s, dir), Map(
+        "commit" -> SM.SourceColumn("CHAR", length = 11),
+        "lang" -> SM.SourceColumn("VARCHAR", length = 8),
+        "content" -> SM.SourceColumn("TEXT")))
+      val chain = Seq(
+        CC.byDeclaredType("CHAR")(_ => CC.Registration(
+          org.apache.spark.sql.types.StringType, v => upper(v), sourceType = Some("VARCHAR"))),
+        CC.byName("repos\\.files\\.commit")(_ => CC.Registration(
+          org.apache.spark.sql.types.StringType, v => lower(v))),
+        CC.byName(".*\\.lsn")(_ => CC.Registration(
+          org.apache.spark.sql.types.StringType, v => lower(hex(v)))))
+      CC.convert(tagged, "repos.files", chain)
+        .select(col("repo"), col("path"), col("commit"), col("lang"),
+          col("content"), col("op"), col("lsn"))
+    }),
+    // §2.1 snapshot SELECT statement override: the user statement replaces
+    // the default whole-table snapshot read for its table (row filter +
+    // column reshape), then the snapshot-then-stream union converges under
+    // LWW as usual (`RelationalSnapshotChangeEventSource.java:1151-1161`).
+    "q110_snapshot_select_override" -> ((s, dir) => {
+      val log = ChangeLog.base(s, dir)
+      val snapAt = maxLsn(log) / 2
+      val state = Lww.applyState(log.where(col("lsn") <= snapAt)).select(payload: _*)
+      val base = Snapshot.overriddenSelect(s, "files", state, Map(
+        "files" -> ("SELECT repo, path, commit, lang, upper(content) AS content " +
+          "FROM files WHERE lang <> 'java'")))
+      withSha(Lww.applyState(
+        Snapshot.initial(base, snapAt).unionByName(log.where(col("lsn") > snapAt))))
+    }),
+
     // ------------------------------------------------------------- //
     // Oracle-connector buffered-transaction family (LogMiner)        //
     // ------------------------------------------------------------- //
@@ -1874,6 +1913,35 @@ object SparkEntry {
          |  WHERE e.repo = s.repo AND e.path = s.path
          |    AND e.lsn > (SELECT max(lsn) FROM ev0) // 4
          |    AND e.lsn <= (SELECT max(lsn) FROM ev0) // 2)""".stripMargin,
+    // first-wins chain: commit UPPER (CHAR converter), never lower-cased
+    // by the later byName converter; lsn hex-encoded lowercase
+    "q109_custom_converters" ->
+      s"""$cte
+         |SELECT repo, path, upper(commit) AS commit, lang, content, op,
+         |       lower(to_hex(lsn)) AS lsn
+         |FROM ev0""".stripMargin,
+    // snapshot side reads through the user SELECT (java rows excluded,
+    // content upper-cased) at offset S; streamed tail (lsn > S) unmodified;
+    // LWW winner-pick over the union
+    "q110_snapshot_select_override" ->
+      s"""$cte
+         |, snap AS (
+         |  SELECT repo, path, commit, lang, upper(content) AS content,
+         |         'r' AS op, (SELECT max(lsn) // 2 FROM ev0) AS lsn
+         |  FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |    FROM ev0 WHERE lsn <= (SELECT max(lsn) // 2 FROM ev0)) t
+         |  WHERE rn = 1 AND op <> 'd' AND lang <> 'java')
+         |, unioned AS (
+         |  SELECT * FROM snap
+         |  UNION ALL
+         |  SELECT repo, path, commit, lang, content, op, lsn FROM ev0
+         |  WHERE lsn > (SELECT max(lsn) // 2 FROM ev0))
+         |SELECT repo, path, commit, lang, content, sha256(content) AS content_sha
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |  FROM unioned) t
+         |WHERE rn = 1 AND op <> 'd'""".stripMargin,
     "q104_txn_buffer_commit" ->
       s"""$txnCte
          |SELECT l.txn_id, l.scn, l.op, l.row_id, l.content,

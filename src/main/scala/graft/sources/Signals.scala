@@ -28,6 +28,7 @@ object Signals {
   val StopSnapshot = "stop-snapshot"
   val PauseSnapshot = "pause-snapshot"
   val ResumeSnapshot = "resume-snapshot"
+  val SchemaChanges = "schema-changes"
   val Log = "log"
 
   val schema: StructType = StructType(Seq(

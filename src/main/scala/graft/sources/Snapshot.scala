@@ -85,6 +85,43 @@ object Snapshot {
     chunk.join(broadcast(inWindow.dropDuplicates(keyCols)), keyCols, "left_anti")
   }
 
+  /** Per-table snapshot SELECT override — the
+    * `snapshot.select.statement.overrides` analog
+    * (`RelationalDatabaseConnectorConfig.java:754-779` builds the
+    * table→statement map; `RelationalSnapshotChangeEventSource
+    * .determineSnapshotSelect`, `:1151-1161`, uses the user statement
+    * INSTEAD of the default `SELECT *` when present). The user statement
+    * may filter rows AND reshape columns (any valid SELECT); tables
+    * without an override snapshot whole.
+    *
+    * Spark-first: the base frame is registered as a temp view under the
+    * table's name and the override runs through `spark.sql` — Catalyst
+    * plans it like any other query (filters push into the source scan,
+    * so a `WHERE` override prunes the snapshot read, the reference's
+    * stated use case: partial snapshots of huge tables). The result must
+    * keep the key columns — LWW apply is keyed — checked loudly here
+    * rather than failing obscurely in the merge.
+    */
+  def overriddenSelect(
+      spark: SparkSession,
+      tableName: String,
+      base: DataFrame,
+      overrides: Map[String, String],
+      requiredCols: Seq[String] = Envelope.keyCols): DataFrame =
+    overrides.get(tableName) match {
+      case None => base
+      case Some(stmt) =>
+        base.createOrReplaceTempView(tableName)
+        try {
+          val out = spark.sql(stmt)
+          val missing = requiredCols.filterNot(out.columns.contains)
+          require(missing.isEmpty,
+            s"snapshot select override for '$tableName' drops key column(s) ${missing.mkString(", ")} " +
+              s"— the snapshot could never converge under LWW apply: $stmt")
+          out
+        } finally spark.catalog.dropTempView(tableName)
+    }
+
   /** PK-range chunk predicates — the `ChunkBoundaryCalculator.java:48-126`
     * analog (min/max + stepped boundary queries): numChunks-1 boundary key
     * tuples from a bounded deterministic sample (one count + one sample

@@ -143,6 +143,12 @@ object CdcPipeline {
               val chunks = Signals.snapshotState(ch).map(_.chunks)
               Signals.clearSnapshot(ch)
               chunks.foreach(c => Notifications.emit(sp, table.root, Notifications.Aborted, c))
+            case Signals.SchemaChanges =>
+              // data = StructType JSON: patch the table's schema history
+              // with a metadata-only commit (SchemaChanges.java:24-80 —
+              // user-injected schema-change events; our history is the
+              // commit log, so the patch is one commit)
+              table.registerSchema(s.data, batchId)
             case Signals.Log            => System.err.println(s"[graft signal] ${s.data}")
             case other                  => System.err.println(s"[graft signal] unknown action: $other")
           }

@@ -179,6 +179,40 @@ final class LakeTable(
     rows.toDF("version", "batchId", "schemaIdx", "schemaJson")
   }
 
+  /** Register an externally-supplied schema into the table's schema
+    * history as a METADATA-ONLY commit (no data moves; existing files and
+    * fences carry over). The `schema-changes` SIGNAL action analog
+    * (`pipeline/signal/actions/SchemaChanges.java:24-80`: user-injected
+    * table-change events patch the schema history when DDL was missed) —
+    * here the history IS the commit log, so the patch is one commit. The
+    * incoming schema reconciles under the additive evolution rules
+    * ([[SchemaEvolution.reconcile]] — add/widen only, incompatible changes
+    * throw); registering the current schema is a no-op.
+    */
+  def registerSchema(schemaJson: String, batchId: Long = -1L): Unit = {
+    val incoming = DataType.fromJson(schemaJson) match {
+      case st: StructType => st
+      case other => throw new IllegalArgumentException(
+        s"schema-changes payload must be a struct schema, got ${other.simpleString}")
+    }
+    lastCommit() match {
+      case None =>
+        commit(CommitInfo(version = 1L, batchId = batchId, watermark = Map.empty,
+          fence = None, schemas = Seq(incoming.json), schemaIdx = 0, files = Nil))
+      case Some(ci) =>
+        val evolved = SchemaEvolution.reconcile(ci.schema, incoming)
+        if (evolved != ci.schema) {
+          val json = evolved.json
+          val (schemas, idx) = ci.schemas.indexOf(json) match {
+            case -1 => (ci.schemas :+ json, ci.schemas.size)
+            case i  => (ci.schemas, i)
+          }
+          commit(ci.copy(version = ci.version + 1, batchId = batchId,
+            schemas = schemas, schemaIdx = idx), prev = Some(ci))
+        }
+    }
+  }
+
   /** Atomically publish a commit. Single-writer (the streaming driver).
     *
     * Incremental manifests: when the predecessor is supplied, the commit

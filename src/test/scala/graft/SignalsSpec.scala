@@ -174,6 +174,51 @@ class SignalsSpec extends SparkSpec {
     assert(messages(err).exists(_.contains("no_such_col")), s"got: ${messages(err)}")
   }
 
+  test("schema-changes signal patches the schema history; incompatible payloads fail loudly") {
+    import org.apache.spark.sql.types._
+    val inDir = tmp(); val ckpt = tmp(); val sigDir = tmp()
+    val channel = s"$sigDir/signals.jsonl"
+    val table = new LakeTable(tmp(), numBuckets = 4)
+    var tick = 0L
+    def runBatch(): Unit = {
+      tick += 1
+      val ev = Seq(FlatEvent.mk(("repoT", "tick.txt"), tick, "u")).toDF()
+      graft.core.Envelope.wrap(ev).coalesce(1).write.mode("append").parquet(inDir)
+      CdcPipeline.start(spark, inDir, ckpt, table, signalChannel = Some(channel)).awaitTermination()
+    }
+    runBatch() // establish the table schema
+    val before = table.lastCommit().get
+    // patch: add a nullable int column the stream has never carried
+    val patched = StructType(before.schema.fields :+ StructField("review_score", IntegerType))
+    Signals.send(channel, Signals.SignalRecord("sc1", Signals.SchemaChanges, patched.json))
+    runBatch()
+    val after = table.lastCommit().get
+    assert(after.schema.fieldNames.contains("review_score"),
+      "schema history patched by the signal")
+    assert(after.files.map(_.path) === before.files.map(_.path) ||
+      table.snapshot(spark).get.count() >= 1, "metadata patch moved no data")
+    // old rows read back null-filled under the patched schema
+    assert(table.snapshot(spark).get.where(col("review_score").isNull).count() ===
+      table.snapshot(spark).get.count())
+    // schemaLog shows the patch as a schema-change event
+    val log = table.schemaLog(spark).orderBy("version").collect()
+    assert(log.length >= 2 && log.last.getAs[String]("schemaJson").contains("review_score"))
+    // re-registering the SAME schema is a no-op commit-wise
+    val v = table.lastCommit().get.version
+    table.registerSchema(patched.json)
+    assert(table.lastCommit().get.version === v, "idempotent re-registration")
+    // an incompatible change (a numeric column to boolean — outside the
+    // widening chain and not string-absorbable) is a loud error
+    val numeric = before.schema.fields.find(f => f.dataType != StringType).get
+    val bad = StructType(before.schema.fields.map(f =>
+      if (f.name == numeric.name) f.copy(dataType = BooleanType) else f))
+    Signals.send(channel, Signals.SignalRecord("sc2", Signals.SchemaChanges, bad.json))
+    val err = intercept[Exception] { runBatch() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("incompatible")), s"got: ${messages(err)}")
+  }
+
   test("byte-based admission (maxBytesPerTrigger) streams and converges") {
     val inDir = tmp(); val ckpt = tmp()
     val table = new LakeTable(tmp(), numBuckets = 4)

@@ -146,6 +146,35 @@ class SnapshotSpec extends SparkSpec {
     assert(err.getMessage.contains("no_such_col"))
   }
 
+  test("snapshot select override: user statement replaces the default read; dropping key columns is loud") {
+    val state = Seq(
+      ("r1", "a.txt", "c1", "scala", "keep me"),
+      ("r1", "b.txt", "c1", "java", "filtered out"),
+      ("r2", "c.txt", "c1", "scala", "keep too"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    // no override for this table → identity
+    assert(Snapshot.overriddenSelect(spark, "files", state, Map("other" -> "SELECT 1"))
+      .collect().length === 3)
+    // parquet-backed source: the override's WHERE must reach the scan as a
+    // pushed filter (the reference's use case — a partial snapshot of a
+    // huge table prunes the read, not post-filters it)
+    val dir = java.nio.file.Files.createTempDirectory("graft-override").toString
+    state.write.parquet(s"$dir/files")
+    val out = Snapshot.overriddenSelect(spark, "files", spark.read.parquet(s"$dir/files"), Map(
+      "files" -> "SELECT repo, path, commit, lang, upper(content) AS content FROM files WHERE lang <> 'java'"))
+    assert(out.orderBy("path").select("content").as[String].collect().toSeq ===
+      Seq("KEEP ME", "KEEP TOO"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(lang), Not(EqualTo(lang,java))]"),
+      s"override predicate must push into the parquet scan:\n$plan")
+    val err = intercept[IllegalArgumentException] {
+      Snapshot.overriddenSelect(spark, "files", state, Map(
+        "files" -> "SELECT commit, lang, content FROM files"))
+    }
+    assert(err.getMessage.contains("repo"), "missing key columns named in the error")
+    assert(!spark.catalog.tableExists("files"), "temp view dropped even on failure")
+  }
+
   test("read-only incremental snapshot (observed-offset watermarks) converges like the signal-based one") {
     val log = ChangeLog.base(spark, sf)
     val rows = Lww.applyState(log).select("repo", "path", "commit", "lang", "content")

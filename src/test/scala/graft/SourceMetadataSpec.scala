@@ -93,4 +93,49 @@ class SourceMetadataSpec extends SparkSpec {
     assert(rep("pay.load") === 1L, "'toolong' exceeds 4 — audited through the quoted reference")
     assert(rep("id") === 0L)
   }
+
+  // ---- CustomConverter SPI analog (ColumnConverters) ----
+
+  import graft.core.ColumnConverters
+  import graft.core.ColumnConverters.{Registration, byDeclaredType, byName}
+
+  test("column converter chain: first registration wins, unmatched columns pass through") {
+    val tagged = SourceMetadata.propagate(base, catalog)
+    val out = ColumnConverters.convert(tagged, "db.events", Seq(
+      // claims `kind` (declared VARCHAR) — wins over the byName below
+      byDeclaredType("VARCHAR")(_ => Registration(StringType, v => upper(v))),
+      byName("db\\.events\\.kind")(_ => Registration(StringType, v => lower(v))),
+      // numeric → rounded long, with the source-type fact rewritten
+      byDeclaredType("NUMERIC|DECIMAL")(_ =>
+        Registration(LongType, v => round(v).cast("long"), sourceType = Some("BIGINT")))))
+    val rows = out.orderBy("id").collect()
+    assert(rows.map(_.getAs[String]("kind")).toSeq === Seq("SIGNUP", "PURCHASE"),
+      "first converter in the chain wins")
+    assert(rows.map(_.getAs[Long]("amount")).toSeq === Seq(13L, 3L))
+    assert(out.schema("amount").dataType === LongType, "registered schema applied")
+    assert(SourceMetadata.sourceOf(out.schema("amount")).get.typeName === "BIGINT",
+      "sourceType registration rewrites the propagated fact")
+    assert(out.schema("tag").dataType === StringType)
+    assert(out.select("tag").as[String].collect().toSet === Set("alpha", "beta"),
+      "unmatched column passes through")
+  }
+
+  test("column converter descriptor exposes relational facts; declared-type mismatch is loud") {
+    val tagged = SourceMetadata.propagate(base, catalog)
+    // length-aware matching (RelationalColumn.length analog)
+    val out = ColumnConverters.convert(tagged, "db.events", Seq(
+      new ColumnConverters.ColumnConverter {
+        def converterFor(c: ColumnConverters.ConvertedColumn) =
+          if (c.typeName.contains("VARCHAR") && c.length.exists(_ <= 6))
+            Some(Registration(StringType, v => concat(v, lit("!")))) else None
+      }))
+    assert(out.where(col("id") === 1L).select("kind").as[String].head() === "signup!")
+    // a registration whose expression doesn't produce the declared type
+    // is a config error at registration, not a downstream serialization one
+    val err = intercept[IllegalArgumentException] {
+      ColumnConverters.convert(tagged, "db.events", Seq(
+        byName(".*\\.kind")(_ => Registration(LongType, v => upper(v)))))
+    }
+    assert(err.getMessage.contains("kind"))
+  }
 }
