@@ -1299,6 +1299,25 @@ object SparkEntry {
         Snapshot.initial(base, snapAt).unionByName(log.where(col("lsn") > snapAt))))
     }),
 
+    // §2.2 hstore.handling.mode=json: PG hstore text (quoted keys/values,
+    // backslash escapes, unquoted NULL) → canonical sorted-key JSON via
+    // the codegen'd kernel (`PostgresValueConverter.java:387-396,779-815`).
+    // The synthesized column exercises NULL values and escaped quotes/
+    // backslashes in keys and values.
+    "q111_pg_hstore_json" -> ((s, dir) => {
+      val log = ChangeLog.base(s, dir)
+      val hs = concat(
+        lit("\"lang\"=>"),
+        when(col("lsn") % 7 === 0, lit("NULL"))
+          .otherwise(concat(lit("\""), col("lang"), lit("\""))),
+        lit(", \"commit\"=>\""), col("commit"),
+        lit("\", \"k\\\"ey\"=>\"v\\\\al\""))
+      graft.operators.PgValues.hstoreHandling(
+        log.select(col("repo"), col("path"), col("lsn"), hs.as("attrs")),
+        Seq("attrs"), "json")
+        .select(col("repo"), col("path"), col("lsn"), col("attrs").as("attrs_json"))
+    }),
+
     // ------------------------------------------------------------- //
     // Oracle-connector buffered-transaction family (LogMiner)        //
     // ------------------------------------------------------------- //
@@ -1942,6 +1961,15 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
          |  FROM unioned) t
          |WHERE rn = 1 AND op <> 'd'""".stripMargin,
+    // expected JSON reconstructed from source truth (keys sorted:
+    // commit < k"ey < lang); DuckDB '' literals keep backslashes verbatim
+    "q111_pg_hstore_json" ->
+      s"""$cte
+         |SELECT repo, path, lsn,
+         |       '{"commit":"' || commit || '","k\\"ey":"v\\\\al","lang":' ||
+         |       CASE WHEN lsn % 7 = 0 THEN 'null' ELSE '"' || lang || '"' END || '}'
+         |         AS attrs_json
+         |FROM ev0""".stripMargin,
     "q104_txn_buffer_commit" ->
       s"""$txnCte
          |SELECT l.txn_id, l.scn, l.op, l.row_id, l.content,

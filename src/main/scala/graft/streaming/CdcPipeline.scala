@@ -148,7 +148,7 @@ object CdcPipeline {
               // with a metadata-only commit (SchemaChanges.java:24-80 —
               // user-injected schema-change events; our history is the
               // commit log, so the patch is one commit)
-              table.registerSchema(s.data, batchId)
+              table.registerSchema(s.data)
             case Signals.Log            => System.err.println(s"[graft signal] ${s.data}")
             case other                  => System.err.println(s"[graft signal] unknown action: $other")
           }

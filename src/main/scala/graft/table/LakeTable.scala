@@ -188,8 +188,13 @@ final class LakeTable(
     * incoming schema reconciles under the additive evolution rules
     * ([[SchemaEvolution.reconcile]] — add/widen only, incompatible changes
     * throw); registering the current schema is a no-op.
+    *
+    * The patch commit PRESERVES the predecessor's batchId: stamping the
+    * in-flight microbatch's id here would make the batchId fence treat
+    * that batch's own DATA apply as a replay and silently drop it (the
+    * signal is processed before the apply in the same foreachBatch).
     */
-  def registerSchema(schemaJson: String, batchId: Long = -1L): Unit = {
+  def registerSchema(schemaJson: String): Unit = {
     val incoming = DataType.fromJson(schemaJson) match {
       case st: StructType => st
       case other => throw new IllegalArgumentException(
@@ -197,7 +202,7 @@ final class LakeTable(
     }
     lastCommit() match {
       case None =>
-        commit(CommitInfo(version = 1L, batchId = batchId, watermark = Map.empty,
+        commit(CommitInfo(version = 1L, batchId = -1L, watermark = Map.empty,
           fence = None, schemas = Seq(incoming.json), schemaIdx = 0, files = Nil))
       case Some(ci) =>
         val evolved = SchemaEvolution.reconcile(ci.schema, incoming)
@@ -207,8 +212,8 @@ final class LakeTable(
             case -1 => (ci.schemas :+ json, ci.schemas.size)
             case i  => (ci.schemas, i)
           }
-          commit(ci.copy(version = ci.version + 1, batchId = batchId,
-            schemas = schemas, schemaIdx = idx), prev = Some(ci))
+          commit(ci.copy(version = ci.version + 1, schemas = schemas, schemaIdx = idx),
+            prev = Some(ci))
         }
     }
   }

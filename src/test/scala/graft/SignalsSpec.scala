@@ -195,6 +195,11 @@ class SignalsSpec extends SparkSpec {
     val after = table.lastCommit().get
     assert(after.schema.fieldNames.contains("review_score"),
       "schema history patched by the signal")
+    // regression: the patch commit must NOT stamp the in-flight batch's id
+    // — that would batchId-fence the same batch's own data apply and drop it
+    assert(table.snapshot(spark).get.where(col("path") === "tick.txt")
+      .select("content").as[String].head().endsWith("@2"),
+      "the signal batch's own data events still apply after the schema patch")
     assert(after.files.map(_.path) === before.files.map(_.path) ||
       table.snapshot(spark).get.count() >= 1, "metadata patch moved no data")
     // old rows read back null-filled under the patched schema

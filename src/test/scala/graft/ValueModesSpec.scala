@@ -41,6 +41,32 @@ class ValueModesSpec extends SparkSpec {
     assert(new String(bytes, "UTF-8") === "hi?>")
   }
 
+  test("hstore.handling.mode: json canonicalizes, map types nullable values, malformed is null") {
+    import graft.operators.PgValues
+    val rows = Seq(
+      // escapes in key and value, NULL value, unsorted input keys
+      ("""  "b\"k"=>"v\\1" ,  "a"=>NULL, "c"=>"x"  """, 1L),
+      // duplicate key: PG keeps the FIRST ('a=>1,a=>2'::hstore rule)
+      (""""a"=>"1","a"=>"2"""", 2L),
+      ("", 3L),                       // empty hstore -> {}
+      (""""unterminated""", 4L),      // malformed -> null
+      (""""k"=>"v" trailing""", 5L))  // malformed -> null
+      .toDF("h", "id")
+    val json = PgValues.hstoreHandling(rows, Seq("h"), "json")
+      .orderBy("id").select("h").as[String].collect()
+    assert(json(0) === """{"a":null,"b\"k":"v\\1","c":"x"}""", "sorted keys + JSON escaping")
+    assert(json(1) === """{"a":"1"}""", "duplicate keys keep the first")
+    assert(json(2) === "{}")
+    assert(json(3) == null && json(4) == null, "malformed hstore is null, not garbage")
+    val m = PgValues.hstoreHandling(rows, Seq("h"), "map").where(col("id") === 1L)
+      .select("h").as[Map[String, String]].head()
+    assert(m.size === 3 && m("b\"k") === "v\\1" && m("c") === "x" && m("a") == null,
+      s"map mode parses the same pairs with a nullable value: $m")
+    assert(PgValues.hstoreHandling(rows, Seq("h"), "map").where(col("id") === 1L)
+      .select(element_at(col("h"), "c")).as[String].head() === "x")
+    intercept[IllegalArgumentException](PgValues.hstoreHandling(rows, Seq("h"), "bogus"))
+  }
+
   test("time.precision.mode: adaptive keeps micros, connect truncates to millis") {
     val us = Transforms.temporalPrecision(base, Seq("t"), "adaptive").select("t").as[Long].head()
     val ms = Transforms.temporalPrecision(base, Seq("t"), "connect").select("t").as[Long].head()
