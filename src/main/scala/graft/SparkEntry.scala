@@ -693,6 +693,22 @@ object SparkEntry {
       withSha(table.lookup(s, Seq("repo01", "src/f1.txt")).get)
     }),
 
+    // §2.4 change-data-feed read (Delta CDF / Iceberg changelog-scan
+    // analog): the row-level changes between commit versions 2 and 4 of a
+    // 4-batch replay, classified insert/delete/update_preimage/
+    // update_postimage and tagged with the commit version. Manifest-pruned:
+    // each version pair diffs only the buckets whose file sets differ.
+    "q112_cdc_change_feed" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-cdf").toString
+      val table = new LakeTable(root, numBuckets = 16)
+      CdcPipeline.replay(s, ChangeLog.flat(s, dir), table, numBatches = 4, salt = 4)
+      table.changeFeed(s, 2L, 4L).get
+        .select(col("repo"), col("path"), col("commit"), col("lang"),
+          sha2(col("content"), 256).as("content_sha"), col("lsn"), col("op"),
+          col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"))
+    }),
+
     // §2.2 SchemaChangeEventFilter: the multi-table catalog's schema-change
     // event feed, filtered by table exclude list (tableFilter — the same
     // RelationalTableFilters semantics the reference SMT applies to the
@@ -2023,6 +2039,49 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
          |  FROM ev WHERE repo = 'repo01' AND path = 'src/f1.txt') t
          |WHERE rn = 1 AND op <> 'd'""".stripMargin,
+    // Change feed (2, 4]: live LWW states at versions 2/3/4 (v slices of
+    // lsn width (hi-lo)//4 + 1 each), then per consecutive pair the keyed
+    // diff classified insert/delete/update_pre+postimage.
+    "q112_cdc_change_feed" ->
+      s"""$cte
+         |, b AS (SELECT min(lsn) AS lo, (max(lsn) - min(lsn)) // 4 + 1 AS w FROM ev)
+         |, st AS (
+         |  SELECT * FROM (
+         |    SELECT g.v AS sv, e.*, row_number() OVER (
+         |      PARTITION BY g.v, e.repo, e.path ORDER BY e.commit DESC, e.lsn DESC) AS rn
+         |    FROM ev e CROSS JOIN (VALUES (2),(3),(4)) AS g(v)
+         |    WHERE e.lsn < (SELECT lo FROM b) + g.v * (SELECT w FROM b)) t
+         |  WHERE rn = 1 AND op <> 'd')
+         |, keys AS (
+         |  SELECT DISTINCT p.v AS ver, s.repo, s.path
+         |  FROM (VALUES (3),(4)) AS p(v) JOIN st s ON s.sv IN (p.v - 1, p.v))
+         |, d AS (
+         |  SELECT k.ver, k.repo, k.path,
+         |         a.commit AS a_commit, a.lang AS a_lang, a.content AS a_content,
+         |         a.op AS a_op, a.lsn AS a_lsn, a.part AS a_part, a.ts_ms AS a_ts,
+         |         b2.commit AS b_commit, b2.lang AS b_lang, b2.content AS b_content,
+         |         b2.op AS b_op, b2.lsn AS b_lsn, b2.part AS b_part, b2.ts_ms AS b_ts,
+         |         a.repo IS NOT NULL AS has_a, b2.repo IS NOT NULL AS has_b
+         |  FROM keys k
+         |  LEFT JOIN st a ON a.sv = k.ver - 1 AND a.repo = k.repo AND a.path = k.path
+         |  LEFT JOIN st b2 ON b2.sv = k.ver AND b2.repo = k.repo AND b2.path = k.path)
+         |, diffs AS (SELECT *,
+         |    (a_commit IS DISTINCT FROM b_commit OR a_lang IS DISTINCT FROM b_lang
+         |     OR a_content IS DISTINCT FROM b_content OR a_op IS DISTINCT FROM b_op
+         |     OR a_lsn IS DISTINCT FROM b_lsn OR a_part IS DISTINCT FROM b_part
+         |     OR a_ts IS DISTINCT FROM b_ts) AS changed FROM d)
+         |SELECT repo, path, b_commit AS commit, b_lang AS lang, sha256(b_content) AS content_sha,
+         |       b_lsn AS lsn, b_op AS op, 'insert' AS change_type, CAST(ver AS bigint) AS commit_version
+         |FROM diffs WHERE has_b AND NOT has_a
+         |UNION ALL
+         |SELECT repo, path, a_commit, a_lang, sha256(a_content), a_lsn, a_op, 'delete', CAST(ver AS bigint)
+         |FROM diffs WHERE has_a AND NOT has_b
+         |UNION ALL
+         |SELECT repo, path, a_commit, a_lang, sha256(a_content), a_lsn, a_op, 'update_preimage', CAST(ver AS bigint)
+         |FROM diffs WHERE has_a AND has_b AND changed
+         |UNION ALL
+         |SELECT repo, path, b_commit, b_lang, sha256(b_content), b_lsn, b_op, 'update_postimage', CAST(ver AS bigint)
+         |FROM diffs WHERE has_a AND has_b AND changed""".stripMargin,
     "q45_cdc_mor_replay" -> s"$cte\n$applyStateSql",
     "q17_smt_reselect" ->
       s"""$cte

@@ -365,6 +365,87 @@ final class LakeTable(
       .map(_.where(col("op") =!= Envelope.OpDelete))
   }
 
+  /** Change-data-feed read (Delta CDF / Iceberg changelog-scan analog):
+    * the row-level changes the table went through in versions
+    * `(fromVersion, toVersion]`, tagged `_change_type`
+    * ('insert' | 'delete' | 'update_preimage' | 'update_postimage') and
+    * `_commit_version`. The reference exposes the same delta to
+    * downstream consumers as the change-event topic itself; on a lake
+    * table the feed lets an incremental consumer catch up from any
+    * version without replaying the log.
+    *
+    * Scale shape: one live-state diff per consecutive version pair,
+    * MANIFEST-PRUNED — the two commits' file lists name exactly which
+    * buckets changed (file-set difference), so a pair touches
+    * O(state in changed buckets), never O(table). A small incremental
+    * commit on a 100 TB table diffs a few buckets; a compaction or
+    * rebucket commit that only rewrote physical layout diffs to empty
+    * rows (CDF reports logical changes, not rewrites). Within changed
+    * buckets a full-outer join on the key classifies each transition;
+    * carried-forward rows (a CoW bucket rewrite rewrites whole buckets)
+    * compare equal and drop out. Versions with evolved schemas align to
+    * the newest in-range schema (null-fill added, upcast widened), same
+    * rules as [[snapshotRaw]].
+    */
+  def changeFeed(spark: SparkSession, fromVersion: Long, toVersion: Long): Option[DataFrame] = {
+    val cs = commits().sortBy(_.version)
+    if (cs.isEmpty) return None
+    val headV = cs.last.version
+    val inRange = cs.filter(_.version <= toVersion)
+    if (inRange.isEmpty) return None
+    val target = inRange.last.schema
+    val dataCols = target.fieldNames.toSeq
+    val valCols = dataCols.filterNot(keyCols.contains)
+
+    def empty: DataFrame =
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), target)
+    def align(df: DataFrame): DataFrame = {
+      val have = df.schema.fieldNames.toSet
+      df.select(target.fields.toIndexedSeq.map { f =>
+        if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    def live(ci: CommitInfo, buckets: Set[Int]): DataFrame =
+      resolved(spark, ci, Some(buckets), isHead = ci.version == headV)
+        .map(df => align(df.where(col("op") =!= Envelope.OpDelete)))
+        .getOrElse(empty)
+    def bucketFiles(ci: CommitInfo): Map[Int, Set[String]] =
+      ci.files.groupBy(_.bucket).map { case (b, fs) => b -> fs.map(_.path).toSet }
+
+    // (prev, cur) pairs for every commit version in (from, to]; a commit
+    // whose version is the first ever diffs against nothing (all inserts).
+    val pairs: Seq[(Option[CommitInfo], CommitInfo)] =
+      (None +: cs.map(Some(_))).zip(cs).collect {
+        case (prev, cur) if cur.version > fromVersion && cur.version <= toVersion =>
+          (prev, cur)
+      }
+    if (pairs.isEmpty) return None
+
+    val perPair = pairs.map { case (prevOpt, cur) =>
+      val prevFiles = prevOpt.fold(Map.empty[Int, Set[String]])(bucketFiles)
+      val curFiles = bucketFiles(cur)
+      val changed = (prevFiles.keySet ++ curFiles.keySet)
+        .filter(b => prevFiles.getOrElse(b, Set.empty) != curFiles.getOrElse(b, Set.empty))
+      val pre = prevOpt.filter(_ => changed.nonEmpty).fold(empty)(live(_, changed)).as("a")
+      val post = (if (changed.nonEmpty) live(cur, changed) else empty).as("b")
+      val joinCond = keyCols.map(k => col(s"a.$k") <=> col(s"b.$k")).reduce(_ && _)
+      val differs = valCols.map(c => !(col(s"a.$c") <=> col(s"b.$c"))).reduce(_ || _)
+      def side(s: String, ct: String) =
+        struct(dataCols.map(c => col(s"$s.$c").as(c)) :+ lit(ct).as("_change_type"): _*)
+      pre.join(post, joinCond, "full_outer")
+        .select(
+          when(col(s"a.${keyCols.head}").isNull, array(side("b", "insert")))
+            .when(col(s"b.${keyCols.head}").isNull, array(side("a", "delete")))
+            .when(differs, array(side("a", "update_preimage"), side("b", "update_postimage")))
+            .as("ch"))
+        .select(explode(col("ch")).as("c"))
+        .select(dataCols.map(c => col(s"c.$c")) :+ col("c._change_type") :+
+          lit(cur.version).as("_commit_version"): _*)
+    }
+    Some(perPair.reduce(_.unionAll(_)))
+  }
+
   /** Point lookup: live row(s) for ONE key, reading only the key's bucket —
     * O(table-size/numBuckets) data touched regardless of table size (the
     * serving-path read; at 100 TB with buckets of a few GB this is one

@@ -497,6 +497,90 @@ class LakeTableSpec extends SparkSpec {
     assert(table.snapshotAt(spark, 999).isEmpty, "unknown version yields None")
   }
 
+  test("change feed: per-version diffs match the fold deltas; compaction diffs empty; manifest prunes") {
+    val log = randomLog(47, 300)
+    val table = new LakeTable(tmp(), numBuckets = 8)
+    CdcPipeline.replay(spark, log.toDF(), table, numBatches = 3, writeMetrics = false)
+    val versions = table.commits().map(_.version)
+    assert(versions.size === 3)
+    val bounds = log.map(_.lsn)
+    val (lo, hi) = (bounds.min, bounds.max)
+    val width = math.max(1L, (hi - lo) / 3 + 1)
+    def stateAt(i: Int): Map[(String, String), FlatEvent] =
+      if (i == 0) Map.empty else foldOracle(log.filter(_.lsn < lo + i * width))
+
+    // full feed from before-v1 to head: per version, classified rows equal
+    // the set-difference of consecutive fold states
+    val feed = table.changeFeed(spark, 0L, versions.last).get
+    val rows = feed.collect().map { r =>
+      (r.getAs[Long]("_commit_version"), r.getAs[String]("_change_type"),
+        FlatEvent(r.getAs[String]("repo"), r.getAs[String]("path"), r.getAs[String]("commit"),
+          r.getAs[String]("lang"), r.getAs[String]("content"), r.getAs[String]("op"),
+          r.getAs[Int]("part"), r.getAs[Long]("lsn"), r.getAs[Long]("ts_ms")))
+    }
+    versions.zipWithIndex.foreach { case (v, i) =>
+      val (pre, post) = (stateAt(i), stateAt(i + 1))
+      val got = rows.filter(_._1 == v)
+      val inserts = got.filter(_._2 == "insert").map(e => (e._3.repo, e._3.path) -> e._3).toMap
+      val deletes = got.filter(_._2 == "delete").map(e => (e._3.repo, e._3.path) -> e._3).toMap
+      val preIm = got.filter(_._2 == "update_preimage").map(e => (e._3.repo, e._3.path) -> e._3).toMap
+      val postIm = got.filter(_._2 == "update_postimage").map(e => (e._3.repo, e._3.path) -> e._3).toMap
+      assert(inserts === post.view.filterKeys(!pre.contains(_)).toMap, s"v$v inserts")
+      assert(deletes === pre.view.filterKeys(!post.contains(_)).toMap, s"v$v deletes")
+      val updatedKeys = pre.keySet.intersect(post.keySet).filter(k => pre(k) != post(k))
+      assert(preIm === updatedKeys.map(k => k -> pre(k)).toMap, s"v$v preimages")
+      assert(postIm === updatedKeys.map(k => k -> post(k)).toMap, s"v$v postimages")
+    }
+
+    // replayability: folding the feed (in version order) over state(from)
+    // reconstructs state(to) — the downstream-consumer contract
+    val replayed = rows.filter(_._1 > versions.head).sortBy(_._1)
+      .foldLeft(stateAt(1)) { case (st, (_, ct, e)) =>
+        ct match {
+          case "insert" | "update_postimage" => st + ((e.repo, e.path) -> e)
+          case "delete"                      => st - ((e.repo, e.path))
+          case _                             => st // preimages carry no new state
+        }
+      }
+    assert(replayed === stateAt(3), "feed replay reconstructs the head state")
+
+    // a compaction commit rewrites layout but changes nothing logically
+    val headBefore = versions.last
+    table.compact(spark)
+    val headAfter = table.lastCommit().get.version
+    assert(headAfter > headBefore)
+    assert(table.changeFeed(spark, headBefore, headAfter).get.count() === 0L,
+      "compaction-only commit must diff to zero change rows")
+
+    // manifest pruning: a single-key update touches one bucket; the pair's
+    // diff must read NO file from any unchanged bucket
+    val one = Seq(FlatEvent.mk(("repo0", "p0.txt"), hi + 100, "u")).toDF()
+    CdcApply.applyBatch(spark, table, one, batchId = 100, writeMetrics = false)
+    val v2 = table.lastCommit().get.version
+    val cs = table.commits().filter(c => c.version == headAfter || c.version == v2)
+    val byB = cs.map(c => c.files.groupBy(_.bucket).view.mapValues(_.map(_.path).toSet).toMap)
+    val changed = (byB(0).keySet ++ byB(1).keySet)
+      .filter(b => byB(0).getOrElse(b, Set.empty) != byB(1).getOrElse(b, Set.empty))
+    assert(changed.size < 8, "a one-key batch must not change every bucket")
+    val allowed = cs.flatMap(_.files).filter(f => changed.contains(f.bucket)).map(_.path).toSet
+    val pairFeed = table.changeFeed(spark, headAfter, v2).get
+    val scanned = pairFeed.inputFiles.map { p =>
+      val abs = java.nio.file.Paths.get(new java.net.URI(p).getPath).normalize()
+      java.nio.file.Paths.get(table.root).relativize(abs).toString
+    }.toSet
+    assert(scanned.nonEmpty && scanned.subsetOf(allowed),
+      s"feed scanned unchanged buckets: ${scanned -- allowed}")
+    assert(pairFeed.collect().map(r => (r.getAs[String]("_change_type"), r.getAs[String]("path"))).toSet
+      === Set(("update_preimage", "p0.txt"), ("update_postimage", "p0.txt")))
+
+    // merge-on-read table: the same feed semantics across file stacks
+    val mor = new LakeTable(tmp(), numBuckets = 8, mergeOnRead = true)
+    CdcPipeline.replay(spark, log.toDF(), mor, numBatches = 3, writeMetrics = false)
+    val morVs = mor.commits().map(_.version)
+    val morFeed = mor.changeFeed(spark, 0L, morVs.last).get.collect()
+    assert(morFeed.length === rows.length, "MoR feed row count equals CoW feed")
+  }
+
   test("expireSnapshots bounds history: head intact, expired versions unreadable, dead files deleted") {
     val log = randomLog(37, 400)
     val table = new LakeTable(tmp(), numBuckets = 8)
