@@ -16,7 +16,19 @@ final case class LogPos(commit: String, lsn: Long) {
     else other
 }
 
-final case class FileEntry(path: String, bucket: Int, schemaIdx: Int, rows: Long)
+/** One data file in a commit manifest. `stats` holds optional per-column
+  * zone maps — (min, max) string bounds for the key and ordering columns,
+  * read from the parquet footer at stage time (same footer open as the
+  * row count; no data read). Bounds are Iceberg-style truncated (min is a
+  * prefix, max is a prefix with its last char bumped — still a valid upper
+  * bound) and only stored when pure ASCII, where Java string order, UTF-16
+  * order and parquet's unsigned-UTF-8 stats order all agree — so pruning
+  * with them is sound for any value. Empty map = no stats (old manifests,
+  * non-string columns, non-ASCII extremes): readers must treat absence as
+  * "may contain anything".
+  */
+final case class FileEntry(path: String, bucket: Int, schemaIdx: Int, rows: Long,
+    stats: Map[String, (String, String)] = Map.empty)
 
 final case class CommitInfo(
     version: Long,
@@ -331,8 +343,22 @@ final class LakeTable(
     // already resolved the head commit to get `ci`): re-listing _commits
     // here added an O(commits) directory scan to hot paths like lookup()
     // (round-2 ADVICE).
-    val raw = (if (isHead) bucketedState(spark, ci, buckets, ci.schema) else None)
-      .orElse(snapshotRaw(spark, ci, buckets))
+    // Zone-map fence pruning: the fence keeps only rows with
+    // commit ≥ fence.commit, so a file whose max(commit) bound is below it
+    // holds zero surviving rows — drop it from the read list entirely (no
+    // task scheduled). Post-truncate MoR reads then scan O(post-truncate
+    // files), not O(stack history), even before compaction physically
+    // drops the dead files. Per bucket, one file is kept when pruning
+    // would empty it, so Option/emptiness semantics match the unpruned
+    // read exactly (the fence row filter still applies either way).
+    val scanCi = ci.fence.fold(ci) { f =>
+      ci.copy(files = ci.files.groupBy(_.bucket).values.flatMap { fs =>
+        val kept = fs.filter(_.stats.get("commit").forall(_._2 >= f.commit))
+        if (kept.isEmpty) fs.take(1) else kept
+      }.toSeq)
+    }
+    val raw = (if (isHead) bucketedState(spark, scanCi, buckets, ci.schema) else None)
+      .orElse(snapshotRaw(spark, scanCi, buckets))
     raw.map { df =>
       // The struct comparison is the exact fence but does NOT push to
       // parquet; the redundant `commit >= fence.commit` conjunct is
@@ -474,7 +500,22 @@ final class LakeTable(
       val bucket = java.lang.Math.floorMod(
         new Murmur3Hash(exprs).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int],
         numBuckets)
-      resolved(spark, ci, Some(Set(bucket)))
+      // Zone-map pruning within the bucket: a file whose key bounds
+      // exclude the looked-up value cannot hold its row — skip it before
+      // any task is scheduled (a MoR stack then reads only the files that
+      // may contain the key, not the whole stack). String keys only; a
+      // file without bounds is kept (absence = may contain anything).
+      val keep: FileEntry => Boolean = e => keyCols.zip(key).forall {
+        case (c, s: String) => e.stats.get(c).forall { case (mn, mx) => s >= mn && s <= mx }
+        case _              => true
+      }
+      val scanCi = ci.copy(files = ci.files.filter(keep))
+      // isHead=false: the point lookup must NOT route through the shared
+      // bucketed-state registration — its per-key pruned file set would
+      // evict the merge path's cached registration (single slot) and pay
+      // a DROP/CREATE catalog round trip per lookup. The aligned read +
+      // LWW reduce over one bucket's pruned stack is a few small files.
+      resolved(spark, scanCi, Some(Set(bucket)), isHead = false)
         .map(_.where(keyCols.zip(key).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
           .where(col("op") =!= Envelope.OpDelete))
     }
@@ -546,7 +587,11 @@ final class LakeTable(
     }
     if (!compatible) return None
 
-    val sel = buckets.fold("all")(b => f"${b.toSeq.sorted.hashCode & 0xffffff}%06x")
+    // Selection key = hash of the exact FILE SET (not just the bucket
+    // set): callers may hand a manifest-pruned ci (fence zone maps), and
+    // two different prunings of one version must never share a
+    // registration.
+    val sel = f"${wanted.map(_.path).sorted.hashCode & 0xffffff}%06x"
     // Same commit + selection + schema + session as the last registration:
     // the link dir and catalog entry are still valid — skip the O(files)
     // hardlink pass and the DROP/CREATE round trip (SURVEY §9 round-2
@@ -849,27 +894,67 @@ final class LakeTable(
     // daemon-threaded (one per JVM, like [[LakeTable.hadoopConf]]):
     // creating/tearing down a pool per microbatch is thread churn on the
     // exact driver hot path this parallelism exists to shorten.
+    // Zone-map columns: the key + ordering (fence) string columns. Stats
+    // come from the SAME footer open as the row count — metadata only.
+    val statsCols: Set[String] =
+      (keyCols :+ "commit").distinct.filter { c =>
+        df.schema.fields.exists(f => f.name == c && f.dataType == StringType)
+      }.toSet
     val futs = staged.map { case (rel, idx, p) =>
-      (rel, idx, LakeTable.footerPool.submit(new java.util.concurrent.Callable[Long] {
-        override def call(): Long = rowCount(p)
-      }))
+      (rel, idx, LakeTable.footerPool.submit(
+        new java.util.concurrent.Callable[(Long, Map[String, (String, String)])] {
+          override def call(): (Long, Map[String, (String, String)]) = fileMeta(p, statsCols)
+        }))
     }
-    futs.map { case (rel, idx, f) => FileEntry(rel, idx, schemaIdx, f.get()) }
+    futs.map { case (rel, idx, f) =>
+      val (rows, stats) = f.get()
+      FileEntry(rel, idx, schemaIdx, rows, stats)
+    }
   }
 
-  /** Exact row count from the parquet FOOTER (metadata-only — no data
-    * read). Stored in the manifest so the merge can choose its physical
-    * path from exact state-vs-batch cardinality. Uses the shared
+  /** Exact row count + per-column zone maps from the parquet FOOTER
+    * (metadata-only — no data read). The row count lets the merge choose
+    * its physical path from exact state-vs-batch cardinality; the zone
+    * maps let reads prune whole files driver-side (fence lower bounds,
+    * point-lookup key ranges) before any task is scheduled. A column's
+    * bounds are kept only when every row group has non-null stats and the
+    * extremes survive [[LakeTable.boundMin]]/[[LakeTable.boundMax]]
+    * (ASCII + truncation soundness). Uses the shared
     * [[LakeTable.hadoopConf]]: constructing a Configuration per file is
     * the dominant cost of a footer read.
     */
-  private def rowCount(p: Path): Long =
+  private def fileMeta(p: Path, statsCols: Set[String]): (Long, Map[String, (String, String)]) =
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(p.toUri), LakeTable.hadoopConf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
-    } catch { case _: Exception => -1L }
+      try {
+        val rows = r.getRecordCount
+        val blocks = r.getFooter.getBlocks.asScala.toSeq
+        val stats = statsCols.flatMap { c =>
+          val perBlock = blocks.map(_.getColumns.asScala
+            .find(_.getPath.toDotString == c).map(_.getStatistics))
+          val usable = perBlock.nonEmpty && perBlock.forall(o =>
+            o.exists(s => s != null && !s.isEmpty && s.hasNonNullValue))
+          if (!usable) None
+          else {
+            val vals = perBlock.map(_.get).map { s =>
+              (s.genericGetMin, s.genericGetMax) match {
+                case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary) =>
+                  Some((mn.toStringUsingUTF8, mx.toStringUsingUTF8))
+                case _ => None
+              }
+            }
+            if (vals.exists(_.isEmpty)) None
+            else for {
+              mn <- LakeTable.boundMin(vals.flatten.map(_._1).min)
+              mx <- LakeTable.boundMax(vals.flatten.map(_._2).max)
+            } yield c -> (mn, mx)
+          }
+        }.toMap
+        (rows, stats)
+      } finally r.close()
+    } catch { case _: Exception => (-1L, Map.empty) }
 }
 
 /** Explicit tree-model JSON codec for the commit log (Jackson's Scala
@@ -896,6 +981,30 @@ object LakeTable {
         t.setDaemon(true)
         t
       })
+
+  /** Zone-map bound truncation (Iceberg truncate(16) analog, 64 chars).
+    * Only pure-ASCII strings produce bounds — there Java string order,
+    * UTF-16 order and parquet's unsigned-UTF-8 stats order coincide, so
+    * driver-side comparisons against the bounds are sound (see
+    * [[FileEntry.stats]]). A lower bound may be prefix-truncated as-is
+    * (a prefix is ≤ the original); an upper bound must round UP: keep the
+    * prefix with its last incrementable char bumped and the tail dropped
+    * — strictly greater than every string sharing the prefix. None = no
+    * sound bound exists; the caller stores no stat for the column.
+    */
+  private[graft] val BoundLen = 64
+  private[graft] def boundMin(s: String): Option[String] =
+    if (s.exists(_ >= 0x80)) None else Some(s.take(BoundLen))
+  private[graft] def boundMax(s: String): Option[String] =
+    if (s.exists(_ >= 0x80)) None
+    else if (s.length <= BoundLen) Some(s)
+    else {
+      val t = s.substring(0, BoundLen).toCharArray
+      var i = t.length - 1
+      while (i >= 0 && t(i) >= 0x7e) i -= 1 // keep the bumped char ASCII
+      if (i < 0) None
+      else { t(i) = (t(i) + 1).toChar; Some(new String(t, 0, i + 1)) }
+    }
 
   /** Serializes [[withSerialListing]] conf flips (see its doc). */
   private[table] val serialListingLock = new Object
@@ -975,11 +1084,7 @@ object LakeTable {
     val d = o.putObject("delta")
     d.put("base", prev.version)
     val fs = d.putArray("added")
-    added.foreach { f =>
-      val fo = fs.addObject()
-      fo.put("path", f.path); fo.put("bucket", f.bucket)
-      fo.put("schemaIdx", f.schemaIdx); fo.put("rows", f.rows)
-    }
+    added.foreach(f => putFile(fs.addObject(), f))
     val rm = d.putArray("removed")
     removed.foreach(rm.add)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
@@ -1000,10 +1105,7 @@ object LakeTable {
       schemas = arr(o.get("schemas")).map(_.asText()).toSeq,
       schemaIdx = o.get("schemaIdx").asInt(),
       base = d.get("base").asLong(),
-      added = arr(d.get("added")).map { f =>
-        FileEntry(f.get("path").asText(), f.get("bucket").asInt(),
-          f.get("schemaIdx").asInt(), f.get("rows").asLong())
-      }.toSeq,
+      added = arr(d.get("added")).map(readFile).toSeq,
       removedPaths = arr(d.get("removed")).map(_.asText()).toSet,
       numBuckets = Option(o.get("numBuckets")).map(_.asInt()).getOrElse(0))
   }
@@ -1024,12 +1126,30 @@ object LakeTable {
     o.put("schemaIdx", ci.schemaIdx)
     o.put("numBuckets", ci.numBuckets)
     val fs = o.putArray("files")
-    ci.files.foreach { f =>
-      val fo = fs.addObject()
-      fo.put("path", f.path); fo.put("bucket", f.bucket)
-      fo.put("schemaIdx", f.schemaIdx); fo.put("rows", f.rows)
-    }
+    ci.files.foreach(f => putFile(fs.addObject(), f))
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
+  }
+
+  private def putFile(fo: ObjectNode, f: FileEntry): Unit = {
+    fo.put("path", f.path); fo.put("bucket", f.bucket)
+    fo.put("schemaIdx", f.schemaIdx); fo.put("rows", f.rows)
+    if (f.stats.nonEmpty) {
+      val st = fo.putObject("stats")
+      f.stats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+        val a = st.putArray(c); a.add(mn); a.add(mx)
+      }
+    }
+  }
+
+  private def readFile(f: JsonNode): FileEntry = {
+    val stats = Option(f.get("stats")).collect { case o: ObjectNode =>
+      o.fields().asScala.map { e =>
+        val a = e.getValue.asInstanceOf[ArrayNode]
+        e.getKey -> (a.get(0).asText(), a.get(1).asText())
+      }.toMap
+    }.getOrElse(Map.empty[String, (String, String)])
+    FileEntry(f.get("path").asText(), f.get("bucket").asInt(),
+      f.get("schemaIdx").asInt(), f.get("rows").asLong(), stats)
   }
 
   def fromJson(s: String): CommitInfo = {
@@ -1046,10 +1166,7 @@ object LakeTable {
       fence = fence,
       schemas = arr(o.get("schemas")).map(_.asText()).toSeq,
       schemaIdx = o.get("schemaIdx").asInt(),
-      files = arr(o.get("files")).map { f =>
-        FileEntry(f.get("path").asText(), f.get("bucket").asInt(),
-          f.get("schemaIdx").asInt(), f.get("rows").asLong())
-      }.toSeq,
+      files = arr(o.get("files")).map(readFile).toSeq,
       numBuckets = Option(o.get("numBuckets")).map(_.asInt()).getOrElse(0))
   }
 }

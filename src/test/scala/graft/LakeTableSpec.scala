@@ -740,4 +740,120 @@ class LakeTableSpec extends SparkSpec {
     assert(table.lastCommit().get.files.toSet === files)
     assert(tableState(table) === foldOracle(log))
   }
+
+  // -- zone maps (manifest file stats) --------------------------------
+
+  /** Input records actually READ by `action` — the observable for
+    * driver-side file pruning (a pruned file schedules no task, so its
+    * rows never hit inputMetrics).
+    */
+  private def recordsRead(action: => Unit): Long = {
+    val n = new java.util.concurrent.atomic.AtomicLong
+    val meter = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        n.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(meter)
+    try { action; Thread.sleep(1200) } finally spark.sparkContext.removeSparkListener(meter)
+    n.get
+  }
+
+  test("zone-map bounds: sound truncation, ASCII-only, upper bound rounds up") {
+    import graft.table.LakeTable.{boundMin, boundMax, BoundLen}
+    // short ASCII strings pass through exactly
+    assert(boundMin("c0000000042") === Some("c0000000042"))
+    assert(boundMax("c0000000042") === Some("c0000000042"))
+    // non-ASCII yields no bound (UTF-16 vs UTF-8 order diverge there)
+    assert(boundMin("café") === None)
+    assert(boundMax("café") === None)
+    // long strings: min truncates (a prefix is <= the original), max bumps
+    val long = "a" * 100 + "zzz"
+    assert(boundMin(long) === Some("a" * BoundLen))
+    assert(boundMax(long).get > long, "truncated upper bound must still dominate the original")
+    // a prefix of all-unbumpable chars has no sound upper bound
+    assert(boundMax("~" * 100) === None)
+    // soundness over a spread of generated ASCII strings
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val s = (1 to (1 + rnd.nextInt(120))).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+      boundMin(s).foreach(mn => assert(mn <= s))
+      boundMax(s).foreach(mx => assert(mx >= s))
+    }
+  }
+
+  test("zone maps: manifest stats bracket each file's data and survive the JSON round-trip") {
+    val log = randomLog(41, 400)
+    val dir = tmp()
+    val table = new LakeTable(dir, numBuckets = 8, mergeOnRead = true)
+    CdcPipeline.replay(spark, log.toDF(), table, numBatches = 3, writeMetrics = false)
+    val ci = table.lastCommit().get
+    assert(ci.files.nonEmpty)
+    ci.files.foreach { f =>
+      assert(f.stats.keySet === Set("repo", "path", "commit"),
+        s"key + ordering columns must carry bounds for ${f.path}")
+      val rows = spark.read.parquet(s"$dir/${f.path}").select("repo", "path", "commit").collect()
+      Seq("repo", "path", "commit").zipWithIndex.foreach { case (c, i) =>
+        val (mn, mx) = f.stats(c)
+        rows.map(_.getString(i)).foreach(v =>
+          assert(v >= mn && v <= mx, s"$c='$v' escapes [${mn}, ${mx}] in ${f.path}"))
+      }
+    }
+    // a fresh handle decodes the same manifests — stats included
+    val reader = graft.table.LakeTable.open(dir)
+    assert(reader.lastCommit().get.files.toSet === ci.files.toSet)
+  }
+
+  test("zone maps: truncate fence prunes dead files from the MoR read (scan is O(post-truncate))") {
+    // 600 pre-truncate events, a truncate, then a short post-truncate tail;
+    // 6 lsn-window batches stack ~5 batches of files that are entirely
+    // below the fence.
+    val pre = (1 to 600).map(i => FlatEvent.mk((s"repo${i % 4}", s"p${i % 8}.txt"), i.toLong, "u"))
+    val log = (pre :+ FlatEvent.mk(("repo0", "p0.txt"), 601, "t")) ++
+      (602 to 650).map(i => FlatEvent.mk((s"repo${i % 4}", s"p${i % 8}.txt"), i.toLong, "c"))
+    val table = new LakeTable(tmp(), numBuckets = 8, mergeOnRead = true)
+    CdcPipeline.replay(spark, log.toDF(), table, numBatches = 6, writeMetrics = false)
+    val ci = table.lastCommit().get
+    assert(ci.fence.isDefined, "the log's truncate must set a fence")
+    val staged = ci.files.map(_.rows).sum
+    val read = recordsRead(assert(tableState(table) === foldOracle(log)))
+    // files whose max(commit) sits below the fence schedule no task: the
+    // read touches the post-truncate files plus at most one keeper per
+    // bucket (emptiness semantics), never the whole stack
+    assert(read < staged / 2,
+      s"fenced MoR read scanned $read of $staged staged rows — dead files must be pruned driver-side")
+  }
+
+  test("zone maps: point lookup reads only files whose key bounds admit the key") {
+    // two disjoint key populations in disjoint lsn windows → each bucket
+    // stacks one alpha-only file and one zeta-only file
+    val alpha = (1 to 200).map(i => FlatEvent.mk((s"alpha${i % 5}", s"p${i % 8}.txt"), i.toLong, "u"))
+    val zeta = (201 to 400).map(i => FlatEvent.mk((s"zeta${i % 5}", s"p${i % 8}.txt"), i.toLong, "u"))
+    val table = new LakeTable(tmp(), numBuckets = 4, mergeOnRead = true)
+    CdcPipeline.replay(spark, (alpha ++ zeta).toDF(), table, numBatches = 2, writeMetrics = false)
+    val ci = table.lastCommit().get
+
+    val key = ("zeta3", "p5.txt")
+    val bucket = Seq(key).toDF("repo", "path")
+      .select(pmod(hash(col("repo"), col("path")), lit(4))).head().getInt(0)
+    val stack = ci.files.filter(_.bucket == bucket)
+    val admitted = stack.filter { f =>
+      Seq("repo" -> key._1, "path" -> key._2).forall { case (c, v) =>
+        f.stats.get(c).forall { case (mn, mx) => v >= mn && v <= mx }
+      }
+    }
+    assert(admitted.map(_.rows).sum < stack.map(_.rows).sum,
+      "the alpha-batch file must be excluded by its repo bounds — else the scenario tests nothing")
+
+    var got: Seq[FlatEvent] = Nil
+    val read = recordsRead { got = table.lookup(spark, Seq(key._1, key._2)).get.as[FlatEvent].collect().toSeq }
+    assert(got === Seq(foldOracle(alpha ++ zeta)(key)), "pruned lookup must return the LWW winner")
+    assert(read <= admitted.map(_.rows).sum,
+      s"lookup scanned $read rows but only ${admitted.map(_.rows).sum} are in admissible files")
+
+    // a key outside every file's bounds resolves to absent with ZERO scan
+    val missRead = recordsRead {
+      assert(table.lookup(spark, Seq("zzzz", "nowhere.txt")).forall(_.count() === 0L))
+    }
+    assert(missRead === 0L, s"out-of-bounds key scheduled a scan of $missRead rows")
+  }
 }
