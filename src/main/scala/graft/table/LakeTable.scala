@@ -478,6 +478,13 @@ final class LakeTable(
     * file-stack scan, not a table scan). The bucket is computed driver-side
     * with the same Murmur3 pmod as [[bucketCol]]; within the bucket a
     * key-equality filter (pushed to parquet) selects the row.
+    *
+    * Option contract: None = PROVABLY absent without any scan — the table
+    * is empty, or every file in the key's bucket was excluded by its zone
+    * maps (a key outside all bounds cannot exist). Some(df) = the files
+    * that may contain the key, filtered; df can still be empty. Callers
+    * testing absence must use `forall(_.isEmpty)`-style checks, never
+    * `.get` on a possibly-absent key.
     */
   def lookup(spark: SparkSession, key: Seq[Any]): Option[DataFrame] = {
     require(key.size == keyCols.size, s"key must match $keyCols")
@@ -587,17 +594,20 @@ final class LakeTable(
     }
     if (!compatible) return None
 
-    // Selection key = hash of the exact FILE SET (not just the bucket
-    // set): callers may hand a manifest-pruned ci (fence zone maps), and
-    // two different prunings of one version must never share a
-    // registration.
-    val sel = f"${wanted.map(_.path).sorted.hashCode & 0xffffff}%06x"
-    // Same commit + selection + schema + session as the last registration:
+    // Selection = the exact FILE SET (not just the bucket set): callers
+    // may hand a manifest-pruned ci (fence zone maps), and two different
+    // prunings of one version must never share a registration. The short
+    // hash only names the link DIR; reuse compares the full path list —
+    // a truncated-hash collision then re-registers (correct, just
+    // unmemoized) instead of silently serving the other pruning's files.
+    val selPaths = wanted.map(_.path).sorted
+    val sel = f"${selPaths.hashCode & 0xffffff}%06x"
+    // Same commit + file set + schema + session as the last registration:
     // the link dir and catalog entry are still valid — skip the O(files)
     // hardlink pass and the DROP/CREATE round trip (SURVEY §9 round-2
     // item: repeated reads of one version, e.g. merge-on-read `resolved`
     // calls, pay the registration once per commit instead of per read).
-    val cacheKey = (ci.version, sel, readSchema.catalogString, System.identityHashCode(spark))
+    val cacheKey = (ci.version, selPaths, readSchema.catalogString, System.identityHashCode(spark))
     val dir = Paths.get(root, "_bucketed", f"v${ci.version}%020d-$sel")
     if (registeredState.contains(cacheKey) && Files.isDirectory(dir) &&
         spark.catalog.tableExists(catalogName)) {
@@ -656,10 +666,10 @@ final class LakeTable(
     Some(spark.table(catalogName))
   }
 
-  /** Last (version, selection, schema, session) registered as the bucketed
+  /** Last (version, file set, schema, session) registered as the bucketed
     * external table — see the reuse check in [[bucketedState]].
     */
-  @volatile private var registeredState: Option[(Long, String, String, Int)] = None
+  @volatile private var registeredState: Option[(Long, Seq[String], String, Int)] = None
 
   /** Count of bucketed-table registrations actually performed (spec hook). */
   @volatile private[graft] var registrations: Long = 0L

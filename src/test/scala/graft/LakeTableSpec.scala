@@ -743,21 +743,6 @@ class LakeTableSpec extends SparkSpec {
 
   // -- zone maps (manifest file stats) --------------------------------
 
-  /** Input records actually READ by `action` — the observable for
-    * driver-side file pruning (a pruned file schedules no task, so its
-    * rows never hit inputMetrics).
-    */
-  private def recordsRead(action: => Unit): Long = {
-    val n = new java.util.concurrent.atomic.AtomicLong
-    val meter = new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        n.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.recordsRead)
-    }
-    spark.sparkContext.addSparkListener(meter)
-    try { action; Thread.sleep(1200) } finally spark.sparkContext.removeSparkListener(meter)
-    n.get
-  }
-
   test("zone-map bounds: sound truncation, ASCII-only, upper bound rounds up") {
     import graft.table.LakeTable.{boundMin, boundMax, BoundLen}
     // short ASCII strings pass through exactly
@@ -816,6 +801,7 @@ class LakeTableSpec extends SparkSpec {
     assert(ci.fence.isDefined, "the log's truncate must set a fence")
     val staged = ci.files.map(_.rows).sum
     val read = recordsRead(assert(tableState(table) === foldOracle(log)))
+    assert(read > 0, "positive control: the fenced read must observe SOME scanned rows")
     // files whose max(commit) sits below the fence schedule no task: the
     // read touches the post-truncate files plus at most one keeper per
     // bucket (emptiness semantics), never the whole stack
@@ -847,6 +833,7 @@ class LakeTableSpec extends SparkSpec {
     var got: Seq[FlatEvent] = Nil
     val read = recordsRead { got = table.lookup(spark, Seq(key._1, key._2)).get.as[FlatEvent].collect().toSeq }
     assert(got === Seq(foldOracle(alpha ++ zeta)(key)), "pruned lookup must return the LWW winner")
+    assert(read > 0, "positive control: the admitted files must actually be scanned")
     assert(read <= admitted.map(_.rows).sum,
       s"lookup scanned $read rows but only ${admitted.map(_.rows).sum} are in admissible files")
 

@@ -9,6 +9,35 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
 
   override def afterAll(): Unit = () // shared session; never stop it
+
+  /** Input records actually READ by `action`, via a task-metrics
+    * listener — the observable for driver-side file/row-group pruning (a
+    * pruned file schedules no task, so its rows never reach
+    * inputMetrics). The listener bus posts asynchronously, so the counter
+    * is polled until stable instead of sleeping a fixed time — a slow bus
+    * would otherwise UNDERCOUNT and let an upper-bound pruning assertion
+    * pass vacuously. Callers asserting `recordsRead(...) <= bound` should
+    * pair it with a positive control (`> 0` on a read that must scan) so
+    * a broken meter is detectable.
+    */
+  protected def recordsRead(action: => Unit): Long = {
+    val n = new java.util.concurrent.atomic.AtomicLong
+    val meter = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        n.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(meter)
+    try {
+      action
+      var prev = -1L; var stable = 0; var waited = 0
+      while (stable < 3 && waited < 8000) {
+        val cur = n.get
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        Thread.sleep(250); waited += 250
+      }
+    } finally spark.sparkContext.removeSparkListener(meter)
+    n.get
+  }
 }
 
 object SparkSpec {
