@@ -89,6 +89,10 @@ import graft.table.LakeTable
   *    the same estimator. Per-rep times go to stderr;
   *  - N and 4N reps are interleaved so both legs sample the same
   *    contention epochs; the volatile 4N leg gets the asymmetric extras;
+  *  - calm-epoch gate: each leg's quarter-size slope point runs FIRST as
+  *    a ~2-5 s contention probe; when it reads >1.6× the leg's best small
+  *    wall, the full-size rep is deferred a few seconds (bounded retries)
+  *    rather than burned in an epoch best-of would discard anyway;
   *  - table + shuffle I/O on /dev/shm when present (the VM's virtio disk
   *    adds ~2× latency a cluster's local NVMe would not);
   *  - AQE off for the replay (the merge plan is explicitly partitioned);
@@ -370,17 +374,36 @@ object Bench {
     * Sessions alternate via stop/start (one SparkContext per JVM); JIT and
     * the codegen cache persist across contexts. Returns (fullSec, smallSec).
     */
-  private def pairLeg(cpus: Int, ev: Long, evSmall: Long, warm: Boolean, tag: String): (Double, Double) = {
+  private def pairLeg(cpus: Int, ev: Long, evSmall: Long, warm: Boolean, tag: String,
+      bestSmallSoFar: Double = Double.MaxValue): (Double, Double) = {
     val s = session(cpus, aqe = false, shufflePartitions = Some(NumBuckets))
     try {
       // Small warm-up: JIT + codegen caches are JVM-wide and already hot
       // from the calibration probe; this only exercises the fresh session.
       if (warm) replayThroughput(s, math.min(100000L, ev))
+      // Calm-epoch gate: the quarter-size slope point doubles as a
+      // contention probe, so run it FIRST. A small wall >1.6× the best
+      // small wall this leg has ever measured means the current epoch is
+      // contended — spending ~30 s on the full rep now buys a sample
+      // best-of discards anyway (contention only subtracts). Sleep
+      // briefly and re-probe, bounded to 2 retries (~10-15 s worst case,
+      // a third of a doomed rep): host contention epochs last seconds,
+      // so a short defer often lands the expensive rep in a calm one —
+      // the exact mechanism behind the contended-window pair readings
+      // (BASELINE.md runs B-H). The first rep has no reference and
+      // never gates; every probe still feeds the best-of slope point.
+      var bestS = replayThroughput(s, evSmall)._1
+      var gateRetries = 0
+      while (bestS > bestSmallSoFar * 1.6 && gateRetries < 2) {
+        Thread.sleep(4000)
+        bestS = math.min(bestS, replayThroughput(s, evSmall)._1)
+        gateRetries += 1
+      }
       val (t, thr) = replayThroughput(s, ev)
-      val (tS, _) = replayThroughput(s, evSmall)
       System.err.println(
-        f"[bench] pair $tag cpus=$cpus: $t%.1f s ($thr%.0f ev/s avg); small=$tS%.1f s")
-      (t, tS)
+        f"[bench] pair $tag cpus=$cpus: $t%.1f s ($thr%.0f ev/s avg); small=$bestS%.1f s" +
+          (if (gateRetries > 0) s" (gate retries=$gateRetries)" else ""))
+      (t, bestS)
     } finally s.stop()
   }
 
@@ -409,9 +432,9 @@ object Bench {
     while (r < reps && mayRun(r)) {
       pairs.foreach { p =>
         if (mayRun(r)) {
-          val (tN, sN) = pairLeg(p.n, p.ev, p.evSmall, r == 0, s"rep=${r + 1}")
+          val (tN, sN) = pairLeg(p.n, p.ev, p.evSmall, r == 0, s"rep=${r + 1}", p.bestSmallN)
           p.recordN(tN, sN)
-          val (t4, s4) = pairLeg(p.n4, p.ev, p.evSmall, r == 0, s"rep=${r + 1}")
+          val (t4, s4) = pairLeg(p.n4, p.ev, p.evSmall, r == 0, s"rep=${r + 1}", p.bestSmall4)
           p.record4(t4, s4)
         }
       }
@@ -435,7 +458,7 @@ object Bench {
     // though a calmer N sample can only LOWER the reported number.
     pairs.filter(p => p.measured && p.repsN < 2).foreach { p =>
       if (System.currentTimeMillis() < deadlineMs) {
-        val (tN, sN) = pairLeg(p.n, p.ev, p.evSmall, warm = false, s"topupN reps=${p.repsN + 1}")
+        val (tN, sN) = pairLeg(p.n, p.ev, p.evSmall, warm = false, s"topupN reps=${p.repsN + 1}", p.bestSmallN)
         p.recordN(tN, sN)
       }
     }
@@ -450,7 +473,7 @@ object Bench {
         System.currentTimeMillis() < deadlineMs) {
       val p = pairs.filter(_.measured).maxBy(_.bestEff)
       val before = p.bestEff
-      val (t4, s4) = pairLeg(p.n4, p.ev, p.evSmall, warm = false, s"extra4=${extra + 1}")
+      val (t4, s4) = pairLeg(p.n4, p.ev, p.evSmall, warm = false, s"extra4=${extra + 1}", p.bestSmall4)
       p.record4(t4, s4)
       stale = if (p.bestEff > before + 1e-9) 0 else stale + 1
       extra += 1

@@ -731,7 +731,19 @@ final class LakeTable(
           df.where(col("op") =!= Envelope.OpDelete ||
             struct(col("commit"), col("lsn")) > struct(lit(p.commit), lit(p.lsn)))
         }
-        val laid = pruned.repartition(numBuckets, keyCols.map(col): _*)
+        val laid0 = pruned.repartition(numBuckets, keyCols.map(col): _*)
+        // Clustered rewrite (Iceberg sort-order rewrite analog): with
+        // size-bounded multi-file buckets, maxRecordsPerFile splits each
+        // partition SEQUENTIALLY — sorting the partition by key first
+        // gives the bucket's files disjoint key ranges, so the manifest
+        // zone maps prune a point lookup to ~one file per stack instead
+        // of admitting every split file. Order never affects correctness
+        // (bucket membership and LWW are order-independent); skipped when
+        // no consumer of the order exists (single-file buckets have
+        // whole-bucket bounds regardless; sortedBuckets sorts in stage()).
+        val laid =
+          if (maxFileRows > 0 && !sortedBuckets) laid0.sortWithinPartitions(keyCols.map(col): _*)
+          else laid0
         val staged = stage(laid, ci.batchId, ci.schemaIdx, attempt = ci.version + 1)
         val untouched = ci.files.filterNot(f => buckets.contains(f.bucket))
         val next = ci.copy(version = ci.version + 1, files = untouched ++ staged)

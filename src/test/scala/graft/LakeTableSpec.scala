@@ -843,4 +843,43 @@ class LakeTableSpec extends SparkSpec {
     }
     assert(missRead === 0L, s"out-of-bounds key scheduled a scan of $missRead rows")
   }
+
+  test("clustered compaction: split files carry disjoint key ranges; lookup prunes to ~one file") {
+    // wide key space over few buckets + small maxFileRows → each bucket's
+    // rewrite splits into several files
+    val rnd = new scala.util.Random(29)
+    val keys = for (r <- 0 until 10; p <- 0 until 40) yield (s"repo$r", f"p$p%02d.txt")
+    val log = (1 to 1000).map(i => FlatEvent.mk(keys(rnd.nextInt(keys.size)), i.toLong, "u"))
+    val table = new LakeTable(tmp(), numBuckets = 4, mergeOnRead = true, maxFileRows = 20L)
+    CdcPipeline.replay(spark, log.toDF(), table, numBatches = 3, writeMetrics = false)
+    val before = tableState(table)
+
+    table.compact(spark)
+    assert(tableState(table) === before, "clustered compaction must preserve the state")
+    val ci = table.lastCommit().get
+    val byBucket = ci.files.groupBy(_.bucket)
+    assert(byBucket.values.exists(_.size > 1), "buckets must have split into multiple files")
+
+    // the sorted sequential split makes per-file key bounds ~disjoint: any
+    // key is admitted by at most 2 of a bucket's files (boundary overlap)
+    def admits(f: graft.table.FileEntry, k: (String, String)): Boolean =
+      Seq("repo" -> k._1, "path" -> k._2).forall { case (c, v) =>
+        f.stats.get(c).forall { case (mn, mx) => v >= mn && v <= mx }
+      }
+    before.keys.take(20).foreach { k =>
+      val bucket = Seq(k).toDF("repo", "path")
+        .select(pmod(hash(col("repo"), col("path")), lit(4))).head().getInt(0)
+      val n = byBucket(bucket).count(f => admits(f, k))
+      assert(n >= 1 && n <= 2, s"key $k admitted by $n of ${byBucket(bucket).size} files in bucket $bucket")
+    }
+
+    // and the scan observable agrees: a lookup reads ≤ 2 split files' rows
+    val k0 = before.keys.head
+    val read = recordsRead {
+      assert(table.lookup(spark, Seq(k0._1, k0._2)).get.as[FlatEvent].collect().toSeq ===
+        Seq(before(k0)))
+    }
+    assert(read > 0, "positive control: the lookup must scan the admitted file(s)")
+    assert(read <= 40L, s"lookup scanned $read rows — clustering must bound it to ≤2 20-row files")
+  }
 }

@@ -63,7 +63,7 @@ class ReplayPropertySpec extends SparkSpec {
         val table = new LakeTable(Files.createTempDirectory("prop").toString,
           numBuckets = 4, mergeOnRead = mor, maxFileRows = maxRows)
         val cuts = cutsRaw.map(c => (c * log.size).toInt).sorted
-        val batches = (0 +: cuts :+ log.size).sliding(2).map { case Seq(a, b) => log.slice(a, b) }.toSeq
+        val batches = (0 +: cuts :+ log.size).sliding(2).collect { case Seq(a, b) => log.slice(a, b) }.toSeq
         batches.zipWithIndex.foreach { case (b, i) =>
           // empty slices skipped: batchId gaps are legal (Spark can skip ids)
           if (b.nonEmpty) CdcApply.applyBatch(spark, table, b.toDF(), batchId = i, salt = 2)
