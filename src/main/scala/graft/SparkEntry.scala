@@ -408,6 +408,12 @@ object SparkEntry {
     "q73_dedup_clusters" -> ((s, dir) =>
       Dedup.duplicateClusters(
         Dedup.minhashLsh(Corpus.docsWithDups(s, dir), bands = 4, rowsPerBand = 4, threshold = 0.7))),
+    // SemDeDup (Abbas et al. 2023): k-means-cluster-blocked semantic dedup —
+    // within-cluster cosine pairs → connected components → keep the member
+    // FARTHEST from its centroid (lowest ccos; the paper's rule). Literal
+    // centroids (q54's deterministic seeding) keep the oracle exact.
+    "q113_semdedup" -> ((s, dir) =>
+      Dedup.semDedup(Corpus.embsWithDups(s, dir), nlist = 8, threshold = 0.98)),
     // Deterministic corpus mixing + splits: per-language keep rates
     // (mixing weights) and disjoint train/val/test assignment, both pure
     // functions of md5(salt||doc_id) — reproducible at any partitioning,
@@ -2329,6 +2335,32 @@ object SparkEntry {
          |  UNION
          |  SELECT cc.doc, e.d FROM cc JOIN edges e ON cc.reach = e.s)
          |SELECT doc, least(doc, min(reach)) AS cluster FROM cc GROUP BY doc""".stripMargin,
+    "q113_semdedup" ->
+      s"""WITH RECURSIVE ${Corpus.Sql.emb}
+         |, cents AS (SELECT vec_id AS ccid, embedding AS cv FROM emb ORDER BY vec_id LIMIT 8)
+         |, sa AS (
+         |  SELECT vec_id, va, cid, ($embDot) / (${embNorm("va")} * ${embNorm("vb")}) AS ccos_raw
+         |  FROM (SELECT e.vec_id, e.embedding AS va, c.ccid AS cid, c.cv AS vb
+         |        FROM emb e CROSS JOIN cents c))
+         |, assign AS (
+         |  SELECT vec_id, va AS v, cid AS list_id, round(ccos_raw, 4) AS ccos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos_raw DESC, cid) AS rn FROM sa) t
+         |  WHERE rn = 1)
+         |, pairs AS (
+         |  SELECT a, b FROM (
+         |    SELECT l.vec_id AS a, r.vec_id AS b, l.v AS va, r.v AS vb, $embCos AS cos
+         |    FROM assign l JOIN assign r ON l.list_id = r.list_id AND l.vec_id < r.vec_id) t
+         |  WHERE cos >= 0.98)
+         |, edges AS (
+         |  SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs)
+         |, cc AS (
+         |  SELECT s AS doc, d AS reach FROM edges
+         |  UNION
+         |  SELECT cc.doc, e.d FROM cc JOIN edges e ON cc.reach = e.s)
+         |, comp AS (SELECT doc, least(doc, min(reach)) AS cluster FROM cc GROUP BY doc)
+         |SELECT comp.doc, comp.cluster, a.ccos,
+         |       (row_number() OVER (PARTITION BY comp.cluster ORDER BY a.ccos, comp.doc) = 1) AS keep
+         |FROM comp JOIN assign a ON a.vec_id = comp.doc""".stripMargin,
     "q74_corpus_mix_sample" ->
       """WITH s AS (
         |  SELECT doc_id, lang,

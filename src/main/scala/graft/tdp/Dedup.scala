@@ -367,4 +367,86 @@ object Dedup {
     base.unpersist()
     out
   }
+
+  // ---------------------------------------------------------------- SemDeDup
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+    * embedding clustering. Vectors are assigned to their nearest centroid
+    * (k-means cluster), pairwise cosine is computed only WITHIN each
+    * cluster, and every semantic-duplicate group (connected component of
+    * the ≥-threshold pair graph) keeps exactly one member — per the paper's
+    * rule, the one with the LOWEST cosine to its cluster centroid (the most
+    * "central" examples are the redundant ones; the outlier carries the
+    * most information). Ties break on id.
+    *
+    * Scale shape: centroids are bounded MODEL PARAMETERS inlined as
+    * literals ([[Similarity.ivfCentroids]] seeds; `kmeansIters > 0` runs
+    * distributed Lloyd's refinement — one map-side-combined aggregate per
+    * iteration), so assignment is a narrow codegen'd pass. The
+    * within-cluster self-join shuffles (list_id, id, vec) once per side and
+    * streams the per-cluster quadratic through the join condition — the
+    * paper's cost model, bounded by cluster size (nlist grows with the
+    * corpus, ≈N/⟨target cluster size⟩). Component resolution
+    * ([[duplicateClusters]]) and the keep-rule window shuffle ids +
+    * scalars only, never vectors.
+    *
+    * Output: one row per doc that appears in a ≥-threshold pair —
+    * `(doc, cluster, ccos, keep)` where `cluster` is the component-min doc
+    * id, `ccos` the rounded cosine to the assigned centroid, and `keep`
+    * marks the group's survivor. Docs in no pair are implicitly kept (not
+    * emitted), like [[duplicateClusters]].
+    */
+  def semDedup(
+      embs: DataFrame,
+      nlist: Int = 8,
+      threshold: Double = 0.95,
+      kmeansIters: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents =
+      if (kmeansIters > 0) Similarity.ivfCentroidsKmeans(embs, nlist, kmeansIters, idCol, vecCol)
+      else Similarity.ivfCentroids(embs, nlist, idCol, vecCol)
+    // ccos = cosine to the ASSIGNED (nearest) centroid = the max over the
+    // literal centroid set; ivfProbes' argmax picks the matching cid with
+    // the same (cos desc, cid asc) tie-break.
+    val ccosRaw = array_max(array(cents.map { case (_, cv) =>
+      Similarity.cosine(col("v"), typedlit(cv))
+    }: _*))
+    val base = embs
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), col("v"),
+        element_at(Similarity.ivfProbes(col("v"), cents, 1), 1).as("list_id"),
+        round(ccosRaw, 4).as("ccos"))
+      .persist() // both self-join sides + the keep-rule join read it
+    val l = base.select(col("list_id"), col("id").as("a"), col("v").as("va"))
+    val r = base.select(col("list_id"), col("id").as("b"), col("v").as("vb"))
+    // each doc has exactly ONE list_id, so a pair appears at most once —
+    // no candidate dedup step needed (unlike the multi-band LSH paths)
+    val pairs = l.join(r, "list_id")
+      .where(col("a") < col("b") &&
+        round(Similarity.cosine(col("va"), col("vb")), 4) >= threshold)
+      .select(col("a"), col("b"))
+    val comp = duplicateClusters(pairs)
+    val w = Window.partitionBy(col("cluster")).orderBy(col("ccos"), col("doc"))
+    val out = comp
+      .join(base.select(col("id").as("doc"), col("ccos")), "doc")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc"), col("cluster"), col("ccos"), col("keep"))
+      .persist()
+    out.count() // materialize the (small) decision table, drop the big cache
+    base.unpersist()
+    out
+  }
+
+  /** Corpus-level SemDeDup: drop every non-surviving member of each
+    * semantic-duplicate group. One anti-join of the corpus against the
+    * (small) loser id set from [[semDedup]]'s decision table.
+    */
+  def semDedupKeep(
+      embs: DataFrame,
+      decisions: DataFrame,
+      idCol: String = "vec_id"): DataFrame = {
+    val losers = decisions.where(!col("keep")).select(col("doc").as(idCol))
+    embs.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -90,6 +90,34 @@ class TdpSpec extends SparkSpec {
     assert(found === plants, s"found $found of $plants scaled plants")
   }
 
+  test("SemDeDup: plants co-cluster; exactly one survivor per cluster, farthest from centroid") {
+    val dec = Dedup.semDedup(embs, nlist = 8, threshold = 0.98).cache()
+    // every planted (v, 1.01·v) pair lands in one semantic cluster
+    val plants = embs.where(col("vec_id") >= 1000000L)
+      .select(col("vec_id") - 1000000L).as[Long].collect().toSet
+    val byDoc = dec.select("doc", "cluster").as[(Long, Long)].collect().toMap
+    plants.foreach { p =>
+      assert(byDoc.contains(p) && byDoc.contains(p + 1000000L) &&
+        byDoc(p) === byDoc(p + 1000000L), s"plant pair ($p, ${p + 1000000L}) not co-clustered")
+    }
+    // exactly one keep per cluster
+    val badKeeps = dec.groupBy("cluster")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("k"))
+      .where(col("k") =!= 1).count()
+    assert(badKeeps === 0L)
+    // the survivor is the min-(ccos, doc) member — the paper's
+    // keep-the-farthest-from-centroid rule with the id tie-break
+    val rows = dec.select("doc", "cluster", "ccos", "keep")
+      .as[(Long, Long, Double, Boolean)].collect()
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      val expected = members.minBy(m => (m._3, m._1))
+      assert(members.filter(_._4).toSeq === Seq(expected))
+    }
+    // corpus filter drops exactly the losers
+    val losers = dec.where(!col("keep")).count()
+    assert(Dedup.semDedupKeep(embs, dec).count() === embs.count() - losers)
+  }
+
   test("ANN brute force: top-1 of a planted query is its scaled copy; k and ordering respected") {
     val queries = embs.where(col("vec_id") === 0L) // 0 % 5 == 0 → has a scaled copy
     val top = Similarity.bruteForceTopK(embs, queries, k = 5).cache()
