@@ -89,10 +89,12 @@ import graft.table.LakeTable
   *    the same estimator. Per-rep times go to stderr;
   *  - N and 4N reps are interleaved so both legs sample the same
   *    contention epochs; the volatile 4N leg gets the asymmetric extras;
-  *  - calm-epoch gate: each leg's quarter-size slope point runs FIRST as
-  *    a ~2-5 s contention probe; when it reads >1.6× the leg's best small
-  *    wall, the full-size rep is deferred a few seconds (bounded retries)
-  *    rather than burned in an epoch best-of would discard anyway;
+  *  - calm-epoch gate: each leg runs a quarter-size ~2-5 s contention
+  *    probe FIRST; when it reads >1.6× the leg's best small wall, the
+  *    full-size rep is deferred a few seconds (bounded retries) rather
+  *    than burned in an epoch best-of would discard anyway. The OFFICIAL
+  *    small slope point is still measured after the full rep (warm
+  *    session, runs-A-K semantics); probes only ever lower the min;
   *  - table + shuffle I/O on /dev/shm when present (the VM's virtio disk
   *    adds ~2× latency a cluster's local NVMe would not);
   *  - AQE off for the replay (the merge plan is explicitly partitioned);
@@ -369,10 +371,14 @@ object Bench {
   }
 
   /** One leg (fresh session at `cpus`, optional untimed warm-up): a
-    * full-size measured replay, then a quarter-size one in the SAME session —
-    * the two walls feed the pair's best-of-per-size marginal slope.
-    * Sessions alternate via stop/start (one SparkContext per JVM); JIT and
-    * the codegen cache persist across contexts. Returns (fullSec, smallSec).
+    * quarter-size replay FIRST (the calm-epoch gate probe), the full-size
+    * measured replay, then the quarter-size point AGAIN in the now-fully-
+    * warmed session. The leg reports the MIN over its small samples, so
+    * the slope point keeps the runs-A-K semantics (a post-full-rep warm
+    * measurement); the gate probes can only lower it, never inflate it
+    * with fresh-session overhead. Sessions alternate via stop/start (one
+    * SparkContext per JVM); JIT and the codegen cache persist across
+    * contexts. Returns (fullSec, smallSec).
     */
   private def pairLeg(cpus: Int, ev: Long, evSmall: Long, warm: Boolean, tag: String,
       bestSmallSoFar: Double = Double.MaxValue): (Double, Double) = {
@@ -400,6 +406,15 @@ object Bench {
         gateRetries += 1
       }
       val (t, thr) = replayThroughput(s, ev)
+      // Post-full small point: the estimator's OFFICIAL sample, measured
+      // in the maximally-warmed session exactly like runs A-K. Without
+      // it, a warm=false leg's first timed replay would be the small
+      // point, and its cold-session overhead (plan/codegen warm-up,
+      // fresh table dirs) would inflate tS — shrinking the slope's
+      // (t - tS) denominator and biasing the marginal efficiency UP,
+      // the dishonest direction for a ≥0.8 pass/fail criterion. The
+      // gate probes above still feed the min (contention only subtracts).
+      bestS = math.min(bestS, replayThroughput(s, evSmall)._1)
       System.err.println(
         f"[bench] pair $tag cpus=$cpus: $t%.1f s ($thr%.0f ev/s avg); small=$bestS%.1f s" +
           (if (gateRetries > 0) s" (gate retries=$gateRetries)" else ""))

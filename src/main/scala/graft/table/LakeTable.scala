@@ -739,10 +739,12 @@ final class LakeTable(
         // zone maps prune a point lookup to ~one file per stack instead
         // of admitting every split file. Order never affects correctness
         // (bucket membership and LWW are order-independent); skipped when
-        // no consumer of the order exists (single-file buckets have
-        // whole-bucket bounds regardless; sortedBuckets sorts in stage()).
+        // no consumer of the order exists — single-file buckets have
+        // whole-bucket bounds regardless. (sortedBuckets sorts in stage()
+        // and is mutually exclusive with maxFileRows per the constructor
+        // require, so this branch is the only sorting writer here.)
         val laid =
-          if (maxFileRows > 0 && !sortedBuckets) laid0.sortWithinPartitions(keyCols.map(col): _*)
+          if (maxFileRows > 0) laid0.sortWithinPartitions(keyCols.map(col): _*)
           else laid0
         val staged = stage(laid, ci.batchId, ci.schemaIdx, attempt = ci.version + 1)
         val untouched = ci.files.filterNot(f => buckets.contains(f.bucket))

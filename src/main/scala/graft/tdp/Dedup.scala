@@ -406,17 +406,16 @@ object Dedup {
     val cents =
       if (kmeansIters > 0) Similarity.ivfCentroidsKmeans(embs, nlist, kmeansIters, idCol, vecCol)
       else Similarity.ivfCentroids(embs, nlist, idCol, vecCol)
-    // ccos = cosine to the ASSIGNED (nearest) centroid = the max over the
-    // literal centroid set; ivfProbes' argmax picks the matching cid with
-    // the same (cos desc, cid asc) tie-break.
-    val ccosRaw = array_max(array(cents.map { case (_, cv) =>
-      Similarity.cosine(col("v"), typedlit(cv))
-    }: _*))
+    // ONE scored-and-sorted pass over the literal centroid set yields both
+    // the assignment (cid of the nearest) and ccos (its cosine) — the same
+    // (cos desc, cid asc) tie-break ivfProbes uses, without evaluating the
+    // nlist×dim cosine work twice.
+    val best = element_at(Similarity.ivfScoredSorted(col("v"), cents), 1)
     val base = embs
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .select(col("id"), col("v"),
-        element_at(Similarity.ivfProbes(col("v"), cents, 1), 1).as("list_id"),
-        round(ccosRaw, 4).as("ccos"))
+        best.getField("cid").as("list_id"),
+        round(best.getField("cos"), 4).as("ccos"))
       .persist() // both self-join sides + the keep-rule join read it
     val l = base.select(col("list_id"), col("id").as("a"), col("v").as("va"))
     val r = base.select(col("list_id"), col("id").as("b"), col("v").as("vb"))

@@ -238,22 +238,30 @@ object Similarity {
     cents
   }
 
-  /** The `nprobe` centroid ids nearest (by cosine) to `vec`, nearest
-    * first; deterministic tie-break on centroid id. `nprobe = 1` is the
-    * inverted-list assignment.
+  /** All centroids scored against `vec`, as an array of
+    * `struct(cos, cid)` sorted nearest-first with a deterministic cid
+    * tie-break — the single evaluation both the probe list and an
+    * assignment-with-distance consumer (e.g. SemDeDup's ccos) share, so
+    * neither pays the nlist×dim cosine work twice.
     */
-  def ivfProbes(vec: Column, cents: Seq[(Long, Seq[Double])], nprobe: Int): Column = {
+  def ivfScoredSorted(vec: Column, cents: Seq[(Long, Seq[Double])]): Column = {
     val scored = array(cents.map { case (cid, cv) =>
       struct(cosine(vec, typedlit(cv)).as("cos"), lit(cid).as("cid"))
     }: _*)
-    val sorted = array_sort(scored, (l, r) =>
+    array_sort(scored, (l, r) =>
       when(l.getField("cos") > r.getField("cos"), -1)
         .when(l.getField("cos") < r.getField("cos"), 1)
         .when(l.getField("cid") < r.getField("cid"), -1)
         .when(l.getField("cid") > r.getField("cid"), 1)
         .otherwise(0))
-    slice(transform(sorted, x => x.getField("cid")), 1, nprobe)
   }
+
+  /** The `nprobe` centroid ids nearest (by cosine) to `vec`, nearest
+    * first; deterministic tie-break on centroid id. `nprobe = 1` is the
+    * inverted-list assignment.
+    */
+  def ivfProbes(vec: Column, cents: Seq[(Long, Seq[Double])], nprobe: Int): Column =
+    slice(transform(ivfScoredSorted(vec, cents), x => x.getField("cid")), 1, nprobe)
 
   /** IVF (inverted-file) ANN: corpus vectors are assigned to their nearest
     * centroid's inverted list (a narrow, codegen'd map — no shuffle);
