@@ -414,6 +414,13 @@ object SparkEntry {
     // centroids (q54's deterministic seeding) keep the oracle exact.
     "q113_semdedup" -> ((s, dir) =>
       Dedup.semDedup(Corpus.embsWithDups(s, dir), nlist = 8, threshold = 0.98)),
+    // DSIR (Xie et al. 2023): hashed-unigram importance weights against a
+    // target domain (lang='en') + deterministic Gumbel-top-k resample.
+    // Logits are integer-quantized (1e-6 nats) so both engines sum exactly.
+    "q114_dsir" -> ((s, dir) =>
+      tdp.Dsir.resample(
+        tdp.Dsir.importance(Corpus.documents(s, dir), col("lang") === "en", buckets = 256),
+        k = 200, salt = "dsir1")),
     // Deterministic corpus mixing + splits: per-language keep rates
     // (mixing weights) and disjoint train/val/test assignment, both pure
     // functions of md5(salt||doc_id) — reproducible at any partitioning,
@@ -2361,6 +2368,36 @@ object SparkEntry {
          |SELECT comp.doc, comp.cluster, a.ccos,
          |       (row_number() OVER (PARTITION BY comp.cluster ORDER BY a.ccos, comp.doc) = 1) AS keep
          |FROM comp JOIN assign a ON a.vec_id = comp.doc""".stripMargin,
+    "q114_dsir" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang = 'en' AS t,
+        |         unnest(string_split_regex(lower(text), '\s+')) AS g
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, t,
+        |         CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 256 AS bk
+        |  FROM w),
+        |m AS (
+        |  SELECT bk, COUNT(*) AS cr, SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct
+        |  FROM b GROUP BY bk),
+        |tot AS (SELECT SUM(cr) + 256.0 AS nr, SUM(ct) + 256.0 AS nt FROM m),
+        |logit AS (
+        |  SELECT gs.bk,
+        |         CAST(round(1e6 * ln(((coalesce(m.ct, 0) + 1) / tot.nt) /
+        |                             ((coalesce(m.cr, 0) + 1) / tot.nr))) AS BIGINT) AS l
+        |  FROM generate_series(0, 255) AS gs(bk) LEFT JOIN m ON m.bk = gs.bk, tot),
+        |score AS (
+        |  -- CAST: DuckDB SUM(BIGINT) returns HUGEINT, which the driver's
+        |  -- pandas compare renders differently from Spark's int64
+        |  SELECT b.doc_id, CAST(SUM(l.l) AS BIGINT) AS logw
+        |  FROM b JOIN logit l ON l.bk = b.bk GROUP BY b.doc_id),
+        |keyed AS (
+        |  SELECT doc_id, logw,
+        |         logw + CAST(round(1e6 * -ln(-ln(
+        |           (CAST(concat('0x', substr(md5(concat('dsir1', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+        |            + 0.5) / 4294967296.0))) AS BIGINT) AS skey
+        |  FROM score)
+        |SELECT doc_id, logw, skey FROM keyed ORDER BY skey DESC, doc_id LIMIT 200""".stripMargin,
     "q74_corpus_mix_sample" ->
       """WITH s AS (
         |  SELECT doc_id, lang,

@@ -118,6 +118,34 @@ class TdpSpec extends SparkSpec {
     assert(Dedup.semDedupKeep(embs, dec).count() === embs.count() - losers)
   }
 
+  test("DSIR: target-vocabulary docs outrank raw-vocabulary docs; resample deterministic, k-bounded") {
+    import graft.tdp.Dsir
+    // 30 target docs speak 'alpha', 60 raw docs speak 'beta', 10 mixed
+    val docs = (0 until 100).map { i =>
+      val text =
+        if (i < 30) "alpha alpha alpha"
+        else if (i < 90) "beta beta beta"
+        else "alpha beta"
+      (i.toLong, if (i < 30) "tgt" else "raw", text)
+    }.toDF("doc_id", "lang", "text")
+    val scored = Dsir.importance(docs, col("lang") === "tgt", buckets = 64).cache()
+    val byId = scored.as[(Long, Long)].collect().toMap
+    val alphaMin = (0L until 30L).map(byId).min
+    val betaMax = (30L until 90L).map(byId).max
+    assert(alphaMin > betaMax, "every target-vocab doc must outrank every raw-vocab doc")
+    assert((90L until 100L).map(byId).forall(m => m < alphaMin && m > betaMax),
+      "mixed docs rank strictly between")
+    // resample: deterministic per salt, k respected, dominated by high-weight docs
+    val sel1 = Dsir.resample(scored, 20, "s1").select("doc_id").as[Long].collect().toSeq
+    val sel2 = Dsir.resample(scored, 20, "s1").select("doc_id").as[Long].collect().toSeq
+    assert(sel1 === sel2 && sel1.size === 20)
+    assert(sel1.count(_ < 30L) >= 18,
+      s"importance must dominate the Gumbel noise: ${sel1.count(_ < 30L)}/20 target docs")
+    // model is a bounded driver parameter: counts line up with a hand fold
+    val (ct, cr) = Dsir.fitModels(docs, col("lang") === "tgt", buckets = 64)
+    assert(ct.sum === 90L && cr.sum === 30 * 3 + 60 * 3 + 10 * 2)
+  }
+
   test("ANN brute force: top-1 of a planted query is its scaled copy; k and ordering respected") {
     val queries = embs.where(col("vec_id") === 0L) // 0 % 5 == 0 → has a scaled copy
     val top = Similarity.bruteForceTopK(embs, queries, k = 5).cache()
