@@ -7,7 +7,7 @@ import graft.core.Envelope
 import graft.sources.{ChangeLog, DocumentLog, Snapshot}
 import graft.operators.{DocumentCdc, Lww, Serdes, Transforms}
 import graft.streaming.CdcPipeline
-import graft.table.LakeTable
+import graft.table.{LakeTable, MaterializedView}
 import graft.tdp.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -720,6 +720,21 @@ object SparkEntry {
           sha2(col("content"), 256).as("content_sha"), col("lsn"), col("op"),
           col("_change_type").as("change_type"),
           col("_commit_version").as("commit_version"))
+    }),
+
+    // §2.4 incremental materialized view (the CDC-consumer read-model
+    // pattern): bootstrap a per-repo aggregate view at version 2, then
+    // fold the version-2→4 change feed into it — never rescanning the
+    // base table. The oracle aggregates the final LWW state directly, so
+    // a MATCH proves build∘refresh lands exactly on the converged state.
+    "q115_cdc_ivm" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-ivm").toString
+      val table = new LakeTable(root, numBuckets = 16)
+      CdcPipeline.replay(s, ChangeLog.flat(s, dir), table, numBatches = 4, salt = 4)
+      val m = length(col("content"))
+      val view2 = MaterializedView.build(s, table, 2L, Seq("repo"), m, "total_chars").get
+      MaterializedView.refresh(view2, table.changeFeed(s, 2L, 4L).get,
+        Seq("repo"), m, "total_chars")
     }),
 
     // §2.2 SchemaChangeEventFilter: the multi-table catalog's schema-change
@@ -1506,6 +1521,15 @@ object SparkEntry {
          |SELECT repo, path, commit, lang, content, op, part, lsn, ts_ms FROM ($winners) w""".stripMargin,
     "q03_cdc_apply_state" -> s"$cte\n$applyStateSql",
     "q04_cdc_replay_e2e" -> s"$cte\n$applyStateSql",
+    "q115_cdc_ivm" ->
+      s"""$cte
+         |SELECT repo, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       CAST(SUM(length(content)) AS BIGINT) AS total_chars
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |  FROM ev) t
+         |WHERE rn = 1 AND op <> 'd'
+         |GROUP BY repo""".stripMargin,
     "q05_cdc_metrics" ->
       s"""$cte
          |, win AS (

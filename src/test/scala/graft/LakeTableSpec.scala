@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.merge.CdcApply
 import graft.streaming.CdcPipeline
-import graft.table.{LakeTable, SchemaEvolution}
+import graft.table.{LakeTable, MaterializedView, SchemaEvolution}
 
 /** End-to-end engine specs: replay convergence, exactly-once fencing,
   * out-of-order arrival across partitions, schema evolution, metrics —
@@ -842,6 +842,32 @@ class LakeTableSpec extends SparkSpec {
       assert(table.lookup(spark, Seq("zzzz", "nowhere.txt")).forall(_.count() === 0L))
     }
     assert(missRead === 0L, s"out-of-bounds key scheduled a scan of $missRead rows")
+  }
+
+  test("materialized view: incremental refresh equals direct rebuild at every version; zero groups drop") {
+    val log = randomLog(37, 600)
+    val table = new LakeTable(tmp(), numBuckets = 8)
+    CdcPipeline.replay(spark, log.toDF(), table, numBatches = 4, writeMetrics = false)
+    val m = length(col("content"))
+    def direct(v: Long): Set[(String, Long, Long)] =
+      MaterializedView.build(spark, table, v, Seq("repo"), m, "total_chars").get
+        .as[(String, Long, Long)].collect().toSet
+    // fold each version's change feed into the view; at every step the
+    // incrementally-maintained view must equal a from-scratch rebuild
+    var view = MaterializedView.build(spark, table, 1L, Seq("repo"), m, "total_chars").get
+    (2L to 4L).foreach { v =>
+      view = MaterializedView.refresh(view,
+        table.changeFeed(spark, v - 1L, v).get, Seq("repo"), m, "total_chars")
+      assert(view.as[(String, Long, Long)].collect().toSet === direct(v), s"at version $v")
+    }
+    // (repo, path) grain: groups deleted along the way vanish; survivors
+    // are exactly the final live keys, each with n_rows == 1
+    val pv = MaterializedView.refresh(
+      MaterializedView.build(spark, table, 1L, Seq("repo", "path"), lit(1), "m").get,
+      table.changeFeed(spark, 1L, 4L).get, Seq("repo", "path"), lit(1), "m")
+    assert(pv.select("repo", "path").as[(String, String)].collect().toSet ===
+      tableState(table).keys.toSet)
+    assert(pv.where(col("n_rows") =!= 1L).count() === 0)
   }
 
   test("clustered compaction: split files carry disjoint key ranges; lookup prunes to ~one file") {
