@@ -737,6 +737,23 @@ object SparkEntry {
         Seq("repo"), m, "total_chars")
     }),
 
+    // §2.4 min/max materialized view: non-distributive under deletes, so
+    // the view is maintained optimistically and only SUSPECT groups (a
+    // removed value tied the stored extremum) are recounted from the base
+    // — per version segment, never a full rescan.
+    "q116_cdc_ivm_minmax" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-ivmx").toString
+      val table = new LakeTable(root, numBuckets = 16)
+      CdcPipeline.replay(s, ChangeLog.flat(s, dir), table, numBatches = 4, salt = 4)
+      val m = length(col("content"))
+      var view = MaterializedView.buildMax(s, table, 2L, Seq("repo"), m, "max_chars").get
+      (3L to 4L).foreach { v =>
+        view = MaterializedView.refreshMax(s, table, v, view,
+          table.changeFeed(s, v - 1L, v).get, Seq("repo"), m, "max_chars")
+      }
+      view
+    }),
+
     // §2.2 SchemaChangeEventFilter: the multi-table catalog's schema-change
     // event feed, filtered by table exclude list (tableFilter — the same
     // RelationalTableFilters semantics the reference SMT applies to the
@@ -1525,6 +1542,15 @@ object SparkEntry {
       s"""$cte
          |SELECT repo, CAST(COUNT(*) AS BIGINT) AS n_rows,
          |       CAST(SUM(length(content)) AS BIGINT) AS total_chars
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |  FROM ev) t
+         |WHERE rn = 1 AND op <> 'd'
+         |GROUP BY repo""".stripMargin,
+    "q116_cdc_ivm_minmax" ->
+      s"""$cte
+         |SELECT repo, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       CAST(MAX(length(content)) AS BIGINT) AS max_chars
          |FROM (
          |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
          |  FROM ev) t

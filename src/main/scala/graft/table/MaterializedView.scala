@@ -50,6 +50,23 @@ object MaterializedView {
         .agg(count(lit(1)).as("n_rows"), sum(measure).as(measureAlias))
     }
 
+  /** Bootstrap for a MIN/MAX view ([[refreshMax]]):
+    * `(groupCols, n_rows, <alias>)` from table version `version`.
+    */
+  def buildMax(
+      spark: SparkSession,
+      table: LakeTable,
+      version: Long,
+      groupCols: Seq[String],
+      measure: Column,
+      measureAlias: String,
+      minInstead: Boolean = false): Option[DataFrame] =
+    table.snapshotAt(spark, version).map { st =>
+      val e = if (minInstead) min(measure.cast("long")) else max(measure.cast("long"))
+      st.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("n_rows"), e.as(measureAlias))
+    }
+
   /** Per-group signed delta of a change-feed segment:
     * `(groupCols, d_rows, d_<measureAlias>)`. One map-side-combined
     * aggregate; groups whose rows and measure both net to zero are
@@ -87,5 +104,108 @@ object MaterializedView {
         (coalesce(col(measureAlias), lit(0L)) +
           coalesce(col(s"d_$measureAlias"), lit(0L))).as(measureAlias)): _*)
       .where(col("n_rows") > 0L)
+  }
+
+  /** The refresh expressed as engine CHANGE EVENTS — for a view too
+    * large to rewrite per refresh: keep it in its own [[LakeTable]]
+    * keyed by `groupCols` and apply these through the exactly-once
+    * merge (`CdcApply.applyBatch`). Only groups the feed touched emit
+    * an event: an upsert carrying the group's new absolute aggregates,
+    * or a delete when its row count nets to zero. Ordering rides the
+    * feed's version (`commit = v<version>, lsn = version`), so a
+    * replayed segment is LWW-idempotent like any other event stream;
+    * `part` is the group's hash so per-partition watermarks fence
+    * redelivery. Shuffle: the delta aggregate plus one join against
+    * the CURRENT view state restricted to touched groups.
+    *
+    * @param view the view's current state (e.g. the view table's
+    *             snapshot) — read only for the touched groups' prior
+    *             aggregates
+    */
+  /** IVM for MIN/MAX — non-distributive under deletes. Inserts can only
+    * improve the extremum (pure delta work), but a delete of the current
+    * extremum invalidates it. Standard trick: maintain optimistically and
+    * recount ONLY the SUSPECT groups — those where a deleted/preimage
+    * value ties the group's stored extremum — by reading the base table
+    * at `version` restricted (semi-join on a broadcast of the suspect
+    * keys) to them. Suspects are rare (a delete must hit the group's one
+    * extremal row), so per refresh the base is touched for a handful of
+    * groups, never rescanned.
+    *
+    * View schema: `(groupCols, n_rows, <alias>)`, where n_rows is the
+    * signed row count (same algebra as [[refresh]]) and `<alias>` the
+    * extremum. Fold ONE version segment at a time (`feed(v-1, v)`) — a
+    * multi-version feed carries one diff row PER version pair per key,
+    * which would double-count the signed n_rows.
+    */
+  def refreshMax(
+      spark: SparkSession,
+      base: LakeTable,
+      version: Long,
+      view: DataFrame,
+      feed: DataFrame,
+      groupCols: Seq[String],
+      measure: Column,
+      measureAlias: String,
+      minInstead: Boolean = false): DataFrame = {
+    def ext(c: Column): Column = if (minInstead) min(c) else max(c)
+    val better: (Column, Column) => Column =
+      if (minInstead) (a, b) => least(a, b) else (a, b) => greatest(a, b)
+    val worseOrTies: (Column, Column) => Column =
+      if (minInstead) (d, v) => d <= v else (d, v) => d >= v
+    val ins = feed
+      .where(col("_change_type").isin("insert", "update_postimage"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(ext(measure.cast("long")).as("__ins_ext"), count(lit(1)).as("__ins_n"))
+    val del = feed
+      .where(col("_change_type").isin("delete", "update_preimage"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(ext(measure.cast("long")).as("__del_ext"), count(lit(1)).as("__del_n"))
+    val joined = view.join(ins, groupCols, "full_outer").join(del, groupCols, "full_outer")
+    val nRows = coalesce(col("n_rows"), lit(0L)) +
+      coalesce(col("__ins_n"), lit(0L)) - coalesce(col("__del_n"), lit(0L))
+    // optimistic candidate: the stored extremum can only be improved by
+    // inserts; null-safe two-sided coalesce
+    val candidate = when(col(measureAlias).isNull, col("__ins_ext"))
+      .when(col("__ins_ext").isNull, col(measureAlias))
+      .otherwise(better(col(measureAlias), col("__ins_ext")))
+    // suspect: a removed value ties-or-beats the stored extremum (the
+    // extremal row may be gone), or the group had no stored row at all
+    // while deletes touched it (inconsistent bootstrap — recount).
+    val suspect = col("__del_ext").isNotNull &&
+      (col(measureAlias).isNull || worseOrTies(col("__del_ext"), col(measureAlias)))
+    val live = joined.where(nRows > 0L)
+    val clean = live.where(!suspect)
+      .select(groupCols.map(col) ++ Seq(nRows.as("n_rows"), candidate.as(measureAlias)): _*)
+    val suspects = live.where(suspect).select(groupCols.map(col): _*)
+    val recounted = base.snapshotAt(spark, version)
+      .map(_.join(broadcast(suspects), groupCols, "left_semi")
+        .groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("n_rows"), ext(measure.cast("long")).as(measureAlias)))
+      .getOrElse(clean.limit(0))
+    clean.unionByName(recounted)
+  }
+
+  def refreshEvents(
+      view: DataFrame,
+      feed: DataFrame,
+      groupCols: Seq[String],
+      measure: Column,
+      measureAlias: String,
+      version: Long,
+      numParts: Int = 4): DataFrame = {
+    val d = delta(feed, groupCols, measure, measureAlias)
+    // right join: only touched groups produce events
+    val nRows = coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_rows"), lit(0L))
+    val total = coalesce(col(measureAlias), lit(0L)) + coalesce(col(s"d_$measureAlias"), lit(0L))
+    view.join(d, groupCols, "right_outer")
+      .select(groupCols.map(col) ++ Seq(
+        when(nRows > 0L, nRows).as("n_rows"),
+        when(nRows > 0L, total).as(measureAlias),
+        when(nRows > 0L, lit("u")).otherwise(lit("d")).as("op"),
+        format_string(s"v%010d", lit(version)).as("commit"),
+        lit(version).as("lsn"),
+        pmod(hash(groupCols.map(col): _*), lit(numParts)).as("part"),
+        lit(version).as("ts_ms")): _*)
   }
 }

@@ -870,6 +870,64 @@ class LakeTableSpec extends SparkSpec {
     assert(pv.where(col("n_rows") =!= 1L).count() === 0)
   }
 
+  test("materialized view as a LakeTable: refreshEvents through the exactly-once merge converge") {
+    val log = randomLog(41, 600)
+    val base = new LakeTable(tmp(), numBuckets = 8)
+    CdcPipeline.replay(spark, log.toDF(), base, numBatches = 4, writeMetrics = false)
+    // (repo, path)-grain view with measure 1: deletes net groups to zero,
+    // so the event stream exercises both the 'u' and 'd' arms
+    val viewTable = new LakeTable(tmp(), numBuckets = 4, keyCols = Seq("repo", "path"))
+    val boot = MaterializedView.build(spark, base, 1L, Seq("repo", "path"), lit(1), "m").get
+      .select(col("repo"), col("path"), col("n_rows"), col("m"),
+        lit("u").as("op"), format_string("v%010d", lit(1L)).as("commit"),
+        lit(1L).as("lsn"), pmod(hash(col("repo"), col("path")), lit(4)).as("part"),
+        lit(1L).as("ts_ms"))
+    CdcApply.applyBatch(spark, viewTable, boot, batchId = 1, writeMetrics = false)
+    (2L to 4L).foreach { v =>
+      val st = viewTable.snapshot(spark).get.select("repo", "path", "n_rows", "m")
+      val ev = MaterializedView.refreshEvents(st, base.changeFeed(spark, v - 1L, v).get,
+        Seq("repo", "path"), lit(1), "m", version = v)
+      CdcApply.applyBatch(spark, viewTable, ev, batchId = v, writeMetrics = false)
+      // redelivery of the same batch is fenced — exactly-once
+      val r = CdcApply.applyBatch(spark, viewTable, ev, batchId = v, writeMetrics = false)
+      assert(!r.committed)
+    }
+    val got = viewTable.snapshot(spark).get
+      .select("repo", "path", "n_rows", "m").as[(String, String, Long, Long)].collect().toSet
+    val want = tableState(base).keys.toSet.map((k: (String, String)) => (k._1, k._2, 1L, 1L))
+    assert(got === want)
+  }
+
+  test("materialized max/min view: optimistic delta + suspect recount equals direct rebuild") {
+    val log = randomLog(43, 600)
+    val table = new LakeTable(tmp(), numBuckets = 8)
+    CdcPipeline.replay(spark, log.toDF(), table, numBatches = 4, writeMetrics = false)
+    val m = length(col("content"))
+    for (minInstead <- Seq(false, true)) {
+      var view = MaterializedView.buildMax(spark, table, 1L, Seq("repo"), m, "ext", minInstead).get
+      (2L to 4L).foreach { v =>
+        view = MaterializedView.refreshMax(spark, table, v, view,
+          table.changeFeed(spark, v - 1L, v).get, Seq("repo"), m, "ext", minInstead)
+        val want = MaterializedView.buildMax(spark, table, v, Seq("repo"), m, "ext", minInstead)
+          .get.as[(String, Long, Long)].collect().toSet
+        assert(view.as[(String, Long, Long)].collect().toSet === want, s"v=$v min=$minInstead")
+      }
+    }
+    // deterministic extremum-delete: the group's longest row dies; the
+    // suspect recount must surface the runner-up, not keep the stale max
+    val t2 = new LakeTable(tmp(), numBuckets = 2)
+    val b1 = Seq(
+      FlatEvent("r", "a.txt", f"c${1L}%010d", "s", "X" * 30, "c", 0, 1L, 1L),
+      FlatEvent("r", "b.txt", f"c${2L}%010d", "s", "X" * 10, "c", 0, 2L, 2L)).toDF()
+    CdcApply.applyBatch(spark, t2, b1, batchId = 0, writeMetrics = false)
+    val b2 = Seq(FlatEvent("r", "a.txt", f"c${3L}%010d", "s", null, "d", 0, 3L, 3L)).toDF()
+    CdcApply.applyBatch(spark, t2, b2, batchId = 1, writeMetrics = false)
+    val v1 = MaterializedView.buildMax(spark, t2, 1L, Seq("repo"), length(col("content")), "mx").get
+    val v2 = MaterializedView.refreshMax(spark, t2, 2L, v1, t2.changeFeed(spark, 1L, 2L).get,
+      Seq("repo"), length(col("content")), "mx")
+    assert(v2.as[(String, Long, Long)].collect().toSeq === Seq(("r", 1L, 10L)))
+  }
+
   test("clustered compaction: split files carry disjoint key ranges; lookup prunes to ~one file") {
     // wide key space over few buckets + small maxFileRows → each bucket's
     // rewrite splits into several files
