@@ -36,7 +36,10 @@ object MaterializedView {
 
   /** Bootstrap: the view built directly from table version `version` —
     * one aggregate over the resolved snapshot. None if the version does
-    * not exist.
+    * not exist. The measure is cast to long (the IVM algebra is exact
+    * integer arithmetic — same contract as [[delta]]; a fractional
+    * measure would truncate per-row and break the refresh equality) and
+    * an all-NULL group sums to 0, matching [[refresh]]'s coalesce.
     */
   def build(
       spark: SparkSession,
@@ -47,7 +50,8 @@ object MaterializedView {
       measureAlias: String): Option[DataFrame] =
     table.snapshotAt(spark, version).map { st =>
       st.groupBy(groupCols.map(col): _*)
-        .agg(count(lit(1)).as("n_rows"), sum(measure).as(measureAlias))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(measure.cast("long")), lit(0L)).as(measureAlias))
     }
 
   /** Bootstrap for a MIN/MAX view ([[refreshMax]]):
@@ -106,22 +110,6 @@ object MaterializedView {
       .where(col("n_rows") > 0L)
   }
 
-  /** The refresh expressed as engine CHANGE EVENTS — for a view too
-    * large to rewrite per refresh: keep it in its own [[LakeTable]]
-    * keyed by `groupCols` and apply these through the exactly-once
-    * merge (`CdcApply.applyBatch`). Only groups the feed touched emit
-    * an event: an upsert carrying the group's new absolute aggregates,
-    * or a delete when its row count nets to zero. Ordering rides the
-    * feed's version (`commit = v<version>, lsn = version`), so a
-    * replayed segment is LWW-idempotent like any other event stream;
-    * `part` is the group's hash so per-partition watermarks fence
-    * redelivery. Shuffle: the delta aggregate plus one join against
-    * the CURRENT view state restricted to touched groups.
-    *
-    * @param view the view's current state (e.g. the view table's
-    *             snapshot) — read only for the touched groups' prior
-    *             aggregates
-    */
   /** IVM for MIN/MAX — non-distributive under deletes. Inserts can only
     * improve the extremum (pure delta work), but a delete of the current
     * extremum invalidates it. Standard trick: maintain optimistically and
@@ -174,18 +162,43 @@ object MaterializedView {
     // while deletes touched it (inconsistent bootstrap — recount).
     val suspect = col("__del_ext").isNotNull &&
       (col(measureAlias).isNull || worseOrTies(col("__del_ext"), col(measureAlias)))
+    // localCheckpoint: the clean branch and the suspects broadcast both
+    // read this join, and version-folded refreshes would otherwise nest
+    // the whole lineage per fold (the duplicateClusters lesson — persist
+    // alone truncates execution, not the logical plan)
     val live = joined.where(nRows > 0L)
-    val clean = live.where(!suspect)
-      .select(groupCols.map(col) ++ Seq(nRows.as("n_rows"), candidate.as(measureAlias)): _*)
-    val suspects = live.where(suspect).select(groupCols.map(col): _*)
+      .select(groupCols.map(col) ++ Seq(
+        nRows.as("__n"), candidate.as("__cand"), suspect.as("__suspect")): _*)
+      .localCheckpoint()
+    val clean = live.where(!col("__suspect"))
+      .select(groupCols.map(col) ++ Seq(col("__n").as("n_rows"), col("__cand").as(measureAlias)): _*)
+    val suspects = live.where(col("__suspect")).select(groupCols.map(col): _*)
     val recounted = base.snapshotAt(spark, version)
-      .map(_.join(broadcast(suspects), groupCols, "left_semi")
-        .groupBy(groupCols.map(col): _*)
-        .agg(count(lit(1)).as("n_rows"), ext(measure.cast("long")).as(measureAlias)))
-      .getOrElse(clean.limit(0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"refreshMax: base table has no version $version — the suspect " +
+          "recount would silently drop groups"))
+      .join(broadcast(suspects), groupCols, "left_semi")
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), ext(measure.cast("long")).as(measureAlias))
     clean.unionByName(recounted)
   }
 
+  /** The refresh expressed as engine CHANGE EVENTS — for a view too
+    * large to rewrite per refresh: keep it in its own [[LakeTable]]
+    * keyed by `groupCols` and apply these through the exactly-once
+    * merge (`CdcApply.applyBatch`). Only groups the feed touched emit
+    * an event: an upsert carrying the group's new absolute aggregates,
+    * or a delete when its row count nets to zero. Ordering rides the
+    * feed's version (`commit = v<version>, lsn = version`), so a
+    * replayed segment is LWW-idempotent like any other event stream;
+    * `part` is the group's hash so per-partition watermarks fence
+    * redelivery. Shuffle: the delta aggregate plus one join against
+    * the CURRENT view state restricted to touched groups.
+    *
+    * @param view the view's current state (e.g. the view table's
+    *             snapshot) — read only for the touched groups' prior
+    *             aggregates
+    */
   def refreshEvents(
       view: DataFrame,
       feed: DataFrame,

@@ -41,10 +41,12 @@ object Dsir {
   def bucket(gram: Column, buckets: Int): Column =
     pmod(conv(substring(md5(gram), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
 
-  /** Whitespace unigrams of the lowercased text (DuckDB
-    * `string_split_regex(lower(text), '\s+')` semantics).
+  /** Whitespace unigrams of the lowercased text — the one shared
+    * tokenization ([[TextAnalysis.words]]), so the DuckDB
+    * `string_split_regex(lower(text), '\s+')` twin stays lock-step with
+    * every oracle-checked operator at once.
     */
-  def words(text: Column): Column = split(lower(text), "\\s+")
+  def words(text: Column): Column = TextAnalysis.words(text)
 
   /** One corpus pass fitting BOTH bucket-count models: raw = every doc,
     * target = docs satisfying `targetPred`. Returns (targetCounts,

@@ -868,6 +868,15 @@ class LakeTableSpec extends SparkSpec {
     assert(pv.select("repo", "path").as[(String, String)].collect().toSet ===
       tableState(table).keys.toSet)
     assert(pv.where(col("n_rows") =!= 1L).count() === 0)
+    // plan shape: the delta aggregate is ONE exchange with a map-side
+    // partial (O(changed groups) rows cross the wire, never the feed)
+    val feedLike = Seq(("r1", "insert", 5), ("r1", "delete", 3), ("r2", "update_postimage", 7))
+      .toDF("repo", "_change_type", "len")
+    val dPlan = MaterializedView.delta(feedLike, Seq("repo"), col("len"), "s")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllMatchIn(dPlan).size === 1,
+      s"delta must be one partial-aggregated exchange:\n$dPlan")
+    assert(dPlan.contains("partial"), s"delta must combine map-side:\n$dPlan")
   }
 
   test("materialized view as a LakeTable: refreshEvents through the exactly-once merge converge") {
@@ -925,6 +934,11 @@ class LakeTableSpec extends SparkSpec {
     val v1 = MaterializedView.buildMax(spark, t2, 1L, Seq("repo"), length(col("content")), "mx").get
     val v2 = MaterializedView.refreshMax(spark, t2, 2L, v1, t2.changeFeed(spark, 1L, 2L).get,
       Seq("repo"), length(col("content")), "mx")
+    // recount reads the base through a BROADCAST semi-join on the (tiny)
+    // suspect key set — the base is never shuffled for the recount
+    val rPlan = v2.queryExecution.executedPlan.toString
+    assert(rPlan.contains("BroadcastHashJoin") && rPlan.contains("LeftSemi"),
+      s"suspect recount must be a broadcast semi-join:\n$rPlan")
     assert(v2.as[(String, Long, Long)].collect().toSeq === Seq(("r", 1L, 10L)))
   }
 

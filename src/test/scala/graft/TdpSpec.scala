@@ -144,6 +144,11 @@ class TdpSpec extends SparkSpec {
     // model is a bounded driver parameter: counts line up with a hand fold
     val (ct, cr) = Dsir.fitModels(docs, col("lang") === "tgt", buckets = 64)
     assert(ct.sum === 90L && cr.sum === 30 * 3 + 60 * 3 + 10 * 2)
+    // plan shape: scoring is a narrow codegen'd pass over literal logits —
+    // the corpus never shuffles (the model fit collected ≤ buckets rows)
+    val plan = Dsir.importance(docs, col("lang") === "tgt", buckets = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"importance scoring must not shuffle the corpus:\n$plan")
   }
 
   test("ANN brute force: top-1 of a planted query is its scaled copy; k and ordering respected") {
