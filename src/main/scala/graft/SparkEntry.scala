@@ -1304,6 +1304,30 @@ object SparkEntry {
       withSha(table.snapshot(s).get)
     }),
 
+    // §2.4 STREAMING incremental view maintenance: the pipeline keeps a
+    // derived per-repo aggregate LakeTable in sync after every commit
+    // (MaterializedView.maintain inside foreachBatch), across two waves
+    // and a checkpoint restart. The oracle aggregates the converged fold
+    // directly, so a MATCH proves the streamed view landed exactly on it.
+    "q117_cdc_streaming_view" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-stream-ivm").toString
+      val inDir = s"$root/in"; val ckpt = s"$root/ckpt"
+      val table = new LakeTable(s"$root/table", numBuckets = 16)
+      val viewTable = new LakeTable(s"$root/view", numBuckets = 4, keyCols = Seq("repo"))
+      val dv = MaterializedView.DerivedView(
+        viewTable, Seq("repo"), length(col("content")), "total_chars")
+      val flat = ChangeLog.flat(s, dir)
+      def stage(f: DataFrame): Unit =
+        Envelope.wrap(f).repartition(4).write.mode("append").parquet(inDir)
+      stage(flat.where(col("part") % 2 === 0))
+      CdcPipeline.start(s, inDir, ckpt, table, salt = 4, maxFilesPerTrigger = 3,
+        views = Seq(dv)).awaitTermination()
+      stage(flat.where(col("part") % 2 === 1))
+      CdcPipeline.start(s, inDir, ckpt, table, salt = 4, maxFilesPerTrigger = 3,
+        views = Seq(dv)).awaitTermination()
+      viewTable.snapshot(s).get.select("repo", "n_rows", "total_chars")
+    }),
+
     // §2.1 surrogate-key incremental snapshot: chunk ranges computed over
     // a NON-PK column — the execute-snapshot signal's `surrogate-key`
     // field (`ExecuteSnapshot.java:62-69,118-119`). The window is held
@@ -1539,6 +1563,15 @@ object SparkEntry {
     "q03_cdc_apply_state" -> s"$cte\n$applyStateSql",
     "q04_cdc_replay_e2e" -> s"$cte\n$applyStateSql",
     "q115_cdc_ivm" ->
+      s"""$cte
+         |SELECT repo, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       CAST(SUM(length(content)) AS BIGINT) AS total_chars
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |  FROM ev) t
+         |WHERE rn = 1 AND op <> 'd'
+         |GROUP BY repo""".stripMargin,
+    "q117_cdc_streaming_view" ->
       s"""$cte
          |SELECT repo, CAST(COUNT(*) AS BIGINT) AS n_rows,
          |       CAST(SUM(length(content)) AS BIGINT) AS total_chars

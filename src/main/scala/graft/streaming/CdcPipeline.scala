@@ -7,7 +7,7 @@ import graft.core.Envelope
 import graft.merge.CdcApply
 import graft.merge.CdcApply.BatchResult
 import graft.sources.{Notifications, Signals, Snapshot}
-import graft.table.LakeTable
+import graft.table.{LakeTable, MaterializedView}
 
 /** The engine's run loop — the Spark analog of
   * `AsyncEmbeddedEngine.run()` → coordinator → poll → process → commit
@@ -52,6 +52,12 @@ object CdcPipeline {
     *        (`ChangeEventQueue.java:65-118` sizes admission in bytes when
     *        configured). Spark's file source rejects setting BOTH bounds,
     *        so a byte cap REPLACES the file-count cap.
+    * @param views derived view tables kept in sync after every commit
+    *        (streaming incremental view maintenance,
+    *        [[MaterializedView.maintain]]): each view catches up to the
+    *        base head version-by-version, fenced by its own commit
+    *        batchId, so a crash between the base and view commits is
+    *        healed by the next microbatch (or the next run).
     */
   def start(
       spark: SparkSession,
@@ -62,7 +68,8 @@ object CdcPipeline {
       maxFilesPerTrigger: Int = 16,
       orderedInput: Boolean = false,
       signalChannel: Option[String] = None,
-      maxBytesPerTrigger: Option[String] = None): StreamingQuery = {
+      maxBytesPerTrigger: Option[String] = None,
+      views: Seq[MaterializedView.DerivedView] = Nil): StreamingQuery = {
     val reader = spark.readStream.schema(Envelope.schema())
     val env = maxBytesPerTrigger
       .fold(reader.option("maxFilesPerTrigger", maxFilesPerTrigger))(b =>
@@ -186,6 +193,7 @@ object CdcPipeline {
         val flat = Envelope.unwrap(envBatch).drop("__deleted")
         CdcApply.applyBatch(sp, table, flat, batchId, salt,
           fenceByWatermark = orderedInput)
+        views.foreach(v => MaterializedView.maintain(sp, table, v))
         signalChannel.foreach(ch => Signals.markProcessed(ch, pending.map(_.id)))
         ()
       }

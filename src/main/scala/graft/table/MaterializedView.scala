@@ -34,6 +34,55 @@ import org.apache.spark.sql.functions._
   */
 object MaterializedView {
 
+  /** A derived view table to keep in sync with a base table: the view
+    * lives in its own [[LakeTable]] keyed by `groupCols` and is caught up
+    * by [[maintain]] (optionally inside the streaming pipeline,
+    * `CdcPipeline.start(views = ...)`).
+    */
+  final case class DerivedView(
+      table: LakeTable,
+      groupCols: Seq[String],
+      measure: Column,
+      measureAlias: String)
+
+  /** Catch a derived view table up to the base table's head — the
+    * streaming-IVM loop. One [[refreshEvents]]+apply per missing base
+    * version; the view table's commit `batchId` IS the base version it
+    * reflects, so the catch-up is crash-safe by construction: a crash
+    * between the base commit and the view commit just leaves the view one
+    * version behind, and the next call (or the next microbatch) replays
+    * exactly the missing segments, fenced by the view's own batchId.
+    * Per-version folding keeps the signed-count algebra exact (a
+    * multi-version feed carries one diff PER version pair per key). An
+    * empty view table bootstraps itself: the first segment's feed is all
+    * inserts, so no separate build step exists. Maintenance commits on
+    * the base (compaction, rebucket) diff to zero feed rows and advance
+    * the view with an empty metadata-only commit.
+    */
+  def maintain(spark: SparkSession, base: LakeTable, dv: DerivedView): Unit = {
+    val baseV = base.lastCommit().map(_.version).getOrElse(0L)
+    var viewV = dv.table.lastCommit().map(_.batchId).getOrElse(0L)
+    while (viewV < baseV) {
+      val v = viewV + 1
+      base.changeFeed(spark, v - 1, v).foreach { feed =>
+        val viewCols = dv.groupCols ++ Seq("n_rows", dv.measureAlias)
+        val state = dv.table.snapshot(spark)
+          .map(_.select(viewCols.map(col): _*))
+          .getOrElse {
+            // empty bootstrap frame with the right group-column types
+            feed.select(dv.groupCols.map(col): _*).limit(0)
+              .withColumn("n_rows", lit(0L))
+              .withColumn(dv.measureAlias, lit(0L))
+          }
+        val ev = refreshEvents(state, feed, dv.groupCols, dv.measure, dv.measureAlias,
+          version = v, numParts = dv.table.numBuckets)
+        graft.merge.CdcApply.applyBatch(spark, dv.table, ev, batchId = v,
+          writeMetrics = false)
+      }
+      viewV = v
+    }
+  }
+
   /** Bootstrap: the view built directly from table version `version` —
     * one aggregate over the resolved snapshot. None if the version does
     * not exist. The measure is cast to long (the IVM algebra is exact

@@ -741,6 +741,39 @@ class LakeTableSpec extends SparkSpec {
     assert(tableState(table) === foldOracle(log))
   }
 
+  test("streaming derived view: maintained through the pipeline across waves and restart") {
+    import graft.table.MaterializedView
+    val inDir = tmp(); val ckpt = tmp()
+    val table = new LakeTable(tmp(), numBuckets = 8)
+    val viewTable = new LakeTable(tmp(), numBuckets = 4, keyCols = Seq("repo"))
+    val dv = MaterializedView.DerivedView(viewTable, Seq("repo"), length(col("content")), "total_chars")
+    val log = randomLog(47, 300)
+    val (w1, w2) = log.splitAt(150)
+    def viewNow(): Set[(String, Long, Long)] = viewTable.snapshot(spark).get
+      .select("repo", "n_rows", "total_chars").as[(String, Long, Long)].collect().toSet
+    def want(events: Seq[FlatEvent]): Set[(String, Long, Long)] =
+      foldOracle(events).values.groupBy(_.repo)
+        .map { case (r, es) => (r, es.size.toLong, es.map(_.content.length.toLong).sum) }.toSet
+    graft.core.Envelope.wrap(w1.toDF()).write.mode("append").parquet(inDir)
+    CdcPipeline.start(spark, inDir, ckpt, table, maxFilesPerTrigger = 2, views = Seq(dv))
+      .awaitTermination()
+    assert(viewNow() === want(w1), "view after wave 1")
+    // wave 2 + restart from checkpoint — the view catches up version-by-version
+    graft.core.Envelope.wrap(w2.toDF()).write.mode("append").parquet(inDir)
+    CdcPipeline.start(spark, inDir, ckpt, table, maxFilesPerTrigger = 2, views = Seq(dv))
+      .awaitTermination()
+    assert(viewNow() === want(log), "view after wave 2 + restart")
+    // a lagging view (simulated crash between base and view commits):
+    // out-of-band base commit, then maintain() heals it
+    val extra = FlatEvent.mk(("repo0", "p0.txt"), 9999, "u")
+    CdcApply.applyBatch(spark, table, Seq(extra).toDF(), batchId = 999, writeMetrics = false)
+    MaterializedView.maintain(spark, table, dv)
+    assert(viewNow() === want(log :+ extra), "view healed after out-of-band commit")
+    // maintain is idempotent at head
+    MaterializedView.maintain(spark, table, dv)
+    assert(viewNow() === want(log :+ extra))
+  }
+
   // -- zone maps (manifest file stats) --------------------------------
 
   test("zone-map bounds: sound truncation, ASCII-only, upper bound rounds up") {
