@@ -1328,6 +1328,29 @@ object SparkEntry {
       viewTable.snapshot(s).get.select("repo", "n_rows", "total_chars")
     }),
 
+    // §2.4 row-level DML (DELETE FROM … WHERE): matching current-state
+    // rows get dominating tombstone events through the ordinary merge —
+    // no second write path; compaction/feed/views all see normal events.
+    "q118_cdc_delete_where" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-delw").toString
+      val table = new LakeTable(root, numBuckets = 16)
+      CdcPipeline.replay(s, ChangeLog.flat(s, dir), table, numBatches = 4, salt = 4)
+      merge.Dml.deleteWhere(s, table, col("lang") === "de")
+      withSha(table.snapshot(s).get)
+    }),
+
+    // §2.4 row-level DML (UPDATE … SET … WHERE): SET expressions evaluate
+    // against the old row; the rewritten rows re-enter with a dominating
+    // commit (suffix '~' wins LWW per key, newer stream commits still win).
+    "q119_cdc_update_where" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-updw").toString
+      val table = new LakeTable(root, numBuckets = 16)
+      CdcPipeline.replay(s, ChangeLog.flat(s, dir), table, numBatches = 4, salt = 4)
+      merge.Dml.updateWhere(s, table, col("lang") === "de",
+        Seq("content" -> concat(col("content"), lit(" [redacted]"))))
+      withSha(table.snapshot(s).get)
+    }),
+
     // §2.1 surrogate-key incremental snapshot: chunk ranges computed over
     // a NON-PK column — the execute-snapshot signal's `surrogate-key`
     // field (`ExecuteSnapshot.java:62-69,118-119`). The window is held
@@ -1571,6 +1594,26 @@ object SparkEntry {
          |  FROM ev) t
          |WHERE rn = 1 AND op <> 'd'
          |GROUP BY repo""".stripMargin,
+    "q118_cdc_delete_where" ->
+      s"""$cte
+         |SELECT repo, path, commit, lang, content, sha256(content) AS content_sha FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |  FROM ev) t
+         |WHERE rn = 1 AND op <> 'd' AND lang <> 'de'""".stripMargin,
+    "q119_cdc_update_where" ->
+      s"""$cte
+         |, st AS (
+         |  SELECT repo, path, commit, lang, content FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |    FROM ev) t
+         |  WHERE rn = 1 AND op <> 'd')
+         |, upd AS (
+         |  SELECT repo, path,
+         |         CASE WHEN lang = 'de' THEN commit || '~' ELSE commit END AS commit,
+         |         lang,
+         |         CASE WHEN lang = 'de' THEN content || ' [redacted]' ELSE content END AS content
+         |  FROM st)
+         |SELECT repo, path, commit, lang, content, sha256(content) AS content_sha FROM upd""".stripMargin,
     "q117_cdc_streaming_view" ->
       s"""$cte
          |SELECT repo, CAST(COUNT(*) AS BIGINT) AS n_rows,

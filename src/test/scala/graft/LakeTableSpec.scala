@@ -774,6 +774,42 @@ class LakeTableSpec extends SparkSpec {
     assert(viewNow() === want(log :+ extra))
   }
 
+  test("DML: deleteWhere tombstones matches; updateWhere rewrites them; LWW-dominating, keys immutable") {
+    import graft.merge.Dml
+    val log = randomLog(53, 400)
+    val table = new LakeTable(tmp(), numBuckets = 8)
+    CdcPipeline.replay(spark, log.toDF(), table, numBatches = 4, writeMetrics = false)
+    val before = tableState(table)
+    val hitKeys = before.keys.filter(_._2.startsWith("p1")).toSet
+    assert(hitKeys.nonEmpty, "fixture must have p1* survivors")
+    Dml.deleteWhere(spark, table, col("path").startsWith("p1"))
+    assert(tableState(table).keys.toSet === before.keys.toSet -- hitKeys)
+    // delete again: nothing matches, state unchanged
+    Dml.deleteWhere(spark, table, col("path").startsWith("p1"))
+    assert(tableState(table).keys.toSet === before.keys.toSet -- hitKeys)
+    // update: only matching rows rewritten, SET sees the OLD row, commit dominated
+    Dml.updateWhere(spark, table, col("repo") === "repo0",
+      Seq("content" -> concat(col("content"), lit("!"))))
+    val after = tableState(table)
+    assert(after.keys.toSet === before.keys.toSet -- hitKeys)
+    after.foreach { case (k, e) =>
+      val old = before(k)
+      if (k._1 == "repo0") {
+        assert(e.content === old.content + "!", s"$k content")
+        assert(e.commit === old.commit + "~", s"$k commit")
+      } else assert(e === old, s"$k must be untouched")
+    }
+    // a NEWER stream commit still beats the DML'd row (DML is point-in-time)
+    val k0 = after.keys.find(_._1 == "repo0").get
+    val late = FlatEvent.mk(k0, 99999L, "u")
+    CdcApply.applyBatch(spark, table, Seq(late).toDF(), batchId = 50, writeMetrics = false)
+    assert(tableState(table)(k0) === late)
+    // SET on a key column is a loud config error
+    intercept[IllegalArgumentException] {
+      Dml.updateWhere(spark, table, lit(true), Seq("repo" -> lit("x")))
+    }
+  }
+
   // -- zone maps (manifest file stats) --------------------------------
 
   test("zone-map bounds: sound truncation, ASCII-only, upper bound rounds up") {
