@@ -1351,6 +1351,17 @@ object SparkEntry {
       withSha(table.snapshot(s).get)
     }),
 
+    // §2.4 RESTORE (Delta RESTORE TABLE … TO VERSION analog): roll back
+    // to version 2 of a 4-batch replay as a new metadata-only commit —
+    // the snapshot then equals the fold of the first two lsn windows.
+    "q120_cdc_restore" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-restore").toString
+      val table = new LakeTable(root, numBuckets = 16)
+      CdcPipeline.replay(s, ChangeLog.flat(s, dir), table, numBatches = 4, salt = 4)
+      table.restore(2L)
+      withSha(table.snapshot(s).get)
+    }),
+
     // §2.1 surrogate-key incremental snapshot: chunk ranges computed over
     // a NON-PK column — the execute-snapshot signal's `surrogate-key`
     // field (`ExecuteSnapshot.java:62-69,118-119`). The window is held
@@ -1594,6 +1605,13 @@ object SparkEntry {
          |  FROM ev) t
          |WHERE rn = 1 AND op <> 'd'
          |GROUP BY repo""".stripMargin,
+    "q120_cdc_restore" ->
+      s"""$cte
+         |, b AS (SELECT min(lsn) AS lo, (max(lsn) - min(lsn)) // 4 + 1 AS w FROM ev)
+         |SELECT repo, path, commit, lang, content, sha256(content) AS content_sha FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |  FROM ev WHERE lsn < (SELECT lo FROM b) + 2 * (SELECT w FROM b)) t
+         |WHERE rn = 1 AND op <> 'd'""".stripMargin,
     "q118_cdc_delete_where" ->
       s"""$cte
          |SELECT repo, path, commit, lang, content, sha256(content) AS content_sha FROM (

@@ -230,6 +230,34 @@ final class LakeTable(
     }
   }
 
+  /** Delta-style RESTORE: roll the table back to `version` as a NEW
+    * metadata-only commit that adopts that version's file set and schema
+    * pointer. History is preserved — time travel still reads the undone
+    * commits, the change feed shows the restore as ordinary row diffs
+    * (version head+1 vs head), and GC keeps the adopted files alive
+    * because the new head references them. The head's `batchId`,
+    * `watermark`, and `fence` are KEPT (not rewound): a redelivered
+    * stream batch that the undone commits had applied stays fenced, so
+    * the rollback sticks instead of being silently redone by replay.
+    * Restoring across a rebucket boundary adopts the old layout — this
+    * handle then fails fast on next use; reopen via [[LakeTable.open]].
+    */
+  def restore(version: Long): CommitInfo = {
+    val head = lastCommit().getOrElse(
+      throw new IllegalStateException("restore on an empty table"))
+    require(version < head.version,
+      s"restore target $version is not before head ${head.version}")
+    val target = commits().find(_.version == version).getOrElse(
+      throw new IllegalArgumentException(s"no commit at version $version"))
+    val ci = target.copy(
+      version = head.version + 1,
+      batchId = head.batchId,
+      watermark = head.watermark,
+      fence = head.fence)
+    commit(ci, prev = Some(head))
+    ci
+  }
+
   /** Atomically publish a commit. Single-writer (the streaming driver).
     *
     * Incremental manifests: when the predecessor is supplied, the commit

@@ -810,6 +810,38 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("restore: rolls back as a new commit; history, feed, and fencing intact") {
+    val log = randomLog(59, 400)
+    val table = new LakeTable(tmp(), numBuckets = 8)
+    CdcPipeline.replay(spark, log.toDF(), table, numBatches = 4, writeMetrics = false)
+    val headState = tableState(table)
+    val headCi = table.lastCommit().get
+    def stateAt(v: Long): Map[(String, String), FlatEvent] =
+      table.snapshotAt(spark, v).get.as[FlatEvent].collect().map(e => (e.repo, e.path) -> e).toMap
+    val want2 = stateAt(2L)
+    val restored = table.restore(2L)
+    assert(restored.version === headCi.version + 1)
+    assert(tableState(table) === want2, "head state must equal version 2's")
+    // history preserved: the undone head still time-travels
+    assert(stateAt(headCi.version) === headState)
+    // the restore shows up in the change feed as ordinary row diffs
+    val feed = table.changeFeed(spark, headCi.version, restored.version).get
+    assert(feed.count() > 0, "rollback must produce feed rows")
+    // fencing kept: a redelivered stream batch stays fenced (rollback sticks)
+    val redelivered = CdcApply.applyBatch(spark, table,
+      Seq(FlatEvent.mk(("repo0", "p0.txt"), 1L, "u")).toDF(),
+      batchId = headCi.batchId, writeMetrics = false)
+    assert(!redelivered.committed, "old batchId must stay fenced after restore")
+    assert(tableState(table) === want2)
+    // new data applies normally on top of the restored state
+    val fresh = FlatEvent.mk(("repo0", "p0.txt"), 99999L, "u")
+    CdcApply.applyBatch(spark, table, Seq(fresh).toDF(),
+      batchId = headCi.batchId + 1, writeMetrics = false)
+    assert(tableState(table) === want2 + ((("repo0", "p0.txt")) -> fresh))
+    // restore target must exist and precede head
+    intercept[IllegalArgumentException] { table.restore(9999L) }
+  }
+
   // -- zone maps (manifest file stats) --------------------------------
 
   test("zone-map bounds: sound truncation, ASCII-only, upper bound rounds up") {
