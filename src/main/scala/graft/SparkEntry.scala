@@ -1617,7 +1617,7 @@ object SparkEntry {
          |SELECT repo, path, commit, lang, content, sha256(content) AS content_sha FROM (
          |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
          |  FROM ev) t
-         |WHERE rn = 1 AND op <> 'd' AND lang <> 'de'""".stripMargin,
+         |WHERE rn = 1 AND op <> 'd' AND (lang <> 'de' OR lang IS NULL)""".stripMargin,
     "q119_cdc_update_where" ->
       s"""$cte
          |, st AS (

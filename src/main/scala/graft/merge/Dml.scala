@@ -26,6 +26,15 @@ import graft.table.LakeTable
   * re-running a delete matches nothing (the rows are gone); re-running an
   * update is a second update, as it would be in SQL.
   *
+  * Ordering caveat (the point-in-time cut): a DML event dominates the
+  * exact version it observed AND any not-yet-arrived event of the SAME
+  * source commit (higher lsn) — `c‖'~' > c` regardless of lsn. On
+  * ordered-per-partition transports (the binlog semantics this engine
+  * mirrors) a commit's events land together, so the cut falls between
+  * source commits as expected; on unordered transports, run DML only
+  * once ingest of the target commits has drained, or a same-commit
+  * straggler will lose to the DML's rewrite.
+  *
   * Scale shape: one manifest-pruned state scan filtered by `pred`
   * (pushed to parquet), then the standard merge whose shuffle is O(hits),
   * never O(state).
@@ -34,18 +43,36 @@ object Dml {
 
   private def bump(c: Column): Column = concat(c, lit("~"))
 
+  /** Ordering/metadata columns a SET may not touch and tombstones keep. */
+  private val MetaCols = Set("op", "commit", "lsn", "part", "ts_ms")
+
+  private def noop(table: LakeTable, reason: String): BatchResult =
+    BatchResult(committed = false,
+      table.lastCommit().map(_.version).getOrElse(0L), 0L, 0L, 0L, -1L, reason)
+
   /** `DELETE FROM table WHERE pred`: every current-state row matching
-    * `pred` gets a dominating tombstone event. Returns the apply's
-    * result (fresh = rows deleted); a no-hit delete is a no-op commit.
+    * `pred` gets a dominating tombstone event — with every non-key value
+    * column NULLED, like source delete events (a GDPR delete must not
+    * write the deleted payload back into live files; only the key and
+    * ordering survive in the tombstone until retention compaction drops
+    * it). Returns the apply's result; an empty table or no-hit delete is
+    * a no-op, as in SQL.
     */
   def deleteWhere(
       spark: SparkSession,
       table: LakeTable,
       pred: Column,
       salt: Int = 1): BatchResult = {
-    val state = table.snapshot(spark).getOrElse(
-      throw new IllegalStateException("deleteWhere on an empty table"))
-    val events = state.where(pred)
+    val state = table.snapshot(spark) match {
+      case Some(s) => s
+      case None    => return noop(table, "dml-empty-table")
+    }
+    val hits = state.where(pred)
+    val tombstones = hits.select(hits.columns.toIndexedSeq.map { c =>
+      if (table.keyCols.contains(c) || MetaCols(c)) col(c)
+      else lit(null).cast(hits.schema(c).dataType).as(c)
+    }: _*)
+    val events = tombstones
       .withColumn("commit", bump(col("commit")))
       .withColumn("op", lit("d"))
     CdcApply.applyBatch(spark, table, events, batchId = 0L, salt = salt,
@@ -55,8 +82,12 @@ object Dml {
   /** `UPDATE table SET <sets> WHERE pred`: matching rows re-emit with the
     * SET expressions applied (each evaluated against the OLD row, so
     * `"content" -> concat(col("content"), …)` works) and a dominating
-    * commit. Key columns cannot be SET — that is an insert+delete, not an
-    * update (same rule as SQL engines enforce for bucketed tables).
+    * commit. Key columns cannot be SET (that is an insert+delete, not an
+    * update — the key IS the row's identity and bucket), meta columns
+    * cannot be SET (a rewritten `lsn` would poison the committed
+    * per-partition watermark and fence future stream events), and a SET
+    * naming a column the table does not have is a loud config error, not
+    * a silent no-op.
     */
   def updateWhere(
       spark: SparkSession,
@@ -67,8 +98,17 @@ object Dml {
     val bad = sets.map(_._1).filter(table.keyCols.contains)
     require(bad.isEmpty, s"cannot SET key column(s) ${bad.mkString(", ")} — " +
       "delete and re-insert instead (the key IS the row's identity and bucket)")
-    val state = table.snapshot(spark).getOrElse(
-      throw new IllegalStateException("updateWhere on an empty table"))
+    val metaBad = sets.map(_._1).filter(MetaCols)
+    require(metaBad.isEmpty,
+      s"cannot SET ordering/metadata column(s) ${metaBad.mkString(", ")}")
+    val state = table.snapshot(spark) match {
+      case Some(s) => s
+      case None    => return noop(table, "dml-empty-table")
+    }
+    val unknown = sets.map(_._1).filterNot(state.columns.contains)
+    require(unknown.isEmpty,
+      s"unknown column(s) in SET: ${unknown.mkString(", ")} " +
+        s"(table columns: ${state.columns.mkString(", ")})")
     val hits = state.where(pred)
     // all SETs evaluate against the old row in ONE projection (sequential
     // withColumn would let a later SET see an earlier SET's output)

@@ -118,6 +118,15 @@ final class LakeTable(
     */
   def commits(): Seq[CommitInfo] = commitPaths().map(materialize)
 
+  /** Commit versions present, decoded from FILENAMES only (`v%020d.json`)
+    * — no JSON parse; the cheap existence probe for history-dependent
+    * consumers (the change feed's window materialization, the view
+    * maintainer's retention check).
+    */
+  def commitVersions(): Seq[Long] =
+    commitPaths().map(p =>
+      p.getFileName.toString.stripPrefix("v").stripSuffix(".json").toLong)
+
   /** Fail fast on a bucket-layout mismatch of the HEAD commit: `bucketCol`
     * is a pure function of `numBuckets`, so an instance opened with the
     * wrong count would silently route keys to the wrong buckets (wrong
@@ -235,10 +244,14 @@ final class LakeTable(
     * pointer. History is preserved — time travel still reads the undone
     * commits, the change feed shows the restore as ordinary row diffs
     * (version head+1 vs head), and GC keeps the adopted files alive
-    * because the new head references them. The head's `batchId`,
-    * `watermark`, and `fence` are KEPT (not rewound): a redelivered
-    * stream batch that the undone commits had applied stays fenced, so
-    * the rollback sticks instead of being silently redone by replay.
+    * because the new head references them. The head's `batchId` and
+    * `watermark` are KEPT (not rewound): a redelivered stream batch that
+    * the undone commits had applied stays fenced, so the rollback sticks
+    * instead of being silently redone by replay. The truncate `fence`,
+    * by contrast, is DATA semantics and restores with the target (a
+    * truncate after the target is part of what is being undone — keeping
+    * the head's fence would filter the restored rows right back out on
+    * merge-on-read reads while leaving them visible on copy-on-write).
     * Restoring across a rebucket boundary adopts the old layout — this
     * handle then fails fast on next use; reopen via [[LakeTable.open]].
     */
@@ -252,8 +265,7 @@ final class LakeTable(
     val ci = target.copy(
       version = head.version + 1,
       batchId = head.batchId,
-      watermark = head.watermark,
-      fence = head.fence)
+      watermark = head.watermark)
     commit(ci, prev = Some(head))
     ci
   }
@@ -442,12 +454,26 @@ final class LakeTable(
     * rules as [[snapshotRaw]].
     */
   def changeFeed(spark: SparkSession, fromVersion: Long, toVersion: Long): Option[DataFrame] = {
-    val cs = commits().sortBy(_.version)
-    if (cs.isEmpty) return None
-    val headV = cs.last.version
-    val inRange = cs.filter(_.version <= toVersion)
-    if (inRange.isEmpty) return None
-    val target = inRange.last.schema
+    // Materialize ONLY the window: versions are decoded from filenames,
+    // and the JSON parse + delta-chain fold happens just for the pair
+    // commits in (from, to] and each one's predecessor — a per-microbatch
+    // consumer (the streaming view maintainer) stays O(window), not
+    // O(total commit history), per call.
+    val entries = commitPaths()
+    if (entries.isEmpty) return None
+    def versionOf(p: Path): Long =
+      p.getFileName.toString.stripPrefix("v").stripSuffix(".json").toLong
+    val vs = entries.map(versionOf)
+    val headV = vs.last
+    val idxInRange = vs.indices.filter(i => vs(i) > fromVersion && vs(i) <= toVersion)
+    if (idxInRange.isEmpty && !vs.exists(_ <= toVersion)) return None
+    val neededIdx: Set[Int] =
+      idxInRange.toSet ++ idxInRange.map(_ - 1).filter(_ >= 0) ++
+        // the newest commit ≤ toVersion supplies the target schema
+        vs.indices.reverse.find(i => vs(i) <= toVersion).toSet
+    if (neededIdx.isEmpty) return None
+    val byIdx: Map[Int, CommitInfo] = neededIdx.map(i => i -> materialize(entries(i))).toMap
+    val target = byIdx(vs.indices.reverse.find(i => vs(i) <= toVersion).get).schema
     val dataCols = target.fieldNames.toSeq
     val valCols = dataCols.filterNot(keyCols.contains)
 
@@ -470,10 +496,7 @@ final class LakeTable(
     // (prev, cur) pairs for every commit version in (from, to]; a commit
     // whose version is the first ever diffs against nothing (all inserts).
     val pairs: Seq[(Option[CommitInfo], CommitInfo)] =
-      (None +: cs.map(Some(_))).zip(cs).collect {
-        case (prev, cur) if cur.version > fromVersion && cur.version <= toVersion =>
-          (prev, cur)
-      }
+      idxInRange.map(i => (if (i == 0) None else Some(byIdx(i - 1)), byIdx(i)))
     if (pairs.isEmpty) return None
 
     val perPair = pairs.map { case (prevOpt, cur) =>

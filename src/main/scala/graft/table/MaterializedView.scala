@@ -62,6 +62,22 @@ object MaterializedView {
   def maintain(spark: SparkSession, base: LakeTable, dv: DerivedView): Unit = {
     val baseV = base.lastCommit().map(_.version).getOrElse(0L)
     var viewV = dv.table.lastCommit().map(_.batchId).getOrElse(0L)
+    // Retention check: every segment (v-1, v] the catch-up needs must
+    // still have BOTH commits retained. If snapshot expiry dropped them,
+    // the change feed would silently pair the horizon commit against
+    // nothing and re-emit its ENTIRE state as inserts ON TOP of the
+    // non-empty view (permanent double counts) — fail loudly instead;
+    // the operator must rebuild the view (drop its table, maintain again).
+    if (viewV < baseV) {
+      val have = base.commitVersions().toSet
+      val needed = (if (viewV == 0L) 1L else viewV) to baseV
+      val missing = needed.filterNot(have)
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"derived view at base version $viewV lags expired history " +
+            s"(missing commits ${missing.mkString(", ")} of $baseV) — " +
+            "rebuild the view from scratch")
+    }
     while (viewV < baseV) {
       val v = viewV + 1
       base.changeFeed(spark, v - 1, v).foreach { feed =>

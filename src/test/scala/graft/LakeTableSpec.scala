@@ -808,6 +808,51 @@ class LakeTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dml.updateWhere(spark, table, lit(true), Seq("repo" -> lit("x")))
     }
+    // ... as are SETs on meta columns and on columns the table lacks
+    intercept[IllegalArgumentException] {
+      Dml.updateWhere(spark, table, lit(true), Seq("lsn" -> lit(Long.MaxValue)))
+    }
+    intercept[IllegalArgumentException] {
+      Dml.updateWhere(spark, table, lit(true), Seq("contnet" -> lit("typo")))
+    }
+    // GDPR contract: a delete's tombstone carries NO payload — the raw
+    // (tombstone-retaining) state has null content for the deleted keys
+    val rawDeleted = table.snapshotRaw(spark).get
+      .where(col("op") === "d" && col("path").startsWith("p1"))
+    assert(rawDeleted.count() > 0, "tombstones must be retained")
+    assert(rawDeleted.where(col("content").isNotNull).count() === 0,
+      "deleted payload must not survive in live files")
+    // empty-table DML is a no-op, not a crash (the scheduled-purge case)
+    val emptyT = new LakeTable(tmp(), numBuckets = 2)
+    val r0 = Dml.deleteWhere(spark, emptyT, lit(true))
+    assert(!r0.committed && r0.reason === "dml-empty-table")
+  }
+
+  test("restore on merge-on-read: an undone truncate comes back (fence restores with the target)") {
+    val t3 = new LakeTable(tmp(), numBuckets = 2, mergeOnRead = true)
+    val a = FlatEvent.mk(("r", "a.txt"), 1L, "c")
+    val b = FlatEvent.mk(("r", "b.txt"), 2L, "c")
+    CdcApply.applyBatch(spark, t3, Seq(a, b).toDF(), batchId = 0, writeMetrics = false)
+    CdcApply.applyBatch(spark, t3,
+      Seq(FlatEvent.mk(("r", "a.txt"), 3L, "t"), FlatEvent.mk(("r", "c.txt"), 4L, "c")).toDF(),
+      batchId = 1, writeMetrics = false)
+    assert(tableState(t3).keys.toSet === Set(("r", "c.txt")), "truncate wiped v1")
+    t3.restore(1L)
+    assert(tableState(t3) === Map(("r", "a.txt") -> a, ("r", "b.txt") -> b),
+      "restore must undo the truncate on the MoR read path too")
+  }
+
+  test("derived view maintenance fails loudly when history expired past the view's version") {
+    import graft.table.MaterializedView
+    val base = new LakeTable(tmp(), numBuckets = 4)
+    CdcPipeline.replay(spark, randomLog(61, 200).toDF(), base, numBatches = 3, writeMetrics = false)
+    val vt = new LakeTable(tmp(), numBuckets = 2, keyCols = Seq("repo"))
+    val dv = MaterializedView.DerivedView(vt, Seq("repo"), lit(1), "m")
+    MaterializedView.maintain(spark, base, dv) // caught up to v3
+    CdcApply.applyBatch(spark, base,
+      Seq(FlatEvent.mk(("repo9", "z.txt"), 5000L, "u")).toDF(), batchId = 7, writeMetrics = false)
+    base.expireSnapshots(keepLast = 1) // drops v1..v3 — the view's catch-up history
+    intercept[IllegalStateException] { MaterializedView.maintain(spark, base, dv) }
   }
 
   test("restore: rolls back as a new commit; history, feed, and fencing intact") {
