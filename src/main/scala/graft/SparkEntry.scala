@@ -421,6 +421,16 @@ object SparkEntry {
       tdp.Dsir.resample(
         tdp.Dsir.importance(Corpus.documents(s, dir), col("lang") === "en", buckets = 256),
         k = 200, salt = "dsir1")),
+    // SEMANTIC decontamination: corpus vectors whose cosine to ANY
+    // eval-set vector ≥ threshold (the embedding-space sibling of the
+    // n-gram filter q78 — catches paraphrased leakage). Eval set
+    // broadcast; the corpus never shuffles.
+    "q121_semantic_decontam" -> ((s, dir) => {
+      val evalSet = Corpus.embeddings(s, dir).where(col("vec_id") % 7 === 0)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      tdp.Decontamination.semanticContamination(
+        Corpus.embsWithDups(s, dir), evalSet, threshold = 0.98)
+    }),
     // Deterministic corpus mixing + splits: per-language keep rates
     // (mixing weights) and disjoint train/val/test assignment, both pure
     // functions of md5(salt||doc_id) — reproducible at any partitioning,
@@ -2512,6 +2522,15 @@ object SparkEntry {
          |SELECT comp.doc, comp.cluster, a.ccos,
          |       (row_number() OVER (PARTITION BY comp.cluster ORDER BY a.ccos, comp.doc) = 1) AS keep
          |FROM comp JOIN assign a ON a.vec_id = comp.doc""".stripMargin,
+    "q121_semantic_decontam" ->
+      s"""WITH ${Corpus.Sql.emb}
+         |, ev AS (
+         |  SELECT vec_id AS eval_id, [CAST(x AS DOUBLE) for x in embedding] AS vb
+         |  FROM embeddings WHERE vec_id % 7 = 0)
+         |SELECT vec_id, eval_id, cos FROM (
+         |  SELECT c.vec_id, e.eval_id, c.embedding AS va, e.vb, $embCos AS cos
+         |  FROM emb c CROSS JOIN ev e) t
+         |WHERE cos >= 0.98""".stripMargin,
     "q114_dsir" ->
       """WITH w AS (
         |  SELECT doc_id, lang = 'en' AS t,

@@ -38,7 +38,8 @@ final case class CommitInfo(
     schemas: Seq[String],              // distinct StructType jsons, append-only
     schemaIdx: Int,                    // current table schema
     files: Seq[FileEntry],
-    numBuckets: Int = 0) {             // bucket layout at this commit (0 = pre-layout-tracking commit)
+    numBuckets: Int = 0,               // bucket layout at this commit (0 = pre-layout-tracking commit)
+    tsMs: Long = 0L) {                 // wall-clock commit stamp (0 = pre-stamp commit); set by commit()
   def schema: StructType = DataType.fromJson(schemas(schemaIdx)).asInstanceOf[StructType]
 }
 
@@ -175,7 +176,7 @@ final class LakeTable(
           val base = Option(resolved.get(d.base)).getOrElse(
             materialize(commitsDir.resolve(f"v${d.base}%020d.json")))
           val files = base.files.filterNot(f => d.removedPaths.contains(f.path)) ++ d.added
-          val ci = CommitInfo(d.version, d.batchId, d.watermark, d.fence, d.schemas, d.schemaIdx, files, d.numBuckets)
+          val ci = CommitInfo(d.version, d.batchId, d.watermark, d.fence, d.schemas, d.schemaIdx, files, d.numBuckets, d.tsMs)
           resolved.put(ci.version, ci); trimMemo(ci.version); ci
         }
     }
@@ -239,6 +240,15 @@ final class LakeTable(
     }
   }
 
+  /** TIMESTAMP AS OF time travel (Delta/Iceberg timestamp variant): the
+    * state at the NEWEST commit whose wall-clock stamp is ≤ `tsMs`. None
+    * when no commit is that old (or only pre-stamp commits are). An
+    * O(commits) metadata pass — a time-travel query path, not a hot path.
+    */
+  def snapshotAtTime(spark: SparkSession, tsMs: Long): Option[DataFrame] =
+    commits().filter(c => c.tsMs > 0L && c.tsMs <= tsMs).lastOption
+      .flatMap(ci => snapshotAt(spark, ci.version))
+
   /** Delta-style RESTORE: roll the table back to `version` as a NEW
     * metadata-only commit that adopts that version's file set and schema
     * pointer. History is preserved — time travel still reads the undone
@@ -262,12 +272,10 @@ final class LakeTable(
       s"restore target $version is not before head ${head.version}")
     val target = commits().find(_.version == version).getOrElse(
       throw new IllegalArgumentException(s"no commit at version $version"))
-    val ci = target.copy(
+    commit(target.copy(
       version = head.version + 1,
       batchId = head.batchId,
-      watermark = head.watermark)
-    commit(ci, prev = Some(head))
-    ci
+      watermark = head.watermark), prev = Some(head))
   }
 
   /** Atomically publish a commit. Single-writer (the streaming driver).
@@ -279,10 +287,13 @@ final class LakeTable(
     * resolution chain (Iceberg manifest-list analog). Keeps the driver's
     * per-batch commit cost flat as the table and the batch count grow.
     */
-  def commit(ci0: CommitInfo, prev: Option[CommitInfo] = None): Unit = {
+  def commit(ci0: CommitInfo, prev: Option[CommitInfo] = None): CommitInfo = {
     // Stamp the bucket layout (callers construct CommitInfo without it;
-    // rebucket passes the NEW count explicitly).
-    val ci = if (ci0.numBuckets > 0) ci0 else ci0.copy(numBuckets = numBuckets)
+    // rebucket passes the NEW count explicitly) and the wall-clock commit
+    // time — ALWAYS now, whatever the caller carried (restore/schema
+    // patches copy an old CommitInfo; their commit is still a new event).
+    val ci = (if (ci0.numBuckets > 0) ci0 else ci0.copy(numBuckets = numBuckets))
+      .copy(tsMs = System.currentTimeMillis())
     Files.createDirectories(commitsDir)
     val target = commitsDir.resolve(f"v${ci.version}%020d.json")
     val tmp = commitsDir.resolve(f".v${ci.version}%020d.json.tmp")
@@ -292,9 +303,28 @@ final class LakeTable(
       case _ => LakeTable.toJson(ci)
     }
     Files.writeString(tmp, json)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    // Publish via createLink — the POSIX compare-and-swap: link creation
+    // atomically FAILS if the version already exists, so a lost racing
+    // writer (two drivers both computing version = head+1) errors loudly
+    // instead of silently replacing the winner's commit (rename() — what
+    // ATOMIC_MOVE maps to on Linux — would clobber it). Where links are
+    // unsupported, fall back to the move and rely on the single-writer
+    // contract alone.
+    try {
+      Files.createLink(target, tmp)
+      Files.delete(tmp)
+    } catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new java.util.ConcurrentModificationException(
+          s"version ${ci.version} was committed concurrently — " +
+            "single-writer contract violated (this writer must re-read the head)", e)
+      case _: UnsupportedOperationException =>
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    }
     resolved.put(ci.version, ci)
     trimMemo(ci.version)
+    ci
   }
 
   /** Run `f` with Spark's parallel-listing threshold raised so a
@@ -1129,7 +1159,8 @@ object LakeTable {
       base: Long,
       added: Seq[FileEntry],
       removedPaths: Set[String],
-      numBuckets: Int = 0)
+      numBuckets: Int = 0,
+      tsMs: Long = 0L)
 
   /** Parse a commit file: Right = full manifest, Left = delta. */
   def parse(s: String): Either[DeltaCommit, CommitInfo] = {
@@ -1156,6 +1187,7 @@ object LakeTable {
     ci.schemas.foreach(ss.add)
     o.put("schemaIdx", ci.schemaIdx)
     o.put("numBuckets", ci.numBuckets)
+    o.put("tsMs", ci.tsMs)
     val d = o.putObject("delta")
     d.put("base", prev.version)
     val fs = d.putArray("added")
@@ -1182,7 +1214,8 @@ object LakeTable {
       base = d.get("base").asLong(),
       added = arr(d.get("added")).map(readFile).toSeq,
       removedPaths = arr(d.get("removed")).map(_.asText()).toSet,
-      numBuckets = Option(o.get("numBuckets")).map(_.asInt()).getOrElse(0))
+      numBuckets = Option(o.get("numBuckets")).map(_.asInt()).getOrElse(0),
+      tsMs = Option(o.get("tsMs")).map(_.asLong()).getOrElse(0L))
   }
 
   def toJson(ci: CommitInfo): String = {
@@ -1200,6 +1233,7 @@ object LakeTable {
     ci.schemas.foreach(ss.add)
     o.put("schemaIdx", ci.schemaIdx)
     o.put("numBuckets", ci.numBuckets)
+    o.put("tsMs", ci.tsMs)
     val fs = o.putArray("files")
     ci.files.foreach(f => putFile(fs.addObject(), f))
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
@@ -1242,6 +1276,7 @@ object LakeTable {
       schemas = arr(o.get("schemas")).map(_.asText()).toSeq,
       schemaIdx = o.get("schemaIdx").asInt(),
       files = arr(o.get("files")).map(readFile).toSeq,
-      numBuckets = Option(o.get("numBuckets")).map(_.asInt()).getOrElse(0))
+      numBuckets = Option(o.get("numBuckets")).map(_.asInt()).getOrElse(0),
+      tsMs = Option(o.get("tsMs")).map(_.asLong()).getOrElse(0L))
   }
 }

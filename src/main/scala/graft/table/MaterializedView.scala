@@ -62,16 +62,18 @@ object MaterializedView {
   def maintain(spark: SparkSession, base: LakeTable, dv: DerivedView): Unit = {
     val baseV = base.lastCommit().map(_.version).getOrElse(0L)
     var viewV = dv.table.lastCommit().map(_.batchId).getOrElse(0L)
-    // Retention check: every segment (v-1, v] the catch-up needs must
-    // still have BOTH commits retained. If snapshot expiry dropped them,
-    // the change feed would silently pair the horizon commit against
-    // nothing and re-emit its ENTIRE state as inserts ON TOP of the
-    // non-empty view (permanent double counts) — fail loudly instead;
-    // the operator must rebuild the view (drop its table, maintain again).
-    if (viewV < baseV) {
+    // Retention check for a NON-EMPTY view: every version from the view's
+    // own position to head must still be retained. If snapshot expiry
+    // dropped any, the change feed would pair the horizon commit against
+    // an OLDER retained predecessor (or nothing) and re-emit already-
+    // folded state ON TOP of the view (permanent double counts) — fail
+    // loudly instead; the operator must rebuild (drop the view table,
+    // maintain again). An EMPTY view needs no history: the horizon
+    // commit pairing with nothing IS its correct full-insert bootstrap,
+    // and pre-horizon segments resolve to None and are skipped.
+    if (viewV > 0L && viewV < baseV) {
       val have = base.commitVersions().toSet
-      val needed = (if (viewV == 0L) 1L else viewV) to baseV
-      val missing = needed.filterNot(have)
+      val missing = (viewV to baseV).filterNot(have)
       if (missing.nonEmpty)
         throw new IllegalStateException(
           s"derived view at base version $viewV lags expired history " +

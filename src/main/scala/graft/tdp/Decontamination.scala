@@ -37,6 +37,49 @@ object Decontamination {
   def gramHashes(text: Column, n: Int): Column =
     array_distinct(transform(Dedup.shingles(text, n), g => md5(g)))
 
+  /** SEMANTIC contamination report: corpus vectors whose cosine to ANY
+    * eval-set vector reaches `threshold` — the embedding-space sibling of
+    * the n-gram filter (catches paraphrased/translated benchmark leakage
+    * that exact n-grams miss; standard practice alongside lexical
+    * decontamination). Output: (idCol as corpus id, eval_id, cos) per
+    * flagged pair, cosine rounded like the ANN family.
+    *
+    * Scale shape mirrors [[contaminationReport]]: the eval set is SMALL
+    * by construction and BROADCAST; the corpus is scanned once, never
+    * shuffled. The default is the exact pass (|corpus| × |eval| cosines,
+    * streamed); `planes > 0` switches to the sign-LSH blocked variant
+    * ([[Similarity.lshBucket]] on both sides, broadcast join on the
+    * bucket key) which evaluates only same-bucket candidates — recall
+    * trades with `planes` exactly as in the ANN operators.
+    */
+  def semanticContamination(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      threshold: Double = 0.95,
+      planes: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c0 = corpus.select(col(idCol), col(vecCol).as("__v"))
+    val e0 = evalSet.select(col(idCol).as("eval_id"), col(vecCol).as("__ev"))
+    val joined =
+      if (planes <= 0) c0.crossJoin(broadcast(e0))
+      else c0.withColumn("__bkt", Similarity.lshBucket(col("__v"), planes))
+        .join(broadcast(e0.withColumn("__bkt", Similarity.lshBucket(col("__ev"), planes))), "__bkt")
+    joined
+      .select(col(idCol), col("eval_id"),
+        round(Similarity.cosine(col("__v"), col("__ev")), 4).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** Drop every corpus row flagged by [[semanticContamination]] — one
+    * broadcast anti-join on the (bounded) flagged-id set.
+    */
+  def decontaminateSemantic(
+      corpus: DataFrame,
+      flagged: DataFrame,
+      idCol: String = "vec_id"): DataFrame =
+    corpus.join(broadcast(flagged.select(col(idCol)).distinct()), Seq(idCol), "left_anti")
+
   /** Per-document contamination report: documents sharing at least
     * `minOverlap` distinct n-grams with the benchmark set, with the
     * matched-gram count. Output: (idCol, matched_grams).

@@ -853,6 +853,16 @@ class LakeTableSpec extends SparkSpec {
       Seq(FlatEvent.mk(("repo9", "z.txt"), 5000L, "u")).toDF(), batchId = 7, writeMetrics = false)
     base.expireSnapshots(keepLast = 1) // drops v1..v3 — the view's catch-up history
     intercept[IllegalStateException] { MaterializedView.maintain(spark, base, dv) }
+    // a NEW (empty) view on the same expired-history table is fine: the
+    // horizon commit pairing with nothing IS its full-insert bootstrap
+    val vt2 = new LakeTable(tmp(), numBuckets = 2, keyCols = Seq("repo"))
+    val dv2 = MaterializedView.DerivedView(vt2, Seq("repo"), lit(1), "m")
+    MaterializedView.maintain(spark, base, dv2)
+    val want = base.snapshot(spark).get.groupBy("repo")
+      .agg(count(lit(1)).as("n"), count(lit(1)).as("m"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(vt2.snapshot(spark).get.select("repo", "n_rows", "m")
+      .as[(String, Long, Long)].collect().toSet === want)
   }
 
   test("restore: rolls back as a new commit; history, feed, and fencing intact") {
@@ -885,6 +895,38 @@ class LakeTableSpec extends SparkSpec {
     assert(tableState(table) === want2 + ((("repo0", "p0.txt")) -> fresh))
     // restore target must exist and precede head
     intercept[IllegalArgumentException] { table.restore(9999L) }
+  }
+
+  test("optimistic concurrency: a lost racing writer cannot silently replace a committed version") {
+    val table = new LakeTable(tmp(), numBuckets = 2)
+    CdcApply.applyBatch(spark, table,
+      Seq(FlatEvent.mk(("r", "a.txt"), 1L, "c")).toDF(), batchId = 0, writeMetrics = false)
+    val head = table.lastCommit().get
+    // a second writer that computed the same next version loses LOUDLY
+    // (rename() on Linux would silently clobber the winner's commit)
+    intercept[java.util.ConcurrentModificationException] {
+      table.commit(head.copy(batchId = 42L))
+    }
+    assert(table.lastCommit().get.batchId === head.batchId, "the first commit must survive")
+  }
+
+  test("timestamp time travel: snapshotAtTime picks the newest commit at-or-before the stamp") {
+    val table = new LakeTable(tmp(), numBuckets = 2)
+    val a = FlatEvent.mk(("r", "a.txt"), 1L, "c")
+    val b = FlatEvent.mk(("r", "b.txt"), 2L, "c")
+    CdcApply.applyBatch(spark, table, Seq(a).toDF(), batchId = 0, writeMetrics = false)
+    Thread.sleep(5) // force millisecond-distinct stamps
+    CdcApply.applyBatch(spark, table, Seq(b).toDF(), batchId = 1, writeMetrics = false)
+    val cs = table.commits()
+    assert(cs.forall(_.tsMs > 0L), "every commit carries a wall-clock stamp")
+    assert(cs.map(_.tsMs) === cs.map(_.tsMs).sorted, "stamps are monotone")
+    val (t1, t2) = (cs(0).tsMs, cs(1).tsMs)
+    def pathsAt(ts: Long): Option[Set[String]] =
+      table.snapshotAtTime(spark, ts).map(_.as[FlatEvent].collect().map(_.path).toSet)
+    assert(pathsAt(t1 - 1) === None, "before the first commit: no state")
+    if (t2 > t1) assert(pathsAt(t1) === Some(Set("a.txt")))
+    assert(pathsAt(t2) === Some(Set("a.txt", "b.txt")))
+    assert(pathsAt(System.currentTimeMillis() + 60000) === Some(Set("a.txt", "b.txt")))
   }
 
   // -- zone maps (manifest file stats) --------------------------------

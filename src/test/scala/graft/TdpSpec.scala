@@ -151,6 +151,39 @@ class TdpSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"importance scoring must not shuffle the corpus:\n$plan")
   }
 
+  test("semantic decontamination: eval members + scaled copies flagged; LSH subset; corpus unshuffled") {
+    import graft.tdp.Decontamination
+    val corpus = embs
+    val evalSet = Corpus.embeddings(spark, sf).where(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val flagged = Decontamination.semanticContamination(corpus, evalSet, threshold = 0.98).cache()
+    val evalIds = evalSet.select("vec_id").as[Long].collect().toSet
+    // every eval member present in the corpus flags itself at cos 1
+    evalIds.foreach { id =>
+      assert(flagged.where(col("vec_id") === id && col("eval_id") === id).count() === 1, s"self $id")
+    }
+    // scaled plants of eval members (vec_id % 35 == 0 → both sets) flagged
+    val planted = evalIds.filter(_ % 5 == 0).map(_ + 1000000L)
+    planted.foreach { p =>
+      assert(flagged.where(col("vec_id") === p).count() >= 1, s"plant $p not flagged")
+    }
+    // LSH-blocked variant can only LOSE candidates vs exact
+    val lsh = Decontamination.semanticContamination(corpus, evalSet, 0.98, planes = 4)
+      .select("vec_id", "eval_id").as[(Long, Long)].collect().toSet
+    val exact = flagged.select("vec_id", "eval_id").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    // filter drops exactly the flagged corpus ids
+    val flaggedIds = flagged.select("vec_id").as[Long].collect().toSet
+    assert(Decontamination.decontaminateSemantic(corpus, flagged).count() ===
+      corpus.count() - flaggedIds.size)
+    // plan: eval broadcast, corpus never shuffled (no hash partitioning)
+    val plan = Decontamination.semanticContamination(corpus, evalSet, 0.98)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"eval side must broadcast:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"the corpus must stream through unshuffled:\n$plan")
+  }
+
   test("ANN brute force: top-1 of a planted query is its scaled copy; k and ordering respected") {
     val queries = embs.where(col("vec_id") === 0L) // 0 % 5 == 0 → has a scaled copy
     val top = Similarity.bruteForceTopK(embs, queries, k = 5).cache()
