@@ -100,6 +100,20 @@ object MultiTable {
     * Events whose route matches no table are dropped (table
     * include-filter semantics, `relational/RelationalTableFilters.java`).
     * Returns per-table results.
+    *
+    * `parallelism` > 1 applies tables CONCURRENTLY from a driver thread
+    * pool. Per-table applies are independent by construction (one commit
+    * log, offset fence, and schema history per table — the per-topic
+    * isolation of the reference), and the shared pieces are thread-safe:
+    * the serial-listing conf flip is lock-guarded, the bucketed-state
+    * catalog name is per table root, and Spark schedules jobs from many
+    * threads natively. This matters at fleet scale: a Debezium connector
+    * captures HUNDREDS of tables, most slices are small, and a serial
+    * loop pays T × (driver latency + job launch) while the cluster idles
+    * between small jobs — concurrent applies keep the executor slots full
+    * (on a cluster, pair with a FAIR scheduler pool). Failure semantics:
+    * every table still attempts its apply (no half-skipped catalog), then
+    * the first failure in catalog order is rethrown.
     */
   def applyBatch(
       spark: SparkSession,
@@ -109,14 +123,34 @@ object MultiTable {
       batchId: Long,
       salt: Int = 1,
       writeMetrics: Boolean = false,
-      fenceByWatermark: Boolean = true): Map[String, CdcApply.BatchResult] = {
+      fenceByWatermark: Boolean = true,
+      parallelism: Int = 1): Map[String, CdcApply.BatchResult] = {
     val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
+    def applyOne(d: TableDef): CdcApply.BatchResult = {
+      val slice = cached.where(col(routeCol) === d.name).drop(routeCol)
+      CdcApply.applyBatch(spark, registry(d.name), slice, batchId, salt,
+        writeMetrics, fenceByWatermark, cacheBatch = false)
+    }
     try {
-      registry.defs.map { d =>
-        val slice = cached.where(col(routeCol) === d.name).drop(routeCol)
-        d.name -> CdcApply.applyBatch(spark, registry(d.name), slice, batchId, salt,
-          writeMetrics, fenceByWatermark, cacheBatch = false)
-      }.toMap
+      if (parallelism <= 1) registry.defs.map(d => d.name -> applyOne(d)).toMap
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+        try {
+          val futs = registry.defs.map { d =>
+            pool.submit(new java.util.concurrent.Callable[(String, scala.util.Try[CdcApply.BatchResult])] {
+              override def call(): (String, scala.util.Try[CdcApply.BatchResult]) = {
+                // DataFrame ops inside resolve against the thread's active
+                // session; pin it (pool threads have none).
+                SparkSession.setActiveSession(spark)
+                d.name -> scala.util.Try(applyOne(d))
+              }
+            })
+          }
+          val done = futs.map(_.get())
+          done.collectFirst { case (_, scala.util.Failure(e)) => e }.foreach(throw _)
+          done.map { case (n, t) => n -> t.get }.toMap
+        } finally pool.shutdown()
+      }
     } finally cached.unpersist()
   }
 

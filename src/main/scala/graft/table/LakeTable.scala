@@ -8,6 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.Envelope
+import org.apache.parquet.column.values.bloomfilter.{BloomFilter => ParquetBloom}
 
 /** A position in the change log's total order (SURVEY.md §1.2). */
 final case class LogPos(commit: String, lsn: Long) {
@@ -91,7 +92,9 @@ final class LakeTable(
     val mergeOnRead: Boolean = false,
     val sortedBuckets: Boolean = false,
     val autoCompactDepth: Int = 0,
-    val maxFileRows: Long = 0L) {
+    val maxFileRows: Long = 0L,
+    val bloomKeyNdv: Int = 0,
+    val writerOptions: Map[String, String] = Map.empty) {
   require(!(sortedBuckets && mergeOnRead),
     "sortedBuckets needs the ≤1-file-per-bucket CoW invariant (Spark only " +
       "reports bucket sort order for single-file buckets); merge-on-read stacks files")
@@ -562,7 +565,9 @@ final class LakeTable(
     *
     * Option contract: None = PROVABLY absent without any scan — the table
     * is empty, or every file in the key's bucket was excluded by its zone
-    * maps (a key outside all bounds cannot exist). Some(df) = the files
+    * maps (a key outside all bounds cannot exist) or by per-chunk
+    * membership evidence (exact dictionary pages / bloom filters — both
+    * sound exclusions). Some(df) = the files
     * that may contain the key, filtered; df can still be empty. Callers
     * testing absence must use `forall(_.isEmpty)`-style checks, never
     * `.get` on a possibly-absent key.
@@ -597,7 +602,21 @@ final class LakeTable(
         case (c, s: String) => e.stats.get(c).forall { case (mn, mx) => s >= mn && s <= mx }
         case _              => true
       }
-      val scanCi = ci.copy(files = ci.files.filter(keep))
+      // Membership pruning, the complement of the range-based zone maps:
+      // an unsorted MoR stack's files typically all span the full key
+      // range (bounds admit everything), but per-chunk membership
+      // evidence — the dictionary page where the chunk is fully
+      // dictionary-encoded (exact), the bloom filter where the
+      // dictionary fell back ([[bloomKeyNdv]]) — proves which keys a
+      // file CANNOT contain. Probing is a driver-side footer read
+      // (memoized per immutable file) and only for the key's own bucket
+      // stack — never O(manifest). A file is dropped only when some key
+      // column's evidence excludes the value in EVERY row group; absent
+      // evidence (legacy files, non-string keys) keeps the file.
+      val stringKey = keyCols.zip(key).collect { case (c, s: String) => c -> s }.toMap
+      val membershipKeep: FileEntry => Boolean = e =>
+        e.bucket != bucket || !membershipExcludes(e, stringKey)
+      val scanCi = ci.copy(files = ci.files.filter(e => keep(e) && membershipKeep(e)))
       // isHead=false: the point lookup must NOT route through the shared
       // bucketed-state registration — its per-key pruned file set would
       // evict the merge path's cached registration (single slot) and pay
@@ -608,6 +627,102 @@ final class LakeTable(
           .where(col("op") =!= Envelope.OpDelete))
     }
   }
+
+  /** Per-row-group key-membership evidence of one immutable staged file,
+    * loaded from the parquet footer (driver-side metadata reads, no data
+    * pages scanned):
+    *
+    *  - a chunk whose pages are ALL dictionary-encoded yields its
+    *    dictionary page as EXACT membership (this is why parquet drops
+    *    the bloom there — the dictionary subsumes it);
+    *  - otherwise the chunk's bloom filter, when written
+    *    ([[bloomKeyNdv]]), yields sound probabilistic exclusion (no
+    *    false negatives);
+    *  - anything else (legacy files, oversized dictionaries, missing
+    *    column) is unknown and must be treated as "may contain anything".
+    *
+    * Memoized per relative path: files never mutate under a commit, so
+    * loaded evidence stays valid for the file's lifetime; the memo is
+    * bounded and cleared on overflow, and dictionaries above
+    * [[LakeTable.MaxDictProbe]] entries are not materialized (memo memory
+    * stays bounded; such chunks fall back to the bloom).
+    */
+  private sealed trait ChunkEvidence
+  private final case class ExactMembers(values: Set[String]) extends ChunkEvidence
+  private final case class BloomMembers(bloom: ParquetBloom) extends ChunkEvidence
+  private case object UnknownMembers extends ChunkEvidence
+
+  private val evidenceMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Seq[ChunkEvidence]]]()
+
+  private def membershipEvidence(rel: String, cols: Set[String]): Map[String, Seq[ChunkEvidence]] = {
+    val cached = evidenceMemo.get(rel)
+    if (cached != null && cols.subsetOf(cached.keySet)) cached
+    else {
+      val loaded: Map[String, Seq[ChunkEvidence]] =
+        try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(Paths.get(root, rel).toUri), LakeTable.hadoopConf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val fileSchema = r.getFooter.getFileMetaData.getSchema
+            val blocks = r.getRowGroups.asScala.toSeq
+            cols.map { c =>
+              c -> blocks.map { b =>
+                b.getColumns.asScala.find(_.getPath.toDotString == c) match {
+                  case None => UnknownMembers: ChunkEvidence
+                  case Some(cc) =>
+                    def bloomOr: ChunkEvidence =
+                      Option(r.readBloomFilter(cc)).fold(UnknownMembers: ChunkEvidence)(BloomMembers(_))
+                    val es = cc.getEncodingStats
+                    val fullDict = es != null && !es.hasNonDictionaryEncodedPages
+                    if (!fullDict) bloomOr
+                    else {
+                      val desc = fileSchema.getColumnDescription(cc.getPath.toArray)
+                      val store: org.apache.parquet.column.page.DictionaryPageReadStore =
+                        r.getDictionaryReader(b)
+                      Option(store.readDictionaryPage(desc)) match {
+                        case Some(page) =>
+                          val dict = page.getEncoding.initDictionary(desc, page)
+                          val n = dict.getMaxId + 1
+                          if (n > LakeTable.MaxDictProbe) bloomOr
+                          else ExactMembers(
+                            (0 until n).map(i => dict.decodeToBinary(i).toStringUsingUTF8).toSet)
+                        case None => bloomOr
+                      }
+                    }
+                }
+              }
+            }.toMap
+          } finally r.close()
+        } catch {
+          // unreadable footer → no evidence → every probe keeps the file
+          case _: Exception => cols.map(c => c -> Seq.empty[ChunkEvidence]).toMap
+        }
+      if (evidenceMemo.size > 512) evidenceMemo.clear()
+      evidenceMemo.put(rel, loaded)
+      loaded
+    }
+  }
+
+  /** True iff the file PROVABLY lacks the key: some key column has
+    * evidence in every row group and every group's evidence excludes the
+    * value (exact dictionaries decide membership outright; blooms have no
+    * false negatives). Any unknown chunk keeps the file.
+    */
+  private def membershipExcludes(e: FileEntry, stringKey: Map[String, String]): Boolean =
+    stringKey.nonEmpty && {
+      val evidence = membershipEvidence(e.path, stringKey.keySet)
+      stringKey.exists { case (c, v) =>
+        val perGroup = evidence.getOrElse(c, Seq.empty)
+        perGroup.nonEmpty && perGroup.forall {
+          case ExactMembers(values) => !values.contains(v)
+          case BloomMembers(bf) =>
+            !bf.findHash(bf.hash(org.apache.parquet.io.api.Binary.fromString(v)))
+          case UnknownMembers => false
+        }
+      }
+    }
 
   // ---------------------------------------------------------------------
   // Storage-partitioned state read (round-2 fix for VERDICT "What's wrong"
@@ -867,11 +982,63 @@ final class LakeTable(
     * dangles. Driver cost: O(retained manifests + files) metadata; data
     * deletion is one pass over unreferenced paths.
     */
+  // ---------------------------------------------------------------------
+  // Named refs (Iceberg tag analog): a tag pins a commit version under a
+  // human name, time travel resolves it, and snapshot expiry will not
+  // drop a tagged version (nor the manifest chain needed to read it —
+  // commits are incremental, so retention is a horizon clamp, never a
+  // hole). Refs are tiny JSON files under `_refs/`, written atomically;
+  // they are METADATA about the commit log, so no data path changes.
+  // ---------------------------------------------------------------------
+
+  private def refsDir: Path = Paths.get(root, "_refs")
+  private val refName = "[A-Za-z0-9][A-Za-z0-9._-]*".r
+
+  /** Pin `version` under `name`. Tags are immutable by default — retagging
+    * an existing name requires `replace = true` (the Iceberg
+    * replace-tag distinction).
+    */
+  def tag(name: String, version: Long, replace: Boolean = false): Unit = {
+    require(refName.matches(name), s"invalid tag name '$name'")
+    require(commitVersions().contains(version), s"no commit at version $version")
+    val p = refsDir.resolve(s"$name.json")
+    require(replace || !Files.exists(p), s"tag '$name' exists (use replace = true)")
+    Files.createDirectories(refsDir)
+    val tmp = p.resolveSibling(s".$name.json.tmp")
+    Files.writeString(tmp, s"""{"name":"$name","version":$version,"tsMs":${System.currentTimeMillis()}}""")
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def tags(): Map[String, Long] =
+    if (!Files.isDirectory(refsDir)) Map.empty
+    else listDir(refsDir).filter(_.getFileName.toString.endsWith(".json"))
+      .filterNot(_.getFileName.toString.startsWith("."))
+      .map { p =>
+        val o = LakeTable.mapper.readTree(Files.readString(p))
+        o.get("name").asText() -> o.get("version").asLong()
+      }.toMap
+
+  def dropTag(name: String): Boolean = Files.deleteIfExists(refsDir.resolve(s"$name.json"))
+
+  /** Time travel by name: `VERSION AS OF '<tag>'`. */
+  def snapshotAtTag(spark: SparkSession, name: String): Option[DataFrame] =
+    tags().get(name).flatMap(v => snapshotAt(spark, v))
+
   def expireSnapshots(keepLast: Int = 1): (Int, Int) = {
     require(keepLast >= 1, "must retain at least the head commit")
     val paths = commitPaths()
-    if (paths.size <= keepLast) return (0, 0)
-    val (drop, keep) = paths.splitAt(paths.size - keepLast)
+    // Tagged versions clamp the expiry horizon: everything from the oldest
+    // tag forward is retained, so a tag keeps its commit readable (and the
+    // incremental-manifest chain above it intact) for as long as it lives.
+    val vOf: Path => Long =
+      p => "v(\\d+)".r.findFirstMatchIn(p.getFileName.toString).get.group(1).toLong
+    val taggedFloor = tags().values.minOption
+    val keepCount = taggedFloor match {
+      case Some(fl) => math.max(keepLast, paths.count(p => vOf(p) >= fl))
+      case None     => keepLast
+    }
+    if (paths.size <= keepCount) return (0, 0)
+    val (drop, keep) = paths.splitAt(paths.size - keepCount)
     // Materialize the horizon commit and persist it as a full manifest so
     // it no longer depends on an expiring base (atomic replace — readers
     // may resolve commits concurrently).
@@ -982,7 +1149,29 @@ final class LakeTable(
     // index — so the partition-id==bucket contract, the manifest, and the
     // bucketed-state registration (which already reads multi-file buckets
     // for MoR stacks) are unchanged; there are just ≥1 entries per bucket.
-    val writer = if (maxFileRows > 0) out.write.option("maxRecordsPerFile", maxFileRows) else out.write
+    // writerOptions first, engine-owned options after (engine wins).
+    val writerU = writerOptions.foldLeft(out.write) { case (w, (k, v)) => w.option(k, v) }
+    val writer0 = if (maxFileRows > 0) writerU.option("maxRecordsPerFile", maxFileRows) else writerU
+    // bloomKeyNdv > 0: every staged file carries a parquet BLOOM FILTER
+    // per key column (standard parquet metadata, written by the normal
+    // writer — no second pass over the data). Zone maps prune by RANGE,
+    // which is blind inside an unsorted merge-on-read stack whose files
+    // all span the full key range; per-chunk membership evidence answers
+    // the orthogonal question — which keys a file CANNOT contain. For
+    // dictionary-encoded chunks that evidence is free (the dictionary
+    // page, exact — parquet deliberately drops the bloom there); the
+    // bloom covers the dictionary-FALLBACK regime, i.e. files whose
+    // per-chunk key cardinality outgrew the dictionary page. [[lookup]]
+    // probes both driver-side, and executor scans additionally skip
+    // whole row groups for the pushed key-equality filter (parquet-mr
+    // dictionary/bloom row-group filtering, on by default).
+    // `ndv` sizes the filter for the expected distinct keys PER FILE.
+    val writer = if (bloomKeyNdv > 0) {
+      keyCols.filter(c => df.schema.fieldNames.contains(c)).foldLeft(writer0) { (w, c) =>
+        w.option(s"parquet.bloom.filter.enabled#$c", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#$c", bloomKeyNdv.toString)
+      }
+    } else writer0
     writer.mode("overwrite").parquet(abs)
     val part = "part-(\\d{5})".r
     val staged: Seq[(String, Int, Path)] = listDir(Paths.get(abs))
@@ -1098,6 +1287,12 @@ object LakeTable {
     * sound bound exists; the caller stores no stat for the column.
     */
   private[graft] val BoundLen = 64
+
+  /** Largest dictionary (distinct values per column chunk) the membership
+    * probe will materialize as an exact set — above this the chunk falls
+    * back to its bloom filter, keeping the per-file evidence memo bounded.
+    */
+  private[graft] val MaxDictProbe = 32768
   private[graft] def boundMin(s: String): Option[String] =
     if (s.exists(_ >= 0x80)) None else Some(s.take(BoundLen))
   private[graft] def boundMax(s: String): Option[String] =
@@ -1124,7 +1319,9 @@ object LakeTable {
       mergeOnRead: Boolean = false,
       sortedBuckets: Boolean = false,
       autoCompactDepth: Int = 0,
-      maxFileRows: Long = 0L): LakeTable = {
+      maxFileRows: Long = 0L,
+      bloomKeyNdv: Int = 0,
+      writerOptions: Map[String, String] = Map.empty): LakeTable = {
     val dir = Paths.get(root, "_commits")
     require(Files.isDirectory(dir), s"no commit log at $root")
     val listing = Files.list(dir)
@@ -1139,7 +1336,8 @@ object LakeTable {
       case Left(d)     => d.numBuckets
     }
     require(n > 0, s"commit log at $root predates bucket-layout tracking")
-    new LakeTable(root, n, keyCols, mergeOnRead, sortedBuckets, autoCompactDepth, maxFileRows)
+    new LakeTable(root, n, keyCols, mergeOnRead, sortedBuckets, autoCompactDepth, maxFileRows,
+      bloomKeyNdv, writerOptions)
   }
 
   /** Full-manifest roll-up period: a commit whose version is a multiple of

@@ -608,6 +608,45 @@ class LakeTableSpec extends SparkSpec {
     assert(table.expireSnapshots(keepLast = 5) === ((0, 0)))
   }
 
+  test("tags: named refs time-travel, clamp snapshot expiry, and drop cleanly") {
+    val log = randomLog(53, 400)
+    val table = new LakeTable(tmp(), numBuckets = 8)
+    CdcPipeline.replay(spark, log.toDF(), table, numBatches = 4, writeMetrics = false)
+    assert(table.commitVersions() === Seq(1L, 2L, 3L, 4L))
+
+    table.tag("golden", 2L)
+    assert(table.tags() === Map("golden" -> 2L))
+    // VERSION AS OF '<tag>' reads exactly the tagged version
+    val atTag = table.snapshotAtTag(spark, "golden").get.as[FlatEvent].collect().toSet
+    assert(atTag === table.snapshotAt(spark, 2L).get.as[FlatEvent].collect().toSet)
+    assert(atTag.nonEmpty)
+
+    // tags are immutable unless replaced; names and versions validate
+    intercept[IllegalArgumentException](table.tag("golden", 3L))
+    intercept[IllegalArgumentException](table.tag("bad name", 3L))
+    intercept[IllegalArgumentException](table.tag("v9", 99L))
+    table.tag("golden", 3L, replace = true)
+    assert(table.tags()("golden") === 3L)
+    table.tag("golden", 2L, replace = true)
+
+    // expiry clamps to the oldest tag: v2 (tagged) and everything after
+    // survive a keepLast=1 expiry; only v1 goes
+    val (dropped, _) = table.expireSnapshots(keepLast = 1)
+    assert(dropped === 1)
+    assert(table.commits().map(_.version) === Seq(2L, 3L, 4L))
+    assert(table.snapshotAtTag(spark, "golden").get.as[FlatEvent].collect().toSet === atTag,
+      "the tagged version must stay readable after expiry")
+
+    // dropping the tag releases the clamp
+    assert(table.dropTag("golden"))
+    assert(!table.dropTag("golden"))
+    val (dropped2, _) = table.expireSnapshots(keepLast = 1)
+    assert(dropped2 === 2)
+    assert(table.commits().map(_.version) === Seq(4L))
+    // a fresh handle sees the same refs state (files, not memory)
+    assert(graft.table.LakeTable.open(table.root).tags() === Map.empty)
+  }
+
   test("removeOrphanFiles deletes only unreferenced data files") {
     val log = randomLog(38, 200)
     val table = new LakeTable(tmp(), numBuckets = 4)
@@ -1030,6 +1069,71 @@ class LakeTableSpec extends SparkSpec {
       assert(table.lookup(spark, Seq("zzzz", "nowhere.txt")).forall(_.count() === 0L))
     }
     assert(missRead === 0L, s"out-of-bounds key scheduled a scan of $missRead rows")
+  }
+
+  /** Shared scenario for the membership-pruning tests: two batches with
+    * INTERLEAVED key populations — even repos k00..k18 in batch 1, odd
+    * repos k01..k19 in batch 2. Every file spans the full repo RANGE (so
+    * zone maps admit the whole stack) but the key SETS are disjoint —
+    * only per-chunk membership evidence can tell the files apart.
+    */
+  private def membershipPruningScenario(table: LakeTable): Unit = {
+    def repo(i: Int, odd: Int) = f"k${(i % 10) * 2 + odd}%02d"
+    val even = (1 to 200).map(i => FlatEvent.mk((repo(i, 0), s"p${i % 8}.txt"), i.toLong, "u"))
+    val odd = (201 to 400).map(i => FlatEvent.mk((repo(i, 1), s"p${i % 8}.txt"), i.toLong, "u"))
+    CdcPipeline.replay(spark, (even ++ odd).toDF(), table, numBatches = 2, writeMetrics = false)
+    val ci = table.lastCommit().get
+
+    val key = ("k03", "p5.txt")
+    val bucket = Seq(key).toDF("repo", "path")
+      .select(pmod(hash(col("repo"), col("path")), lit(4))).head().getInt(0)
+    val stack = ci.files.filter(_.bucket == bucket)
+    assert(stack.size >= 2, "the scenario needs a multi-file stack")
+    // scenario validity: zone maps admit EVERY stack file for this key, so
+    // any pruning observed below is the membership evidence's work
+    stack.foreach { f =>
+      Seq("repo" -> key._1, "path" -> key._2).foreach { case (c, v) =>
+        assert(f.stats.get(c).forall { case (mn, mx) => v >= mn && v <= mx },
+          s"zone maps must be blind here, but $c bounds of ${f.path} exclude $v")
+      }
+    }
+    // rows the key's file(s) actually hold — the pruned scan's upper bound
+    val containing = stack.filter { f =>
+      !spark.read.parquet(s"${table.root}/${f.path}")
+        .where(col("repo") === key._1).isEmpty
+    }
+    assert(containing.map(_.rows).sum < stack.map(_.rows).sum,
+      "some stack file must lack the key — else the scenario tests nothing")
+
+    var got: Seq[FlatEvent] = Nil
+    val read = recordsRead { got = table.lookup(spark, Seq(key._1, key._2)).get.as[FlatEvent].collect().toSeq }
+    assert(got === Seq(foldOracle(even ++ odd)(key)), "pruned lookup must return the LWW winner")
+    assert(read > 0, "positive control: the admitted file must actually be scanned")
+    assert(read <= containing.map(_.rows).sum,
+      s"lookup scanned $read rows but the key's own files hold only ${containing.map(_.rows).sum} — " +
+        "membership evidence must exclude the other stack files")
+
+    // an absent key INSIDE every file's bounds (zone maps keep everything)
+    // is excluded by membership evidence alone: provably absent, ZERO scan
+    val missRead = recordsRead {
+      assert(table.lookup(spark, Seq("k0z", "p5.txt")).forall(_.count() === 0L))
+    }
+    assert(missRead === 0L,
+      s"in-bounds absent key scheduled a scan of $missRead rows — evidence must prove absence")
+  }
+
+  test("membership pruning via dictionary pages: default table, no bloom config needed") {
+    // low-cardinality chunks are fully dictionary-encoded; the dictionary
+    // page is EXACT membership and parquet writes no bloom at all
+    membershipPruningScenario(new LakeTable(tmp(), numBuckets = 4, mergeOnRead = true))
+  }
+
+  test("membership pruning via bloom filters: dictionary-fallback files (bloomKeyNdv)") {
+    // dictionary encoding disabled → every chunk is in the fallback
+    // regime high-cardinality keys hit at scale; only the written blooms
+    // (bloomKeyNdv > 0) can prune here
+    membershipPruningScenario(new LakeTable(tmp(), numBuckets = 4, mergeOnRead = true,
+      bloomKeyNdv = 64, writerOptions = Map("parquet.enable.dictionary" -> "false")))
   }
 
   test("materialized view: incremental refresh equals direct rebuild at every version; zero groups drop") {

@@ -55,6 +55,36 @@ class MultiTableSpec extends SparkSpec {
       Map("kv" -> kvState.size.toLong, "heads" -> headState.size.toLong))
   }
 
+  test("parallel applyBatch: concurrent per-table applies equal the serial catalog, fences intact") {
+    // op must not be a function of (i mod 8) — repo = i%8 would then pin
+    // whole tables to one op (t3 all-deletes → empty state)
+    val log = (1 to 400).map { i =>
+      FlatEvent.mk((s"repo${i % 8}", s"p${i % 5}.txt"), i.toLong, Seq("c", "u", "u", "d")((i / 8) % 4))
+    }
+    val routed = log.toDF().withColumn("route",
+      concat(lit("t"), pmod(regexp_extract(col("repo"), "([0-9]+)", 1).cast("int"), lit(4))))
+    def defs = (0 until 4).map(i => TableDef(s"t$i", Seq("repo", "path"), numBuckets = 2))
+    val serialReg = new Registry(Files.createTempDirectory("multi-ser").toString, defs)
+    val parReg = new Registry(Files.createTempDirectory("multi-par").toString, defs)
+    Seq(0L, 1L).foreach { b =>
+      val slice = routed.where(col("lsn") > b * 200 && col("lsn") <= (b + 1) * 200)
+      MultiTable.applyBatch(spark, serialReg, slice, "route", b)
+      MultiTable.applyBatch(spark, parReg, slice, "route", b, parallelism = 4)
+    }
+    defs.foreach { d =>
+      val s = serialReg(d.name).snapshot(spark).get.as[FlatEvent].collect()
+        .sortBy(e => (e.repo, e.path)).toSeq
+      val p = parReg(d.name).snapshot(spark).get.as[FlatEvent].collect()
+        .sortBy(e => (e.repo, e.path)).toSeq
+      assert(p === s, s"concurrently-applied table ${d.name} diverged from the serial catalog")
+      assert(p.nonEmpty, s"table ${d.name} must route SOME rows — else the scenario tests nothing")
+    }
+    // concurrent re-apply of an already-committed batch: every table fences
+    val r = MultiTable.applyBatch(spark, parReg,
+      routed.where(col("lsn") > 200), "route", 1, parallelism = 4)
+    assert(r.values.forall(x => !x.committed && x.reason == "batchId-fenced"))
+  }
+
   test("schema evolution stays per-table: a slice that routes zero rows does not evolve") {
     val reg = new Registry(Files.createTempDirectory("multi-evo").toString, Seq(
       TableDef("a", Seq("repo", "path"), 2),
