@@ -7,7 +7,7 @@ import graft.core.Envelope
 import graft.sources.{ChangeLog, DocumentLog, Snapshot}
 import graft.operators.{DocumentCdc, Lww, Serdes, Transforms}
 import graft.streaming.CdcPipeline
-import graft.table.{LakeTable, MaterializedView}
+import graft.table.{JoinView, LakeTable, MaterializedView}
 import graft.tdp.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -430,6 +430,44 @@ object SparkEntry {
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
       tdp.Decontamination.semanticContamination(
         Corpus.embsWithDups(s, dir), evalSet, threshold = 0.98)
+    }),
+
+    // Incremental JOIN-view maintenance (delta-join IVM off two change
+    // feeds, `table/JoinView.scala`): left = the file table keyed
+    // (repo, path); right = a per-repo dimension keyed (repo) whose rows
+    // are the log's non-delete events (LWW winner = the repo's latest
+    // event's lang). The view LakeTable keyed (l_repo, l_path, r_repo)
+    // is caught up across INTERLEAVED base versions — each step folds one
+    // base's change-feed delta against the other's time-traveled
+    // snapshot — and must equal the direct join of the final states.
+    "q122_cdc_join_view" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-jv").toString
+      val log = ChangeLog.flat(s, dir)
+      val left = new LakeTable(s"$root/left", numBuckets = 8)
+      val right = new LakeTable(s"$root/right", numBuckets = 4, keyCols = Seq("repo"))
+      val view = new LakeTable(s"$root/view", numBuckets = 8,
+        keyCols = Seq("l_repo", "l_path", "r_repo"))
+      val jv = JoinView.DerivedJoinView(view, left, right,
+        leftOn = "repo", rightOn = "repo",
+        leftCols = Seq("repo", "path", "lang", "content"),
+        rightCols = Seq("repo", "lang"))
+      val dim = log.where(col("op") =!= Envelope.OpDelete)
+        .select(col("repo"), col("lang"), col("commit"), lit("u").as("op"),
+          col("part"), col("lsn"), col("ts_ms"))
+      val mid = maxLsn(log) / 2
+      CdcPipeline.replay(s, log.where(col("lsn") <= mid), left,
+        numBatches = 2, writeMetrics = false)
+      CdcPipeline.replay(s, dim.where(col("lsn") <= mid), right,
+        numBatches = 1, writeMetrics = false)
+      JoinView.maintain(s, jv)
+      CdcPipeline.replay(s, log.where(col("lsn") > mid), left,
+        numBatches = 2, startBatchId = 2, writeMetrics = false)
+      CdcPipeline.replay(s, dim.where(col("lsn") > mid), right,
+        numBatches = 1, startBatchId = 1, writeMetrics = false)
+      JoinView.maintain(s, jv)
+      view.snapshot(s).get.select(
+        col("l_repo"), col("l_path"), col("l_lang"), col("l_content"),
+        col("r_repo"), col("r_lang"))
     }),
     // Deterministic corpus mixing + splits: per-language keep rates
     // (mixing weights) and disjoint train/val/test assignment, both pure
@@ -2531,6 +2569,25 @@ object SparkEntry {
          |  SELECT c.vec_id, e.eval_id, c.embedding AS va, e.vb, $embCos AS cos
          |  FROM emb c CROSS JOIN ev e) t
          |WHERE cos >= 0.98""".stripMargin,
+
+    // The maintained join view must equal the direct join of the two
+    // final LWW states: the file fold joined to the per-repo dimension
+    // (latest non-delete event per repo).
+    "q122_cdc_join_view" ->
+      s"""$cte
+         |, st AS (
+         |  SELECT repo, path, lang, content FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |    FROM ev) t
+         |  WHERE rn = 1 AND op <> 'd')
+         |, dim AS (
+         |  SELECT repo, lang FROM (
+         |    SELECT repo, lang, row_number() OVER (PARTITION BY repo ORDER BY commit DESC, lsn DESC) AS rn
+         |    FROM ev WHERE op <> 'd') t
+         |  WHERE rn = 1)
+         |SELECT st.repo AS l_repo, st.path AS l_path, st.lang AS l_lang, st.content AS l_content,
+         |       dim.repo AS r_repo, dim.lang AS r_lang
+         |FROM st JOIN dim ON st.repo = dim.repo""".stripMargin,
     "q114_dsir" ->
       """WITH w AS (
         |  SELECT doc_id, lang = 'en' AS t,

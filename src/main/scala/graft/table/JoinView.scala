@@ -1,0 +1,172 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental equi-JOIN view maintenance off [[LakeTable.changeFeed]] —
+  * the two-table completion of [[MaterializedView]]'s aggregate IVM: the
+  * view `SELECT l.*, r.* FROM left l JOIN right r ON l.on = r.on` lives
+  * in its own keyed [[LakeTable]] and is kept current by folding each
+  * base table's change-feed deltas against the OTHER table's snapshot,
+  * never re-running the full join.
+  *
+  * Incremental algebra (classic delta-join / DBSP rule, applied one base
+  * version at a time): with the view reflecting `left@va ⋈ right@vb`,
+  * folding left's `Δ(va→va+1)` against `right@vb` (time-traveled — the
+  * exact state the view reflects, even if `right` has moved on) yields
+  * `left@va+1 ⋈ right@vb`; right steps then advance `vb` symmetrically.
+  * Feed rows map to view events directly: `delete`/`update_preimage`
+  * rows retract every join partner they had (the feed carries full
+  * pre-images, so the OLD join value's partners are exactly a join
+  * away); `insert`/`update_postimage` rows upsert the new partners. A
+  * value-only update emits retract+upsert for the same view key in one
+  * batch; within-batch ordering (retracts at `lsn = 2·step`, upserts at
+  * `2·step + 1`) makes the upsert the LWW winner.
+  *
+  * Exactly-once: the view commit's `batchId` encodes the reflected
+  * version PAIR (`va << 32 | vb`, strictly increasing across steps), so
+  * a crash mid-catch-up replays exactly the missing steps and the
+  * engine's batchId fence drops redelivered ones. A base version whose
+  * feed is unavailable because history was EXPIRED follows
+  * [[MaterializedView.maintain]]'s contract: an empty view bootstraps
+  * from the horizon commit's all-insert feed; a non-empty lagging view
+  * fails loudly (rebuild) rather than double-applying.
+  *
+  * Scale shape: each step shuffles O(Δ ⋈ partners). The counterpart
+  * snapshot is NOT shuffled — the delta side is broadcast when its
+  * distinct join values fit [[JoinView.MaxJoinValuePushdown]], and that
+  * same driver-known value list is pushed into the counterpart scan as
+  * an `isin` filter, so parquet row-group stats prune the probe to the
+  * row groups that can hold a partner (a microbatch touching k join
+  * values reads O(k row groups), not O(counterpart)). Reference
+  * semantics (studied, not copied): Debezium ships no join operator —
+  * this is the CDC-consumer "keep a joined read model in sync" pattern
+  * its change feed exists to enable (outbox/read-model deployments of
+  * `JdbcChangeEventSink`), made first-class on Spark.
+  */
+object JoinView {
+
+  /** Push the delta's distinct join values into the counterpart scan (and
+    * broadcast the delta) only below this many values — above it the scan
+    * filter would bloat the plan for no pruning and the delta may not fit
+    * a broadcast.
+    */
+  val MaxJoinValuePushdown = 1000
+
+  /** A derived join-view table: `view` must be keyed by the l_/r_-prefixed
+    * base keys, and `leftCols`/`rightCols` (the carried data columns) must
+    * include the respective base's key columns.
+    */
+  final case class DerivedJoinView(
+      view: LakeTable,
+      left: LakeTable,
+      right: LakeTable,
+      leftOn: String,
+      rightOn: String,
+      leftCols: Seq[String],
+      rightCols: Seq[String]) {
+    val leftKeyCols: Seq[String] = left.keyCols.map("l_" + _)
+    val rightKeyCols: Seq[String] = right.keyCols.map("r_" + _)
+    val payloadCols: Seq[String] = leftCols.map("l_" + _) ++ rightCols.map("r_" + _)
+  }
+
+  /** The view commit's `batchId` encodes the reflected base-version pair
+    * `(left, right)` — public so operators can read how far a view lags.
+    */
+  def encode(va: Long, vb: Long): Long = (va << 32) | vb
+  def decode(b: Long): (Long, Long) = (b >>> 32, b & 0xffffffffL)
+
+  /** Catch the view up to both base heads. Left steps first (against the
+    * reflected right version), then right steps (against the new left
+    * head); each step is one exactly-once engine apply. No-op until both
+    * bases have a first commit.
+    */
+  def maintain(spark: SparkSession, jv: DerivedJoinView): Unit = {
+    require(jv.view.keyCols == jv.leftKeyCols ++ jv.rightKeyCols,
+      s"view must be keyed ${jv.leftKeyCols ++ jv.rightKeyCols}, got ${jv.view.keyCols}")
+    require(jv.left.keyCols.forall(jv.leftCols.contains),
+      s"leftCols must include the left key columns ${jv.left.keyCols}")
+    require(jv.right.keyCols.forall(jv.rightCols.contains),
+      s"rightCols must include the right key columns ${jv.right.keyCols}")
+    val laHead = jv.left.lastCommit().map(_.version).getOrElse(0L)
+    val rbHead = jv.right.lastCommit().map(_.version).getOrElse(0L)
+    if (laHead == 0L || rbHead == 0L) return
+    var (va, vb) = jv.view.lastCommit().map(c => decode(c.batchId)).getOrElse((0L, 0L))
+    checkRetention(jv.left, "left", va, laHead)
+    checkRetention(jv.right, "right", vb, rbHead)
+    while (va < laHead) {
+      val v = va + 1
+      step(spark, jv, leftStep = true, v, otherV = vb, batchId = encode(v, vb), ord = v + vb)
+      va = v
+    }
+    while (vb < rbHead) {
+      val v = vb + 1
+      step(spark, jv, leftStep = false, v, otherV = va, batchId = encode(va, v), ord = va + v)
+      vb = v
+    }
+  }
+
+  /** Same laggards-must-rebuild contract as [[MaterializedView.maintain]]:
+    * a non-empty view whose reflected version pre-dates retained history
+    * would re-fold already-applied state on top of itself.
+    */
+  private def checkRetention(base: LakeTable, side: String, reflected: Long, head: Long): Unit =
+    if (reflected > 0L && reflected < head) {
+      val have = base.commitVersions().toSet
+      val missing = (reflected to head).filterNot(have)
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"join view at $side version $reflected lags expired history " +
+            s"(missing commits ${missing.mkString(", ")} of $head) — rebuild the view")
+    }
+
+  /** One single-base version step: fold `Δ(v-1 → v)` of the stepping base
+    * against the counterpart AT THE VERSION THE VIEW REFLECTS, and apply
+    * the resulting view events. An unavailable feed (expired pre-horizon
+    * segment, empty view) is skipped without a commit — the horizon
+    * commit's own all-insert feed carries the bootstrap.
+    */
+  private def step(
+      spark: SparkSession,
+      jv: DerivedJoinView,
+      leftStep: Boolean,
+      v: Long,
+      otherV: Long,
+      batchId: Long,
+      ord: Long): Unit = {
+    val (base, other) = if (leftStep) (jv.left, jv.right) else (jv.right, jv.left)
+    val (baseOn, otherOn) = if (leftStep) (jv.leftOn, jv.rightOn) else (jv.rightOn, jv.leftOn)
+    val (basePre, otherPre) = if (leftStep) ("l_", "r_") else ("r_", "l_")
+    val (baseCols, otherCols) = if (leftStep) (jv.leftCols, jv.rightCols) else (jv.rightCols, jv.leftCols)
+    base.changeFeed(spark, v - 1, v).foreach { feed =>
+      val baseSel = (baseCols :+ baseOn).distinct
+      val otherSel = (otherCols :+ otherOn).distinct
+      val delta = feed.select(
+        baseSel.map(c => col(c).as(s"$basePre$c")) :+ col("_change_type"): _*)
+      // counterpart at the reflected version; schema from its head commit
+      // when the version pre-dates the first commit (empty state)
+      val cp0 = other.snapshotAt(spark, otherV).getOrElse(
+        spark.createDataFrame(new java.util.ArrayList[Row](), other.lastCommit().get.schema))
+      val cp = cp0.select(otherSel.map(c => col(c).as(s"$otherPre$c")): _*)
+      // driver-known join values: broadcast the (small) delta and prune
+      // the counterpart scan to row groups that can hold a partner
+      val joinVals = delta.select(col(s"$basePre$baseOn")).distinct()
+        .limit(MaxJoinValuePushdown + 1).collect().map(_.get(0)).toSeq
+      val small = joinVals.size <= MaxJoinValuePushdown
+      val probe = if (small) cp.where(col(s"$otherPre$otherOn").isInCollection(joinVals)) else cp
+      val build = if (small) broadcast(delta) else delta
+      val joined = build.join(probe, col(s"$basePre$baseOn") === col(s"$otherPre$otherOn"))
+      def ev(df: DataFrame, op: String, off: Long): DataFrame =
+        df.select(jv.payloadCols.map(col) ++ Seq(
+          lit(op).as("op"),
+          format_string("v%012d", lit(ord)).as("commit"),
+          lit(2L * ord + off).as("lsn"),
+          pmod(hash(jv.view.keyCols.map(col): _*), lit(jv.view.numBuckets)).as("part"),
+          lit(ord).as("ts_ms")): _*)
+      val retracts = ev(joined.where(col("_change_type").isin("delete", "update_preimage")), "d", 0L)
+      val upserts = ev(joined.where(col("_change_type").isin("insert", "update_postimage")), "u", 1L)
+      graft.merge.CdcApply.applyBatch(spark, jv.view, retracts.unionAll(upserts),
+        batchId = batchId, writeMetrics = false)
+    }
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.CdcPipeline
+import graft.table.{JoinView, LakeTable}
+import graft.table.JoinView.DerivedJoinView
+
+/** Right-side dimension stream: `lang` is the key, `owner` the payload. */
+case class DimEvent(lang: String, owner: String, commit: String, op: String,
+                    part: Int, lsn: Long, ts_ms: Long)
+
+/** Incremental equi-join view maintenance: the view table must equal the
+  * direct join of the two base snapshots after every catch-up, under
+  * interleaved base versions, join-column changes, and deletes on both
+  * sides — without ever re-running the full join.
+  */
+class JoinViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  // left events: 12 (repo, path) keys; lang (the JOIN column) changes
+  // from event to event, and every 4th op is a delete
+  private def leftEvents(lsns: Range): Seq[FlatEvent] = lsns.map { i =>
+    val key = (s"repo${i % 3}", s"p${i % 4}.txt")
+    val op = Seq("c", "u", "u", "d")((i / 12) % 4)
+    val e = FlatEvent.mk(key, i.toLong, op)
+    e.copy(lang = s"L${i % 3}")
+  }
+
+  // right events: 3 lang keys with changing owners; L1 gets deleted late
+  private def rightEvents(lsns: Range): Seq[DimEvent] = lsns.map { i =>
+    val op = if (i > 100 && i % 3 == 1 && i > 110) "d" else "u"
+    DimEvent(s"L${i % 3}", s"team${i % 5}", f"c$i%010d", op, i % 2, i.toLong,
+      1700000000000L + i)
+  }
+
+  private def mkView(): DerivedJoinView = {
+    val root = Files.createTempDirectory("joinview").toString
+    DerivedJoinView(
+      view = new LakeTable(s"$root/view", numBuckets = 4,
+        keyCols = Seq("l_repo", "l_path", "r_lang")),
+      left = new LakeTable(s"$root/left", numBuckets = 4),
+      right = new LakeTable(s"$root/right", numBuckets = 2, keyCols = Seq("lang")),
+      leftOn = "lang", rightOn = "lang",
+      leftCols = Seq("repo", "path", "lang", "content"),
+      rightCols = Seq("lang", "owner"))
+  }
+
+  /** The oracle: a fresh full join of the two base snapshots. */
+  private def directJoin(jv: DerivedJoinView): Set[Seq[Any]] = {
+    (jv.left.snapshot(spark), jv.right.snapshot(spark)) match {
+      case (Some(l), Some(r)) =>
+        val lp = l.select(jv.leftCols.map(c => col(c).as(s"l_$c")): _*)
+        val rp = r.select(jv.rightCols.map(c => col(c).as(s"r_$c")): _*)
+        lp.join(rp, col("l_lang") === col("r_lang"))
+          .select(jv.payloadCols.map(col): _*)
+          .collect().map(_.toSeq).toSet
+      case _ => Set.empty
+    }
+  }
+
+  private def viewRows(jv: DerivedJoinView): Set[Seq[Any]] =
+    jv.view.snapshot(spark)
+      .map(_.select(jv.payloadCols.map(col): _*).collect().map(_.toSeq).toSet)
+      .getOrElse(Set.empty)
+
+  test("join view equals the direct join at every interleaved catch-up point") {
+    val jv = mkView()
+    def check(label: String): Unit = {
+      JoinView.maintain(spark, jv)
+      val (direct, got) = (directJoin(jv), viewRows(jv))
+      assert(got === direct, s"$label: view diverged from the direct join")
+    }
+
+    CdcPipeline.replay(spark, leftEvents(1 to 60).toDF(), jv.left,
+      numBatches = 2, writeMetrics = false)
+    JoinView.maintain(spark, jv) // right empty: no-op, no commits
+    assert(jv.view.lastCommit().isEmpty)
+
+    CdcPipeline.replay(spark, rightEvents(1 to 60).toDF(), jv.right,
+      numBatches = 2, writeMetrics = false)
+    check("both bases at part 1")
+    assert(viewRows(jv).nonEmpty, "part-1 join must be non-empty — else the test is vacuous")
+
+    CdcPipeline.replay(spark, leftEvents(61 to 120).toDF(), jv.left,
+      numBatches = 2, startBatchId = 2, writeMetrics = false)
+    check("left advanced to part 2 (join-column changes + deletes folded)")
+
+    CdcPipeline.replay(spark, rightEvents(61 to 120).toDF(), jv.right,
+      numBatches = 2, startBatchId = 2, writeMetrics = false)
+    check("right advanced to part 2 (dimension deletes retract their pairs)")
+
+    // the reflected version pair is encoded in the view's batchId
+    val (va, vb) = JoinView.decode(jv.view.lastCommit().get.batchId)
+    assert((va, vb) === (4L, 4L))
+  }
+
+  test("re-maintain is a no-op: steps are batchId-fenced, files untouched") {
+    val jv = mkView()
+    CdcPipeline.replay(spark, leftEvents(1 to 60).toDF(), jv.left, 2, writeMetrics = false)
+    CdcPipeline.replay(spark, rightEvents(1 to 60).toDF(), jv.right, 2, writeMetrics = false)
+    JoinView.maintain(spark, jv)
+    val before = jv.view.lastCommit().get
+    JoinView.maintain(spark, jv)
+    val after = jv.view.lastCommit().get
+    assert(after.version === before.version && after.files.toSet === before.files.toSet,
+      "an already-caught-up view must not commit again")
+  }
+
+  test("expired history below the reflected version fails loudly (rebuild contract)") {
+    val jv = mkView()
+    CdcPipeline.replay(spark, leftEvents(1 to 60).toDF(), jv.left, 2, writeMetrics = false)
+    CdcPipeline.replay(spark, rightEvents(1 to 60).toDF(), jv.right, 2, writeMetrics = false)
+    JoinView.maintain(spark, jv)
+    CdcPipeline.replay(spark, leftEvents(61 to 120).toDF(), jv.left,
+      numBatches = 2, startBatchId = 2, writeMetrics = false)
+    jv.left.expireSnapshots(keepLast = 1) // drops v2..v3 — the view's catch-up segments
+    val ex = intercept[IllegalStateException](JoinView.maintain(spark, jv))
+    assert(ex.getMessage.contains("rebuild"))
+  }
+}
