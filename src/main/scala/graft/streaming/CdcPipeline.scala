@@ -200,6 +200,45 @@ object CdcPipeline {
       .start()
   }
 
+  /** Multi-table streaming runner: ONE envelope stream fanned out to a
+    * routed catalog per microbatch — the many-captured-tables deployment
+    * shape (a Debezium connector streams every included table into
+    * per-table topics; here the route column, computed by any router SMT
+    * expression over the flattened rows, plays the topic name and
+    * [[graft.merge.MultiTable.applyBatch]] plays the per-topic sinks).
+    * Exactly-once stays PER TABLE: each table fences on its own commit
+    * batchId, so a checkpoint-replayed microbatch re-applies as a
+    * catalog-wide no-op, and `parallelism` > 1 applies independent
+    * tables concurrently from the driver pool (small slices keep the
+    * cluster full instead of serializing T driver round-trips).
+    */
+  def startRouted(
+      spark: SparkSession,
+      inputDir: String,
+      checkpointDir: String,
+      registry: graft.merge.MultiTable.Registry,
+      routeExpr: String,
+      salt: Int = 1,
+      maxFilesPerTrigger: Int = 16,
+      orderedInput: Boolean = false,
+      parallelism: Int = 1): StreamingQuery = {
+    val env = spark.readStream.schema(Envelope.schema())
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+    env.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (envBatch: DataFrame, batchId: Long) =>
+        val sp = envBatch.sparkSession
+        val flat = Envelope.unwrap(envBatch).drop("__deleted")
+          .withColumn("__route", expr(routeExpr))
+        graft.merge.MultiTable.applyBatch(sp, registry, flat, "__route", batchId,
+          salt, fenceByWatermark = orderedInput, parallelism = parallelism)
+        ()
+      }
+      .start()
+  }
+
   /** Deterministic microbatch replay of a bounded flat log: split into
     * contiguous lsn ranges and apply sequentially. Converges to the same
     * state for ANY batching (LWW is order-independent across batches).

@@ -64,7 +64,8 @@ object JoinView {
       leftOn: String,
       rightOn: String,
       leftCols: Seq[String],
-      rightCols: Seq[String]) {
+      rightCols: Seq[String],
+      applySalt: Int = 1) {
     val leftKeyCols: Seq[String] = left.keyCols.map("l_" + _)
     val rightKeyCols: Seq[String] = right.keyCols.map("r_" + _)
     val payloadCols: Seq[String] = leftCols.map("l_" + _) ++ rightCols.map("r_" + _)
@@ -165,8 +166,11 @@ object JoinView {
           lit(ord).as("ts_ms")): _*)
       val retracts = ev(joined.where(col("_change_type").isin("delete", "update_preimage")), "d", 0L)
       val upserts = ev(joined.where(col("_change_type").isin("insert", "update_postimage")), "u", 1L)
+      // applySalt > 1: a HOT join value (one dimension row matching many
+      // rows) concentrates its pairs in few view keys' buckets — the
+      // engine's salted pre-reduce flattens that skew before the merge.
       graft.merge.CdcApply.applyBatch(spark, jv.view, retracts.unionAll(upserts),
-        batchId = batchId, writeMetrics = false)
+        batchId = batchId, salt = jv.applySalt, writeMetrics = false)
     }
   }
 }
