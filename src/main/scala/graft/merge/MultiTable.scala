@@ -132,11 +132,12 @@ object MultiTable {
         writeMetrics, fenceByWatermark, cacheBatch = false)
     }
     try {
-      if (parallelism <= 1) registry.defs.map(d => d.name -> applyOne(d)).toMap
-      else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
-        try {
-          val futs = registry.defs.map { d =>
+      val done: Seq[(String, scala.util.Try[CdcApply.BatchResult])] =
+        if (parallelism <= 1)
+          registry.defs.map(d => d.name -> scala.util.Try(applyOne(d)))
+        else {
+          val pool = MultiTable.applyPool(parallelism)
+          registry.defs.map { d =>
             pool.submit(new java.util.concurrent.Callable[(String, scala.util.Try[CdcApply.BatchResult])] {
               override def call(): (String, scala.util.Try[CdcApply.BatchResult]) = {
                 // DataFrame ops inside resolve against the thread's active
@@ -145,14 +146,31 @@ object MultiTable {
                 d.name -> scala.util.Try(applyOne(d))
               }
             })
-          }
-          val done = futs.map(_.get())
-          done.collectFirst { case (_, scala.util.Failure(e)) => e }.foreach(throw _)
-          done.map { case (n, t) => n -> t.get }.toMap
-        } finally pool.shutdown()
-      }
+          }.map(_.get())
+        }
+      done.collectFirst { case (_, scala.util.Failure(e)) => e }.foreach(throw _)
+      done.map { case (n, t) => n -> t.get }.toMap
     } finally cached.unpersist()
   }
+
+  /** Shared daemon apply pools, one per parallelism level — pool-per-call
+    * would be thread churn on the driver hot path (a streaming runner
+    * calls applyBatch every microbatch; same reasoning as
+    * `LakeTable.footerPool`). Daemon threads: never block JVM exit.
+    */
+  private val applyPools =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.ExecutorService]()
+  private def applyPool(parallelism: Int): java.util.concurrent.ExecutorService =
+    applyPools.computeIfAbsent(parallelism, n =>
+      java.util.concurrent.Executors.newFixedThreadPool(n,
+        new java.util.concurrent.ThreadFactory {
+          private val i = new java.util.concurrent.atomic.AtomicInteger
+          override def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-multitable-apply-$n-${i.incrementAndGet()}")
+            t.setDaemon(true)
+            t
+          }
+        }))
 
   /** Schema-change events across the catalog: one row per commit that
     * changed a table's schema, tagged with the table name — the

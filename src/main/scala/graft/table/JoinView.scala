@@ -142,35 +142,41 @@ object JoinView {
     base.changeFeed(spark, v - 1, v).foreach { feed =>
       val baseSel = (baseCols :+ baseOn).distinct
       val otherSel = (otherCols :+ otherOn).distinct
+      // Persist the delta: the change feed is a full-outer version diff
+      // recomputed on every execution, and the delta is read twice (the
+      // driver-side join-value collect, then the view-event apply).
       val delta = feed.select(
         baseSel.map(c => col(c).as(s"$basePre$c")) :+ col("_change_type"): _*)
-      // counterpart at the reflected version; schema from its head commit
-      // when the version pre-dates the first commit (empty state)
-      val cp0 = other.snapshotAt(spark, otherV).getOrElse(
-        spark.createDataFrame(new java.util.ArrayList[Row](), other.lastCommit().get.schema))
-      val cp = cp0.select(otherSel.map(c => col(c).as(s"$otherPre$c")): _*)
-      // driver-known join values: broadcast the (small) delta and prune
-      // the counterpart scan to row groups that can hold a partner
-      val joinVals = delta.select(col(s"$basePre$baseOn")).distinct()
-        .limit(MaxJoinValuePushdown + 1).collect().map(_.get(0)).toSeq
-      val small = joinVals.size <= MaxJoinValuePushdown
-      val probe = if (small) cp.where(col(s"$otherPre$otherOn").isInCollection(joinVals)) else cp
-      val build = if (small) broadcast(delta) else delta
-      val joined = build.join(probe, col(s"$basePre$baseOn") === col(s"$otherPre$otherOn"))
-      def ev(df: DataFrame, op: String, off: Long): DataFrame =
-        df.select(jv.payloadCols.map(col) ++ Seq(
-          lit(op).as("op"),
-          format_string("v%012d", lit(ord)).as("commit"),
-          lit(2L * ord + off).as("lsn"),
-          pmod(hash(jv.view.keyCols.map(col): _*), lit(jv.view.numBuckets)).as("part"),
-          lit(ord).as("ts_ms")): _*)
-      val retracts = ev(joined.where(col("_change_type").isin("delete", "update_preimage")), "d", 0L)
-      val upserts = ev(joined.where(col("_change_type").isin("insert", "update_postimage")), "u", 1L)
-      // applySalt > 1: a HOT join value (one dimension row matching many
-      // rows) concentrates its pairs in few view keys' buckets — the
-      // engine's salted pre-reduce flattens that skew before the merge.
-      graft.merge.CdcApply.applyBatch(spark, jv.view, retracts.unionAll(upserts),
-        batchId = batchId, salt = jv.applySalt, writeMetrics = false)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // counterpart at the reflected version; schema from its head
+        // commit when the version pre-dates the first commit (empty state)
+        val cp0 = other.snapshotAt(spark, otherV).getOrElse(
+          spark.createDataFrame(new java.util.ArrayList[Row](), other.lastCommit().get.schema))
+        val cp = cp0.select(otherSel.map(c => col(c).as(s"$otherPre$c")): _*)
+        // driver-known join values: broadcast the (small) delta and prune
+        // the counterpart scan to row groups that can hold a partner
+        val joinVals = delta.select(col(s"$basePre$baseOn")).distinct()
+          .limit(MaxJoinValuePushdown + 1).collect().map(_.get(0)).toSeq
+        val small = joinVals.size <= MaxJoinValuePushdown
+        val probe = if (small) cp.where(col(s"$otherPre$otherOn").isInCollection(joinVals)) else cp
+        val build = if (small) broadcast(delta) else delta
+        val joined = build.join(probe, col(s"$basePre$baseOn") === col(s"$otherPre$otherOn"))
+        def ev(df: DataFrame, op: String, off: Long): DataFrame =
+          df.select(jv.payloadCols.map(col) ++ Seq(
+            lit(op).as("op"),
+            format_string("v%012d", lit(ord)).as("commit"),
+            lit(2L * ord + off).as("lsn"),
+            pmod(hash(jv.view.keyCols.map(col): _*), lit(jv.view.numBuckets)).as("part"),
+            lit(ord).as("ts_ms")): _*)
+        val retracts = ev(joined.where(col("_change_type").isin("delete", "update_preimage")), "d", 0L)
+        val upserts = ev(joined.where(col("_change_type").isin("insert", "update_postimage")), "u", 1L)
+        // applySalt > 1: a HOT join value (one dimension row matching many
+        // rows) concentrates its pairs in few view keys' buckets — the
+        // engine's salted pre-reduce flattens that skew before the merge.
+        graft.merge.CdcApply.applyBatch(spark, jv.view, retracts.unionAll(upserts),
+          batchId = batchId, salt = jv.applySalt, writeMetrics = false)
+      } finally delta.unpersist()
     }
   }
 }

@@ -654,11 +654,23 @@ final class LakeTable(
 
   private val evidenceMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, Seq[ChunkEvidence]]]()
+  private val evidenceMemoBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def evidenceBytes(m: Map[String, Seq[ChunkEvidence]]): Long =
+    m.valuesIterator.flatten.map {
+      case ExactMembers(vs) => vs.iterator.map(_.length * 2L + 40L).sum
+      case BloomMembers(bf) => bf.getBitsetSize.toLong
+      case UnknownMembers   => 8L
+    }.sum
 
   private def membershipEvidence(rel: String, cols: Set[String]): Map[String, Seq[ChunkEvidence]] = {
     val cached = evidenceMemo.get(rel)
     if (cached != null && cols.subsetOf(cached.keySet)) cached
     else {
+      // dictionaries materialized per FILE are capped (the memo bound is
+      // BYTES, not entries — a multi-row-group, multi-key file would
+      // otherwise hold several near-1MB dictionaries)
+      var dictBudget = LakeTable.MaxDictProbe
       val loaded: Map[String, Seq[ChunkEvidence]] =
         try {
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -671,6 +683,15 @@ final class LakeTable(
               c -> blocks.map { b =>
                 b.getColumns.asScala.find(_.getPath.toDotString == c) match {
                   case None => UnknownMembers: ChunkEvidence
+                  // evidence is sound only for BINARY (string) chunks: the
+                  // probe hashes/compares UTF-8 bytes of the lookup value,
+                  // and an int/long chunk (pre-widen legacy files, numeric
+                  // keys) hashed that way would "prove" absence of keys
+                  // the file holds — the same physical-type gate the zone
+                  // maps apply to their stats
+                  case Some(cc) if cc.getPrimitiveType.getPrimitiveTypeName !=
+                      org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY =>
+                    UnknownMembers: ChunkEvidence
                   case Some(cc) =>
                     def bloomOr: ChunkEvidence =
                       Option(r.readBloomFilter(cc)).fold(UnknownMembers: ChunkEvidence)(BloomMembers(_))
@@ -685,9 +706,12 @@ final class LakeTable(
                         case Some(page) =>
                           val dict = page.getEncoding.initDictionary(desc, page)
                           val n = dict.getMaxId + 1
-                          if (n > LakeTable.MaxDictProbe) bloomOr
-                          else ExactMembers(
-                            (0 until n).map(i => dict.decodeToBinary(i).toStringUsingUTF8).toSet)
+                          if (n > dictBudget) bloomOr
+                          else {
+                            dictBudget -= n
+                            ExactMembers(
+                              (0 until n).map(i => dict.decodeToBinary(i).toStringUsingUTF8).toSet)
+                          }
                         case None => bloomOr
                       }
                     }
@@ -699,8 +723,15 @@ final class LakeTable(
           // unreadable footer → no evidence → every probe keeps the file
           case _: Exception => cols.map(c => c -> Seq.empty[ChunkEvidence]).toMap
         }
-      if (evidenceMemo.size > 512) evidenceMemo.clear()
-      evidenceMemo.put(rel, loaded)
+      // bound the memo by retained BYTES (dictionary sets dominate); a
+      // clear resets both counters — evidence reloads on demand
+      if (evidenceMemo.size > 512 ||
+          evidenceMemoBytes.get() > LakeTable.MaxEvidenceMemoBytes) {
+        evidenceMemo.clear()
+        evidenceMemoBytes.set(0L)
+      }
+      if (evidenceMemo.put(rel, loaded) == null)
+        evidenceMemoBytes.addAndGet(evidenceBytes(loaded))
       loaded
     }
   }
@@ -1018,7 +1049,12 @@ final class LakeTable(
         o.get("name").asText() -> o.get("version").asLong()
       }.toMap
 
-  def dropTag(name: String): Boolean = Files.deleteIfExists(refsDir.resolve(s"$name.json"))
+  def dropTag(name: String): Boolean = {
+    // same validation as tag(): a separator-bearing name would resolve
+    // outside _refs/ and delete arbitrary json (e.g. a commit file)
+    require(refName.matches(name), s"invalid tag name '$name'")
+    Files.deleteIfExists(refsDir.resolve(s"$name.json"))
+  }
 
   /** Time travel by name: `VERSION AS OF '<tag>'`. */
   def snapshotAtTag(spark: SparkSession, name: String): Option[DataFrame] =
@@ -1108,7 +1144,7 @@ final class LakeTable(
     lastCommit().flatMap { ci =>
       resolved(spark, ci, None).map { df =>
         val next = new LakeTable(root, newNumBuckets, keyCols, mergeOnRead,
-          sortedBuckets, autoCompactDepth, maxFileRows)
+          sortedBuckets, autoCompactDepth, maxFileRows, bloomKeyNdv, writerOptions)
         val laid = df.repartition(newNumBuckets, keyCols.map(col): _*)
         val staged = next.stage(laid, ci.batchId, ci.schemaIdx, attempt = ci.version + 1)
         next.commit(ci.copy(version = ci.version + 1, files = staged,
@@ -1293,6 +1329,12 @@ object LakeTable {
     * back to its bloom filter, keeping the per-file evidence memo bounded.
     */
   private[graft] val MaxDictProbe = 32768
+
+  /** Driver-heap ceiling for memoized membership evidence (bytes,
+    * estimated) — dictionary sets dominate; the memo clears and reloads
+    * on demand past this.
+    */
+  private[graft] val MaxEvidenceMemoBytes = 64L << 20
   private[graft] def boundMin(s: String): Option[String] =
     if (s.exists(_ >= 0x80)) None else Some(s.take(BoundLen))
   private[graft] def boundMax(s: String): Option[String] =

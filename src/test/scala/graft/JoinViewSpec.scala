@@ -18,13 +18,16 @@ case class DimEvent(lang: String, owner: String, commit: String, op: String,
 class JoinViewSpec extends SparkSpec {
   import spark.implicits._
 
-  // left events: 12 (repo, path) keys; lang (the JOIN column) changes
-  // from event to event, and every 4th op is a delete
+  // left events: 12 (repo, path) keys; lang (the JOIN column) must NOT be
+  // a function of the key (i mod 12 determines the key, so any `i % k`
+  // with k | 12 would freeze each key's lang forever and never exercise
+  // the old-partner retraction path) — (i/12) advances per revisit, so a
+  // key's lang CHANGES across its own updates; every 4th op is a delete
   private def leftEvents(lsns: Range): Seq[FlatEvent] = lsns.map { i =>
     val key = (s"repo${i % 3}", s"p${i % 4}.txt")
     val op = Seq("c", "u", "u", "d")((i / 12) % 4)
     val e = FlatEvent.mk(key, i.toLong, op)
-    e.copy(lang = s"L${i % 3}")
+    e.copy(lang = s"L${(i / 12) % 3}")
   }
 
   // right events: 3 lang keys with changing owners; L1 gets deleted late
