@@ -111,7 +111,13 @@ object MultiTable {
     * captures HUNDREDS of tables, most slices are small, and a serial
     * loop pays T × (driver latency + job launch) while the cluster idles
     * between small jobs — concurrent applies keep the executor slots full
-    * (on a cluster, pair with a FAIR scheduler pool). Failure semantics:
+    * (on a cluster, pair with a FAIR scheduler pool). Measured (Bench
+    * `SPARK_GRAFT_MULTITABLE=1`, 12 tables, local[32]): 1.62× at ~10k
+    * rows/table-batch (driver-latency-bound — the target regime); 0.77×
+    * at ~170k rows/table-batch, where local mode's shared cores make
+    * concurrency pure scheduler contention — keep parallelism = 1 for a
+    * FEW LARGE tables on a single machine; a cluster's idle executor
+    * slots restore the win there. Failure semantics:
     * every table still attempts its apply (no half-skipped catalog), then
     * the first failure in catalog order is rethrown.
     */
