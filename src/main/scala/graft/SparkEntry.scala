@@ -469,6 +469,24 @@ object SparkEntry {
         col("l_repo"), col("l_path"), col("l_lang"), col("l_content"),
         col("r_repo"), col("r_lang"))
     }),
+
+    // Batched point lookup (`LakeTable.lookupMany`): a deterministic key
+    // set (repo05's every-100th file) served in ONE scan, pruned to the
+    // union of the keys' admissible files (zone maps + membership
+    // evidence per key). The key list is collected from the snapshot —
+    // bounded by construction (1% of one repo's files).
+    "q123_cdc_multi_lookup" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-mlk").toString
+      val table = new LakeTable(root, numBuckets = 8)
+      CdcPipeline.replay(s, ChangeLog.flat(s, dir), table, numBatches = 2, salt = 2)
+      val keys = table.snapshot(s).get
+        .where(col("repo") === "repo05" &&
+          pmod(regexp_extract(col("path"), "f([0-9]+)", 1).cast("int"), lit(100)) === 5)
+        .select("repo", "path").collect()
+        .map(r => Seq[Any](r.getString(0), r.getString(1))).toSeq
+      table.lookupMany(s, keys).get
+        .select(col("repo"), col("path"), col("commit"), col("lang"), col("content"))
+    }),
     // Deterministic corpus mixing + splits: per-language keep rates
     // (mixing weights) and disjoint train/val/test assignment, both pure
     // functions of md5(salt||doc_id) — reproducible at any partitioning,
@@ -2588,6 +2606,15 @@ object SparkEntry {
          |SELECT st.repo AS l_repo, st.path AS l_path, st.lang AS l_lang, st.content AS l_content,
          |       dim.repo AS r_repo, dim.lang AS r_lang
          |FROM st JOIN dim ON st.repo = dim.repo""".stripMargin,
+
+    // Batched point lookup equals the fold restricted to the key set.
+    "q123_cdc_multi_lookup" ->
+      s"""$cte
+         |SELECT repo, path, commit, lang, content FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |  FROM ev) t
+         |WHERE rn = 1 AND op <> 'd' AND repo = 'repo05'
+         |  AND CAST(regexp_extract(path, 'f([0-9]+)', 1) AS int) % 100 = 5""".stripMargin,
     "q114_dsir" ->
       """WITH w AS (
         |  SELECT doc_id, lang = 'en' AS t,

@@ -572,9 +572,30 @@ final class LakeTable(
     * testing absence must use `forall(_.isEmpty)`-style checks, never
     * `.get` on a possibly-absent key.
     */
-  def lookup(spark: SparkSession, key: Seq[Any]): Option[DataFrame] = {
-    require(key.size == keyCols.size, s"key must match $keyCols")
-    require(key.forall(_ != null), "lookup key elements must be non-null")
+  def lookup(spark: SparkSession, key: Seq[Any]): Option[DataFrame] =
+    lookupMany(spark, Seq(key))
+
+  /** Batched point lookup: live rows for up to [[LakeTable.MaxLookupKeys]]
+    * keys in ONE scan. Keys are bucketed driver-side; within each
+    * targeted bucket a file survives only if SOME requested key admits it
+    * (zone maps + membership evidence), so the scan reads the union of
+    * the keys' admissible files — O(matching files), not O(buckets
+    * touched × stack depth) — and buckets no key maps to are never read.
+    * The row filter is the OR of per-key conjunctions (pushed to
+    * parquet). Same Option contract as [[lookup]]: None = every requested
+    * key is provably absent, with zero scan. For key sets beyond the
+    * cap, join the table snapshot against a keys DataFrame instead — a
+    * driver-side OR of thousands of conjunctions is a plan, not a
+    * filter.
+    */
+  def lookupMany(spark: SparkSession, keys: Seq[Seq[Any]]): Option[DataFrame] = {
+    require(keys.nonEmpty, "lookupMany needs at least one key")
+    require(keys.size <= LakeTable.MaxLookupKeys,
+      s"lookupMany caps at ${LakeTable.MaxLookupKeys} keys — semi-join a keys DataFrame instead")
+    keys.foreach { key =>
+      require(key.size == keyCols.size, s"key must match $keyCols")
+      require(key.forall(_ != null), "lookup key elements must be non-null")
+    }
     lastCommit().flatMap { ci =>
       // Hash with the TABLE's key column types (a caller's Int against a
       // LongType column would otherwise hash 4 bytes where bucketCol hashed
@@ -587,43 +608,41 @@ final class LakeTable(
       import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Murmur3Hash}
       val schema = ci.schema
       val sessionTz = spark.sessionState.conf.sessionLocalTimeZone
-      val exprs = keyCols.zip(key).map { case (c, v) =>
-        Cast(Literal(v), schema(c).dataType, Some(sessionTz)): org.apache.spark.sql.catalyst.expressions.Expression
+      def bucketOf(key: Seq[Any]): Int = {
+        val exprs = keyCols.zip(key).map { case (c, v) =>
+          Cast(Literal(v), schema(c).dataType, Some(sessionTz)): org.apache.spark.sql.catalyst.expressions.Expression
+        }
+        java.lang.Math.floorMod(
+          new Murmur3Hash(exprs).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int],
+          numBuckets)
       }
-      val bucket = java.lang.Math.floorMod(
-        new Murmur3Hash(exprs).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int],
-        numBuckets)
-      // Zone-map pruning within the bucket: a file whose key bounds
-      // exclude the looked-up value cannot hold its row — skip it before
-      // any task is scheduled (a MoR stack then reads only the files that
-      // may contain the key, not the whole stack). String keys only; a
-      // file without bounds is kept (absence = may contain anything).
-      val keep: FileEntry => Boolean = e => keyCols.zip(key).forall {
-        case (c, s: String) => e.stats.get(c).forall { case (mn, mx) => s >= mn && s <= mx }
-        case _              => true
+      // Per-key file admission = zone maps (range) + membership evidence
+      // (dictionary pages / bloom filters — the complement for unsorted
+      // MoR stacks whose files all span the key range). Both are
+      // driver-side manifest/footer checks, memoized per immutable file,
+      // probed only for the key's own bucket stack — never O(manifest).
+      // A file without evidence is kept (absence = may contain anything).
+      def admits(e: FileEntry, key: Seq[Any]): Boolean = {
+        val zone = keyCols.zip(key).forall {
+          case (c, s: String) => e.stats.get(c).forall { case (mn, mx) => s >= mn && s <= mx }
+          case _              => true
+        }
+        zone && !membershipExcludes(
+          e, keyCols.zip(key).collect { case (c, s: String) => c -> s }.toMap)
       }
-      // Membership pruning, the complement of the range-based zone maps:
-      // an unsorted MoR stack's files typically all span the full key
-      // range (bounds admit everything), but per-chunk membership
-      // evidence — the dictionary page where the chunk is fully
-      // dictionary-encoded (exact), the bloom filter where the
-      // dictionary fell back ([[bloomKeyNdv]]) — proves which keys a
-      // file CANNOT contain. Probing is a driver-side footer read
-      // (memoized per immutable file) and only for the key's own bucket
-      // stack — never O(manifest). A file is dropped only when some key
-      // column's evidence excludes the value in EVERY row group; absent
-      // evidence (legacy files, non-string keys) keeps the file.
-      val stringKey = keyCols.zip(key).collect { case (c, s: String) => c -> s }.toMap
-      val membershipKeep: FileEntry => Boolean = e =>
-        e.bucket != bucket || !membershipExcludes(e, stringKey)
-      val scanCi = ci.copy(files = ci.files.filter(e => keep(e) && membershipKeep(e)))
+      val byBucket: Map[Int, Seq[Seq[Any]]] = keys.groupBy(bucketOf)
+      val keep: FileEntry => Boolean = e =>
+        byBucket.get(e.bucket).exists(_.exists(k => admits(e, k)))
+      val scanCi = ci.copy(files = ci.files.filter(keep))
       // isHead=false: the point lookup must NOT route through the shared
       // bucketed-state registration — its per-key pruned file set would
       // evict the merge path's cached registration (single slot) and pay
       // a DROP/CREATE catalog round trip per lookup. The aligned read +
-      // LWW reduce over one bucket's pruned stack is a few small files.
-      resolved(spark, scanCi, Some(Set(bucket)), isHead = false)
-        .map(_.where(keyCols.zip(key).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
+      // LWW reduce over the pruned stacks is a few small files.
+      resolved(spark, scanCi, Some(byBucket.keySet), isHead = false)
+        .map(_.where(keys.map(key =>
+            keyCols.zip(key).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
+          .reduce(_ || _))
           .where(col("op") =!= Envelope.OpDelete))
     }
   }
@@ -1335,6 +1354,12 @@ object LakeTable {
     * on demand past this.
     */
   private[graft] val MaxEvidenceMemoBytes = 64L << 20
+
+  /** Cap on [[LakeTable.lookupMany]] batch size — beyond this the OR-of-
+    * conjunctions filter stops being a pushdown and the right tool is a
+    * semi-join against a keys DataFrame.
+    */
+  val MaxLookupKeys = 1024
   private[graft] def boundMin(s: String): Option[String] =
     if (s.exists(_ >= 0x80)) None else Some(s.take(BoundLen))
   private[graft] def boundMax(s: String): Option[String] =

@@ -1122,6 +1122,43 @@ class LakeTableSpec extends SparkSpec {
       s"in-bounds absent key scheduled a scan of $missRead rows — evidence must prove absence")
   }
 
+  test("lookupMany: a key batch resolves in one pruned scan; all-absent batches scan nothing") {
+    val alpha = (1 to 200).map(i => FlatEvent.mk((s"alpha${i % 5}", s"p${i % 8}.txt"), i.toLong, "u"))
+    val zeta = (201 to 400).map(i => FlatEvent.mk((s"zeta${i % 5}", s"p${i % 8}.txt"), i.toLong, "u"))
+    val table = new LakeTable(tmp(), numBuckets = 4, mergeOnRead = true)
+    CdcPipeline.replay(spark, (alpha ++ zeta).toDF(), table, numBatches = 2, writeMetrics = false)
+    val oracle = foldOracle(alpha ++ zeta)
+
+    val keys = Seq(Seq[Any]("zeta3", "p5.txt"), Seq[Any]("alpha1", "p2.txt"), Seq[Any]("zeta0", "p0.txt"))
+    var got: Seq[FlatEvent] = Nil
+    val read = recordsRead {
+      got = table.lookupMany(spark, keys).get.as[FlatEvent].collect().toSeq
+    }
+    assert(got.toSet === keys.map(k => oracle((k(0).toString, k(1).toString))).toSet,
+      "the batch must return exactly the requested keys' LWW winners")
+    assert(read > 0, "positive control: admitted files must be scanned")
+    val total = table.lastCommit().get.files.map(_.rows).sum
+    assert(read < total,
+      s"batched lookup scanned all $total staged rows — per-key file pruning must apply")
+
+    // mixed present/absent: only the present key's row comes back
+    val mixed = table.lookupMany(spark,
+      Seq(Seq[Any]("zeta3", "p5.txt"), Seq[Any]("zzzz", "nowhere.txt"))).get
+      .as[FlatEvent].collect().toSet
+    assert(mixed === Set(oracle(("zeta3", "p5.txt"))))
+
+    // every key provably absent → None/empty with ZERO scan
+    val missRead = recordsRead {
+      assert(table.lookupMany(spark,
+        Seq(Seq[Any]("zzz1", "a.txt"), Seq[Any]("zzz2", "b.txt"))).forall(_.count() === 0L))
+    }
+    assert(missRead === 0L, s"all-absent batch scheduled a scan of $missRead rows")
+
+    // batch cap: beyond it the answer is a semi-join, not a filter
+    intercept[IllegalArgumentException](
+      table.lookupMany(spark, (0 to graft.table.LakeTable.MaxLookupKeys).map(i => Seq[Any](s"k$i", "p"))))
+  }
+
   test("membership pruning via dictionary pages: default table, no bloom config needed") {
     // low-cardinality chunks are fully dictionary-encoded; the dictionary
     // page is EXACT membership and parquet writes no bloom at all
