@@ -470,6 +470,43 @@ object SparkEntry {
         col("r_repo"), col("r_lang"))
     }),
 
+    // LEFT-OUTER join-view maintenance: the dimension covers only repos
+    // whose digit % 3 != 0, so a third of the file table rides
+    // null-extended — sentinel rows born by partnerless left deltas and
+    // by a join value's LAST partner dying, killed by its FIRST partner
+    // arriving. `nullExtended` maps the sentinel back to SQL NULL.
+    "q124_cdc_left_join_view" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-ljv").toString
+      val log = ChangeLog.flat(s, dir)
+      val left = new LakeTable(s"$root/left", numBuckets = 8)
+      val right = new LakeTable(s"$root/right", numBuckets = 4, keyCols = Seq("repo"))
+      val view = new LakeTable(s"$root/view", numBuckets = 8,
+        keyCols = Seq("l_repo", "l_path", "r_repo"))
+      val jv = JoinView.DerivedJoinView(view, left, right,
+        leftOn = "repo", rightOn = "repo",
+        leftCols = Seq("repo", "path", "lang", "content"),
+        rightCols = Seq("repo", "lang"),
+        joinType = "left_outer")
+      val dim = log.where(col("op") =!= Envelope.OpDelete &&
+          pmod(regexp_extract(col("repo"), "([0-9]+)", 1).cast("int"), lit(3)) =!= 0)
+        .select(col("repo"), col("lang"), col("commit"), lit("u").as("op"),
+          col("part"), col("lsn"), col("ts_ms"))
+      val mid = maxLsn(log) / 2
+      CdcPipeline.replay(s, log.where(col("lsn") <= mid), left,
+        numBatches = 2, writeMetrics = false)
+      CdcPipeline.replay(s, dim.where(col("lsn") <= mid), right,
+        numBatches = 1, writeMetrics = false)
+      JoinView.maintain(s, jv)
+      CdcPipeline.replay(s, log.where(col("lsn") > mid), left,
+        numBatches = 2, startBatchId = 2, writeMetrics = false)
+      CdcPipeline.replay(s, dim.where(col("lsn") > mid), right,
+        numBatches = 1, startBatchId = 1, writeMetrics = false)
+      JoinView.maintain(s, jv)
+      jv.nullExtended(view.snapshot(s).get).select(
+        col("l_repo"), col("l_path"), col("l_lang"), col("l_content"),
+        col("r_repo"), col("r_lang"))
+    }),
+
     // Batched point lookup (`LakeTable.lookupMany`): a deterministic key
     // set (repo05's every-100th file) served in ONE scan, pruned to the
     // union of the keys' admissible files (zone maps + membership
@@ -2606,6 +2643,25 @@ object SparkEntry {
          |SELECT st.repo AS l_repo, st.path AS l_path, st.lang AS l_lang, st.content AS l_content,
          |       dim.repo AS r_repo, dim.lang AS r_lang
          |FROM st JOIN dim ON st.repo = dim.repo""".stripMargin,
+
+    // The maintained LEFT-OUTER view equals the direct LEFT JOIN of the
+    // final states (dimension restricted to repos with digit % 3 != 0).
+    "q124_cdc_left_join_view" ->
+      s"""$cte
+         |, st AS (
+         |  SELECT repo, path, lang, content FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |    FROM ev) t
+         |  WHERE rn = 1 AND op <> 'd')
+         |, dim AS (
+         |  SELECT repo, lang FROM (
+         |    SELECT repo, lang, row_number() OVER (PARTITION BY repo ORDER BY commit DESC, lsn DESC) AS rn
+         |    FROM ev WHERE op <> 'd'
+         |      AND CAST(regexp_extract(repo, '([0-9]+)', 1) AS int) % 3 <> 0) t
+         |  WHERE rn = 1)
+         |SELECT st.repo AS l_repo, st.path AS l_path, st.lang AS l_lang, st.content AS l_content,
+         |       dim.repo AS r_repo, dim.lang AS r_lang
+         |FROM st LEFT JOIN dim ON st.repo = dim.repo""".stripMargin,
 
     // Batched point lookup equals the fold restricted to the key set.
     "q123_cdc_multi_lookup" ->

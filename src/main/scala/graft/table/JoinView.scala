@@ -53,9 +53,20 @@ object JoinView {
     */
   val MaxJoinValuePushdown = 1000
 
+  /** Null-extension sentinel for `left_outer` views: the right-key slot
+    * of a partnerless row (a view key column cannot be NULL — the engine
+    * quarantines malformed keys). NUL sorts before every real string and
+    * cannot appear in a sane key; [[DerivedJoinView.nullExtended]]
+    * translates it back to SQL NULL for consumers.
+    */
+  val NoPartner = "\u0000"
+
   /** A derived join-view table: `view` must be keyed by the l_/r_-prefixed
     * base keys, and `leftCols`/`rightCols` (the carried data columns) must
-    * include the respective base's key columns.
+    * include the respective base's key columns. `joinType`: "inner"
+    * (default) or "left_outer" (unmatched left rows ride with
+    * [[NoPartner]] right keys and null right payload; requires
+    * string-typed right key columns for the sentinel).
     */
   final case class DerivedJoinView(
       view: LakeTable,
@@ -65,10 +76,20 @@ object JoinView {
       rightOn: String,
       leftCols: Seq[String],
       rightCols: Seq[String],
-      applySalt: Int = 1) {
+      applySalt: Int = 1,
+      joinType: String = "inner") {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"joinType must be inner or left_outer, got $joinType")
     val leftKeyCols: Seq[String] = left.keyCols.map("l_" + _)
     val rightKeyCols: Seq[String] = right.keyCols.map("r_" + _)
     val payloadCols: Seq[String] = leftCols.map("l_" + _) ++ rightCols.map("r_" + _)
+
+    /** SQL-shaped read of a `left_outer` view: sentinel right keys back
+      * to NULL (what a LEFT JOIN would have produced).
+      */
+    def nullExtended(df: DataFrame): DataFrame =
+      rightKeyCols.foldLeft(df)((d, c) =>
+        d.withColumn(c, when(col(c) === NoPartner, lit(null).cast("string")).otherwise(col(c))))
   }
 
   /** The view commit's `batchId` encodes the reflected base-version pair
@@ -92,6 +113,12 @@ object JoinView {
     val laHead = jv.left.lastCommit().map(_.version).getOrElse(0L)
     val rbHead = jv.right.lastCommit().map(_.version).getOrElse(0L)
     if (laHead == 0L || rbHead == 0L) return
+    if (jv.joinType == "left_outer") {
+      val rs = jv.right.lastCommit().get.schema
+      jv.right.keyCols.foreach(k => require(
+        rs(k).dataType == org.apache.spark.sql.types.StringType,
+        s"left_outer needs string right key columns for the sentinel; $k is ${rs(k).dataType}"))
+    }
     var (va, vb) = jv.view.lastCommit().map(c => decode(c.batchId)).getOrElse((0L, 0L))
     checkRetention(jv.left, "left", va, laHead)
     checkRetention(jv.right, "right", vb, rbHead)
@@ -162,6 +189,8 @@ object JoinView {
         val probe = if (small) cp.where(col(s"$otherPre$otherOn").isInCollection(joinVals)) else cp
         val build = if (small) broadcast(delta) else delta
         val joined = build.join(probe, col(s"$basePre$baseOn") === col(s"$otherPre$otherOn"))
+        // payload df must already carry every payload column; meta columns
+        // (op/ordering/bucket) are appended here
         def ev(df: DataFrame, op: String, off: Long): DataFrame =
           df.select(jv.payloadCols.map(col) ++ Seq(
             lit(op).as("op"),
@@ -169,12 +198,69 @@ object JoinView {
             lit(2L * ord + off).as("lsn"),
             pmod(hash(jv.view.keyCols.map(col): _*), lit(jv.view.numBuckets)).as("part"),
             lit(ord).as("ts_ms")): _*)
-        val retracts = ev(joined.where(col("_change_type").isin("delete", "update_preimage")), "d", 0L)
-        val upserts = ev(joined.where(col("_change_type").isin("insert", "update_postimage")), "u", 1L)
+        val minusTypes = Seq("delete", "update_preimage")
+        val plusTypes = Seq("insert", "update_postimage")
+        val retracts = ev(joined.where(col("_change_type").isin(minusTypes: _*)), "d", 0L)
+        val upserts = ev(joined.where(col("_change_type").isin(plusTypes: _*)), "u", 1L)
+
+        // left_outer: null-extension events. A partnerless left row rides
+        // with NoPartner right keys + null right payload; this block emits
+        // the sentinel-row births and deaths the pair events don't cover.
+        val outer: Seq[DataFrame] =
+          if (jv.joinType != "left_outer") Nil
+          else {
+            val rSchema = jv.right.lastCommit().get.schema
+            // a df holding l_-prefixed left columns → sentinel payload
+            def sentinel(df: DataFrame, op: String, off: Long): DataFrame =
+              ev(df.select(jv.leftCols.map(c => col(s"l_$c")) ++ jv.rightCols.map { c =>
+                val t = rSchema(c).dataType
+                if (jv.right.keyCols.contains(c)) lit(NoPartner).cast(t).as(s"r_$c")
+                else lit(null).cast(t).as(s"r_$c")
+              }: _*), op, off)
+            if (leftStep) {
+              // left rows whose (pre/post) join value has NO partner in
+              // the reflected right state: preimages/deletes retract their
+              // sentinel row, postimages/inserts (re)assert it. probe ⊆ cp
+              // never drops a row matching the delta's own values, so the
+              // anti-join is exact.
+              val anti = delta.join(probe,
+                col(s"$basePre$baseOn") === col(s"$otherPre$otherOn"), "left_anti")
+              Seq(
+                sentinel(anti.where(col("_change_type").isin(minusTypes: _*)), "d", 0L),
+                sentinel(anti.where(col("_change_type").isin(plusTypes: _*)), "u", 1L))
+            } else {
+              // partner-count TRANSITIONS of the stepping (right) base:
+              // a join value gaining its FIRST partner kills its left
+              // partners' sentinel rows; a value losing its LAST partner
+              // re-births them. Prev/cur right states are isin-pruned to
+              // the delta's values when small — O(touched values), not
+              // O(right table).
+              def vals(types: Seq[String]) =
+                delta.where(col("_change_type").isin(types: _*))
+                  .select(col(s"$basePre$baseOn").as("__jv")).distinct()
+              def stateOn(version: Long): DataFrame = {
+                val st = base.snapshotAt(spark, version).getOrElse(
+                  spark.createDataFrame(new java.util.ArrayList[Row](), rSchema))
+                val on = st.select(col(baseOn).as("__on"))
+                if (small) on.where(col("__on").isInCollection(joinVals)) else on
+              }
+              val firstVals = vals(plusTypes).join(stateOn(v - 1),
+                col("__jv") === col("__on"), "left_anti")
+              val lastVals = vals(minusTypes).join(stateOn(v),
+                col("__jv") === col("__on"), "left_anti")
+              def leftPartners(values: DataFrame) =
+                cp.join(broadcast(values), col(s"$otherPre$otherOn") === col("__jv"))
+              Seq(
+                sentinel(leftPartners(firstVals), "d", 0L),
+                sentinel(leftPartners(lastVals), "u", 1L))
+            }
+          }
+
         // applySalt > 1: a HOT join value (one dimension row matching many
         // rows) concentrates its pairs in few view keys' buckets — the
         // engine's salted pre-reduce flattens that skew before the merge.
-        graft.merge.CdcApply.applyBatch(spark, jv.view, retracts.unionAll(upserts),
+        graft.merge.CdcApply.applyBatch(spark, jv.view,
+          (Seq(retracts, upserts) ++ outer).reduce(_ unionAll _),
           batchId = batchId, salt = jv.applySalt, writeMetrics = false)
       } finally delta.unpersist()
     }

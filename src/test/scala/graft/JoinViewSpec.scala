@@ -37,7 +37,7 @@ class JoinViewSpec extends SparkSpec {
       1700000000000L + i)
   }
 
-  private def mkView(): DerivedJoinView = {
+  private def mkView(joinType: String = "inner"): DerivedJoinView = {
     val root = Files.createTempDirectory("joinview").toString
     DerivedJoinView(
       view = new LakeTable(s"$root/view", numBuckets = 4,
@@ -46,16 +46,20 @@ class JoinViewSpec extends SparkSpec {
       right = new LakeTable(s"$root/right", numBuckets = 2, keyCols = Seq("lang")),
       leftOn = "lang", rightOn = "lang",
       leftCols = Seq("repo", "path", "lang", "content"),
-      rightCols = Seq("lang", "owner"))
+      rightCols = Seq("lang", "owner"),
+      joinType = joinType)
   }
 
-  /** The oracle: a fresh full join of the two base snapshots. */
+  /** The oracle: a fresh full (inner or left-outer) join of the two base
+    * snapshots.
+    */
   private def directJoin(jv: DerivedJoinView): Set[Seq[Any]] = {
     (jv.left.snapshot(spark), jv.right.snapshot(spark)) match {
-      case (Some(l), Some(r)) =>
+      case (Some(l), rOpt) =>
         val lp = l.select(jv.leftCols.map(c => col(c).as(s"l_$c")): _*)
-        val rp = r.select(jv.rightCols.map(c => col(c).as(s"r_$c")): _*)
-        lp.join(rp, col("l_lang") === col("r_lang"))
+        val rp = rOpt.map(_.select(jv.rightCols.map(c => col(c).as(s"r_$c")): _*))
+          .getOrElse(lp.limit(0).select(jv.rightCols.map(c => lit(null).cast("string").as(s"r_$c")): _*))
+        lp.join(rp, col("l_lang") === col("r_lang"), jv.joinType)
           .select(jv.payloadCols.map(col): _*)
           .collect().map(_.toSeq).toSet
       case _ => Set.empty
@@ -64,7 +68,8 @@ class JoinViewSpec extends SparkSpec {
 
   private def viewRows(jv: DerivedJoinView): Set[Seq[Any]] =
     jv.view.snapshot(spark)
-      .map(_.select(jv.payloadCols.map(col): _*).collect().map(_.toSeq).toSet)
+      .map(df => jv.nullExtended(df).select(jv.payloadCols.map(col): _*)
+        .collect().map(_.toSeq).toSet)
       .getOrElse(Set.empty)
 
   test("join view equals the direct join at every interleaved catch-up point") {
@@ -96,6 +101,35 @@ class JoinViewSpec extends SparkSpec {
     // the reflected version pair is encoded in the view's batchId
     val (va, vb) = JoinView.decode(jv.view.lastCommit().get.batchId)
     assert((va, vb) === (4L, 4L))
+  }
+
+  test("left-outer join view: null-extension rows are born and die with partner-count transitions") {
+    val jv = mkView("left_outer")
+    def check(label: String): Unit = {
+      JoinView.maintain(spark, jv)
+      assert(viewRows(jv) === directJoin(jv), s"$label: view diverged from the direct LEFT JOIN")
+    }
+
+    CdcPipeline.replay(spark, leftEvents(1 to 60).toDF(), jv.left, 2, writeMetrics = false)
+    CdcPipeline.replay(spark, rightEvents(1 to 60).toDF(), jv.right, 2, writeMetrics = false)
+    // catch-up runs the bootstrap: left steps against right@0 birth a
+    // sentinel row per live left row; right steps then kill each value's
+    // sentinels as its FIRST partner arrives
+    check("both bases at part 1")
+
+    CdcPipeline.replay(spark, leftEvents(61 to 120).toDF(), jv.left,
+      numBatches = 2, startBatchId = 2, writeMetrics = false)
+    check("left advanced (partnerless postimages assert sentinel rows)")
+
+    CdcPipeline.replay(spark, rightEvents(61 to 120).toDF(), jv.right,
+      numBatches = 2, startBatchId = 2, writeMetrics = false)
+    check("right advanced (L1's LAST partner death re-births its left rows)")
+
+    // the dimension deleted L1 late — its left rows must survive
+    // null-extended, or the scenario proved nothing
+    val nulls = viewRows(jv).filter(_.drop(4).forall(_ == null))
+    assert(nulls.nonEmpty, "final state must hold null-extended rows (L1 has no dim row)")
+    assert(nulls.size < viewRows(jv).size, "and partnered rows too")
   }
 
   test("re-maintain is a no-op: steps are batchId-fenced, files untouched") {
