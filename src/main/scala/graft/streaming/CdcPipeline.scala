@@ -69,7 +69,8 @@ object CdcPipeline {
       orderedInput: Boolean = false,
       signalChannel: Option[String] = None,
       maxBytesPerTrigger: Option[String] = None,
-      views: Seq[MaterializedView.DerivedView] = Nil): StreamingQuery = {
+      views: Seq[MaterializedView.DerivedView] = Nil,
+      joinViews: Seq[graft.table.JoinView.DerivedJoinView] = Nil): StreamingQuery = {
     val reader = spark.readStream.schema(Envelope.schema())
     val env = maxBytesPerTrigger
       .fold(reader.option("maxFilesPerTrigger", maxFilesPerTrigger))(b =>
@@ -194,6 +195,11 @@ object CdcPipeline {
         CdcApply.applyBatch(sp, table, flat, batchId, salt,
           fenceByWatermark = orderedInput)
         views.foreach(v => MaterializedView.maintain(sp, table, v))
+        // join views catch BOTH their bases up (version-pair fenced), so
+        // the pipeline's table being either side — or the other side
+        // moving out-of-band — heals on the next microbatch like the
+        // aggregate views above.
+        joinViews.foreach(jv => graft.table.JoinView.maintain(sp, jv))
         signalChannel.foreach(ch => Signals.markProcessed(ch, pending.map(_.id)))
         ()
       }

@@ -101,7 +101,12 @@ object JoinView {
   /** Catch the view up to both base heads. Left steps first (against the
     * reflected right version), then right steps (against the new left
     * head); each step is one exactly-once engine apply. No-op until both
-    * bases have a first commit.
+    * bases have a first commit — which for `left_outer` means left rows
+    * appear (null-extended) only once the RIGHT table exists too: the
+    * sentinel payload needs the right schema, which only a commit
+    * carries. A dimension expected to stay empty for a while should make
+    * a schema-only first commit (an empty batch through the engine);
+    * from then on an empty right behaves exactly like a LEFT JOIN.
     */
   def maintain(spark: SparkSession, jv: DerivedJoinView): Unit = {
     require(jv.view.keyCols == jv.leftKeyCols ++ jv.rightKeyCols,
@@ -248,8 +253,16 @@ object JoinView {
                 col("__jv") === col("__on"), "left_anti")
               val lastVals = vals(minusTypes).join(stateOn(v),
                 col("__jv") === col("__on"), "left_anti")
-              def leftPartners(values: DataFrame) =
-                cp.join(broadcast(values), col(s"$otherPre$otherOn") === col("__jv"))
+              // probe, not cp: first/last values ⊆ the delta's join
+              // values, so the isin-pruned left read serves them exactly —
+              // O(touched row groups), never a second full left scan.
+              // Broadcast only under the same small-delta guard as the
+              // pair join (a bootstrap right feed can carry millions of
+              // distinct values).
+              def leftPartners(values: DataFrame) = {
+                val vs = if (small) broadcast(values) else values
+                probe.join(vs, col(s"$otherPre$otherOn") === col("__jv"))
+              }
               Seq(
                 sentinel(leftPartners(firstVals), "d", 0L),
                 sentinel(leftPartners(lastVals), "u", 1L))

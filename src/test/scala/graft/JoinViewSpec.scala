@@ -58,7 +58,14 @@ class JoinViewSpec extends SparkSpec {
       case (Some(l), rOpt) =>
         val lp = l.select(jv.leftCols.map(c => col(c).as(s"l_$c")): _*)
         val rp = rOpt.map(_.select(jv.rightCols.map(c => col(c).as(s"r_$c")): _*))
-          .getOrElse(lp.limit(0).select(jv.rightCols.map(c => lit(null).cast("string").as(s"r_$c")): _*))
+          .getOrElse {
+            // typed empty frame — right schema from its commit log when
+            // available (a string cast would corrupt a non-string oracle)
+            val rs = jv.right.lastCommit().map(_.schema)
+            lp.limit(0).select(jv.rightCols.map(c => lit(null)
+              .cast(rs.map(_(c).dataType).getOrElse(org.apache.spark.sql.types.StringType))
+              .as(s"r_$c")): _*)
+          }
         lp.join(rp, col("l_lang") === col("r_lang"), jv.joinType)
           .select(jv.payloadCols.map(col): _*)
           .collect().map(_.toSeq).toSet
@@ -130,6 +137,17 @@ class JoinViewSpec extends SparkSpec {
     val nulls = viewRows(jv).filter(_.drop(4).forall(_ == null))
     assert(nulls.nonEmpty, "final state must hold null-extended rows (L1 has no dim row)")
     assert(nulls.size < viewRows(jv).size, "and partnered rows too")
+
+    // LEFT-step sentinel birth against a NON-empty right (the bootstrap
+    // births above all ran against right@0): new left rows with a lang
+    // the dimension never carried
+    val orphan = (121 to 132).map(i =>
+      FlatEvent.mk((s"repo${i % 3}", s"p${i % 4}.txt"), i.toLong + 200, "u").copy(lang = "L9"))
+    CdcPipeline.replay(spark, orphan.toDF(), jv.left,
+      numBatches = 1, startBatchId = 4, writeMetrics = false)
+    check("left-step anti against a non-empty right (L9 has no dim row)")
+    assert(viewRows(jv).exists(r => r(2) == "L9" && r.drop(4).forall(_ == null)),
+      "L9 rows must ride null-extended via the left-step anti path")
   }
 
   test("re-maintain is a no-op: steps are batchId-fenced, files untouched") {
@@ -142,6 +160,24 @@ class JoinViewSpec extends SparkSpec {
     val after = jv.view.lastCommit().get
     assert(after.version === before.version && after.files.toSet === before.files.toSet,
       "an already-caught-up view must not commit again")
+  }
+
+  test("streaming join-view maintenance: the pipeline keeps the view current across a restart") {
+    val jv = mkView()
+    val root = Files.createTempDirectory("jv-stream").toString
+    val inDir = s"$root/in"; val ckpt = s"$root/ckpt"
+    CdcPipeline.replay(spark, rightEvents(1 to 120).toDF(), jv.right, 2, writeMetrics = false)
+    def run(): Unit = CdcPipeline.start(spark, inDir, ckpt, jv.left, joinViews = Seq(jv))
+      .awaitTermination()
+
+    graft.core.Envelope.wrap(leftEvents(1 to 60).toDF()).write.mode("append").parquet(inDir)
+    run()
+    assert(viewRows(jv) === directJoin(jv), "wave 1: streamed view diverged")
+    assert(viewRows(jv).nonEmpty)
+
+    graft.core.Envelope.wrap(leftEvents(61 to 120).toDF()).write.mode("append").parquet(inDir)
+    run() // checkpoint restart picks up only wave 2
+    assert(viewRows(jv) === directJoin(jv), "wave 2 after restart: streamed view diverged")
   }
 
   test("expired history below the reflected version fails loudly (rebuild contract)") {
