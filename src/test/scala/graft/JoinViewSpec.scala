@@ -180,6 +180,38 @@ class JoinViewSpec extends SparkSpec {
     assert(viewRows(jv) === directJoin(jv), "wave 2 after restart: streamed view diverged")
   }
 
+  test("view cascade: aggregate IVM over a maintained join view stays exact end-to-end") {
+    import graft.table.MaterializedView
+    val jv = mkView()
+    // the cascade target: rows-per-owner over the JOIN VIEW's table —
+    // possible precisely because the view IS a LakeTable with its own
+    // commit log and change feed
+    val aggRoot = Files.createTempDirectory("jv-agg").toString
+    val dv = MaterializedView.DerivedView(
+      new LakeTable(s"$aggRoot/agg", numBuckets = 2, keyCols = Seq("r_owner")),
+      groupCols = Seq("r_owner"), measure = lit(1L), measureAlias = "m")
+
+    def checkCascade(): Unit = {
+      JoinView.maintain(spark, jv)
+      MaterializedView.maintain(spark, jv.view, dv)
+      val direct = directJoin(jv).groupBy(_(5)).map { case (owner, rows) =>
+        (owner, rows.size.toLong) }.toSet
+      val got = dv.table.snapshot(spark).get
+        .select(col("r_owner"), col("n_rows")).collect()
+        .map(r => (r.get(0), r.getLong(1))).toSet
+      assert(got === direct, "cascaded aggregate diverged from the direct group-count of the join")
+    }
+
+    CdcPipeline.replay(spark, leftEvents(1 to 60).toDF(), jv.left, 2, writeMetrics = false)
+    CdcPipeline.replay(spark, rightEvents(1 to 60).toDF(), jv.right, 2, writeMetrics = false)
+    checkCascade()
+    CdcPipeline.replay(spark, leftEvents(61 to 120).toDF(), jv.left,
+      numBatches = 2, startBatchId = 2, writeMetrics = false)
+    CdcPipeline.replay(spark, rightEvents(61 to 120).toDF(), jv.right,
+      numBatches = 2, startBatchId = 2, writeMetrics = false)
+    checkCascade()
+  }
+
   test("expired history below the reflected version fails loudly (rebuild contract)") {
     val jv = mkView()
     CdcPipeline.replay(spark, leftEvents(1 to 60).toDF(), jv.left, 2, writeMetrics = false)
