@@ -456,12 +456,12 @@ object SparkEntry {
           col("part"), col("lsn"), col("ts_ms"))
       val mid = maxLsn(log) / 2
       CdcPipeline.replay(s, log.where(col("lsn") <= mid), left,
-        numBatches = 2, writeMetrics = false)
+        numBatches = 1, writeMetrics = false)
       CdcPipeline.replay(s, dim.where(col("lsn") <= mid), right,
         numBatches = 1, writeMetrics = false)
       JoinView.maintain(s, jv)
       CdcPipeline.replay(s, log.where(col("lsn") > mid), left,
-        numBatches = 2, startBatchId = 2, writeMetrics = false)
+        numBatches = 1, startBatchId = 1, writeMetrics = false)
       CdcPipeline.replay(s, dim.where(col("lsn") > mid), right,
         numBatches = 1, startBatchId = 1, writeMetrics = false)
       JoinView.maintain(s, jv)
@@ -493,12 +493,12 @@ object SparkEntry {
           col("part"), col("lsn"), col("ts_ms"))
       val mid = maxLsn(log) / 2
       CdcPipeline.replay(s, log.where(col("lsn") <= mid), left,
-        numBatches = 2, writeMetrics = false)
+        numBatches = 1, writeMetrics = false)
       CdcPipeline.replay(s, dim.where(col("lsn") <= mid), right,
         numBatches = 1, writeMetrics = false)
       JoinView.maintain(s, jv)
       CdcPipeline.replay(s, log.where(col("lsn") > mid), left,
-        numBatches = 2, startBatchId = 2, writeMetrics = false)
+        numBatches = 1, startBatchId = 1, writeMetrics = false)
       CdcPipeline.replay(s, dim.where(col("lsn") > mid), right,
         numBatches = 1, startBatchId = 1, writeMetrics = false)
       JoinView.maintain(s, jv)
