@@ -508,21 +508,26 @@ object SparkEntry {
     }),
 
     // Batched point lookup (`LakeTable.lookupMany`): a deterministic key
-    // set (repo05's every-100th file) served in ONE scan, pruned to the
-    // union of the keys' admissible files (zone maps + membership
-    // evidence per key). The key list is collected from the snapshot —
-    // bounded by construction (1% of one repo's files).
+    // set (repo05's every-100th file, doc ids below 100k) served in ONE
+    // scan, pruned to the union of the keys' admissible files (zone maps
+    // + membership evidence per key). The id ceiling makes the list
+    // ABSOLUTELY bounded (≤ 1000 keys at any corpus scale — inside the
+    // MaxLookupKeys cap); a scale too small to produce keys returns the
+    // empty frame, matching the oracle.
     "q123_cdc_multi_lookup" -> ((s, dir) => {
       val root = java.nio.file.Files.createTempDirectory("graft-mlk").toString
       val table = new LakeTable(root, numBuckets = 8)
       CdcPipeline.replay(s, ChangeLog.flat(s, dir), table, numBatches = 2, salt = 2)
+      val docId = regexp_extract(col("path"), "f([0-9]+)", 1).cast("int")
+      val out = Seq("repo", "path", "commit", "lang", "content")
       val keys = table.snapshot(s).get
-        .where(col("repo") === "repo05" &&
-          pmod(regexp_extract(col("path"), "f([0-9]+)", 1).cast("int"), lit(100)) === 5)
+        .where(col("repo") === "repo05" && pmod(docId, lit(100)) === 5 && docId < 100000)
         .select("repo", "path").collect()
         .map(r => Seq[Any](r.getString(0), r.getString(1))).toSeq
-      table.lookupMany(s, keys).get
-        .select(col("repo"), col("path"), col("commit"), col("lang"), col("content"))
+      keys match {
+        case Nil => table.snapshot(s).get.select(out.map(col): _*).limit(0)
+        case ks  => table.lookupMany(s, ks).get.select(out.map(col): _*)
+      }
     }),
     // Deterministic corpus mixing + splits: per-language keep rates
     // (mixing weights) and disjoint train/val/test assignment, both pure
@@ -2670,7 +2675,8 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
          |  FROM ev) t
          |WHERE rn = 1 AND op <> 'd' AND repo = 'repo05'
-         |  AND CAST(regexp_extract(path, 'f([0-9]+)', 1) AS int) % 100 = 5""".stripMargin,
+         |  AND CAST(regexp_extract(path, 'f([0-9]+)', 1) AS int) % 100 = 5
+         |  AND CAST(regexp_extract(path, 'f([0-9]+)', 1) AS int) < 100000""".stripMargin,
     "q114_dsir" ->
       """WITH w AS (
         |  SELECT doc_id, lang = 'en' AS t,

@@ -58,6 +58,14 @@ object CdcPipeline {
     *        base head version-by-version, fenced by its own commit
     *        batchId, so a crash between the base and view commits is
     *        healed by the next microbatch (or the next run).
+    * @param joinViews join views maintained in the same slot
+    *        ([[graft.table.JoinView.maintain]]): each catches BOTH its
+    *        bases up (this table is typically one side; the other may
+    *        move out-of-band), fenced by the version-PAIR encoded in the
+    *        view's commit batchId — crash healing is identical to
+    *        `views`. For `left_outer` views the right base must have a
+    *        first commit before left rows appear (see
+    *        [[graft.table.JoinView.maintain]]'s schema-only-commit note).
     */
   def start(
       spark: SparkSession,

@@ -98,6 +98,12 @@ object JoinView {
   def encode(va: Long, vb: Long): Long = (va << 32) | vb
   def decode(b: Long): (Long, Long) = (b >>> 32, b & 0xffffffffL)
 
+  /** Typed empty frame — the shared fallback for reading a counterpart
+    * state at a version before its first commit.
+    */
+  private def emptyDf(spark: SparkSession, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+
   /** Catch the view up to both base heads. Left steps first (against the
     * reflected right version), then right steps (against the new left
     * head); each step is one exactly-once engine apply. No-op until both
@@ -184,7 +190,7 @@ object JoinView {
         // counterpart at the reflected version; schema from its head
         // commit when the version pre-dates the first commit (empty state)
         val cp0 = other.snapshotAt(spark, otherV).getOrElse(
-          spark.createDataFrame(new java.util.ArrayList[Row](), other.lastCommit().get.schema))
+          emptyDf(spark, other.lastCommit().get.schema))
         val cp = cp0.select(otherSel.map(c => col(c).as(s"$otherPre$c")): _*)
         // driver-known join values: broadcast the (small) delta and prune
         // the counterpart scan to row groups that can hold a partner
@@ -234,6 +240,18 @@ object JoinView {
                 sentinel(anti.where(col("_change_type").isin(minusTypes: _*)), "d", 0L),
                 sentinel(anti.where(col("_change_type").isin(plusTypes: _*)), "u", 1L))
             } else {
+              // Reserved-sentinel guard: a REAL right key equal to
+              // NoPartner would collide with sentinel view keys and
+              // silently corrupt the view under LWW. Every right row
+              // enters through a right-step delta (including the
+              // bootstrap all-insert feed), so this one cheap gate
+              // covers all data — fail loudly, never corrupt.
+              val badSentinel = delta.where(
+                jv.right.keyCols.map(k => col(s"$basePre$k") === NoPartner).reduce(_ || _))
+                .limit(1).count()
+              require(badSentinel == 0L,
+                "right key data contains the reserved NoPartner sentinel (\\u0000) — " +
+                  "a left_outer view cannot represent it")
               // partner-count TRANSITIONS of the stepping (right) base:
               // a join value gaining its FIRST partner kills its left
               // partners' sentinel rows; a value losing its LAST partner
@@ -244,8 +262,7 @@ object JoinView {
                 delta.where(col("_change_type").isin(types: _*))
                   .select(col(s"$basePre$baseOn").as("__jv")).distinct()
               def stateOn(version: Long): DataFrame = {
-                val st = base.snapshotAt(spark, version).getOrElse(
-                  spark.createDataFrame(new java.util.ArrayList[Row](), rSchema))
+                val st = base.snapshotAt(spark, version).getOrElse(emptyDf(spark, rSchema))
                 val on = st.select(col(baseOn).as("__on"))
                 if (small) on.where(col("__on").isInCollection(joinVals)) else on
               }
