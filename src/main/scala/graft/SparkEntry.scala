@@ -529,6 +529,64 @@ object SparkEntry {
         case ks  => table.lookupMany(s, ks).get.select(out.map(col): _*)
       }
     }),
+
+    // Schema evolution WITH a declared column DEFAULT (round-4; reference
+    // `relational/Column.java:136` defaultValueExpression +
+    // `DefaultValueConverter` applied by the sink's alterTableIfNeeded):
+    // the second batch's added column carries DEFAULT -1 metadata, so
+    // pre-evolution rows read -1 where plain q13 evolution reads null.
+    "q125_cdc_schema_default" -> ((s, dir) => {
+      val log = ChangeLog.base(s, dir)
+      val half = maxLsn(log) / 2
+      val root = java.nio.file.Files.createTempDirectory("graft-evodef").toString
+      val table = new LakeTable(root, numBuckets = 16)
+      merge.CdcApply.applyBatch(s, table, log.where(col("lsn") <= half), 0L, writeMetrics = false)
+      merge.CdcApply.applyBatch(s, table,
+        log.where(col("lsn") > half).select(col("*"),
+          graft.table.SchemaEvolution.withDefault(
+            length(col("content")).cast("long"), "n_chars", "-1")),
+        1L, writeMetrics = false)
+      table.snapshot(s).get
+        .select(payload :+ col("n_chars").cast("long").as("n_chars"): _*)
+    }),
+
+    // Above-cap batched lookup (`LakeTable.lookupJoin`, round-4): the key
+    // set arrives as a DataFrame — no driver-side key list, no
+    // MaxLookupKeys cap — and is served by a bucket-pruned state
+    // semi-join (buckets no key maps to are never scanned; the semi-join
+    // keeps only matching live rows).
+    "q126_cdc_lookup_join" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-lkj").toString
+      val table = new LakeTable(root, numBuckets = 8)
+      CdcPipeline.replay(s, ChangeLog.flat(s, dir), table, numBatches = 2, salt = 2)
+      val docId = regexp_extract(col("path"), "f([0-9]+)", 1).cast("int")
+      val out = Seq("repo", "path", "commit", "lang", "content")
+      val keys = table.snapshot(s).get
+        .where(pmod(docId, lit(4)) =!= 0).select("repo", "path")
+      table.lookupJoin(s, keys).map(_.select(out.map(col): _*))
+        .getOrElse(table.snapshot(s).get.select(out.map(col): _*).limit(0))
+    }),
+
+    // Ordered post-processor chain through the STREAMING path (round-4;
+    // reference `processors/PostProcessorRegistry.java:29` — an ordered,
+    // config-driven registry applied per record): truncate-then-hash
+    // composes in declared order on every microbatch's flattened rows
+    // before the exactly-once apply, so the converged table state carries
+    // the processed values.
+    "q127_cdc_post_processors" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-pp").toString
+      val table = new LakeTable(s"$root/table", numBuckets = 16)
+      Envelope.wrap(ChangeLog.flat(s, dir)).repartition(4)
+        .write.mode("append").parquet(s"$root/in")
+      val chain: Seq[DataFrame => DataFrame] = Seq(
+        df => Transforms.truncateColumn(df, "content", 40),
+        df => Transforms.hashColumn(df, "lang", salt = "s1"))
+      CdcPipeline.start(s, s"$root/in", s"$root/ckpt", table, salt = 2,
+        postProcessors = chain).awaitTermination()
+      table.snapshot(s).get.select(
+        col("repo"), col("path"), col("commit"), col("lang").as("lang_hash"),
+        col("content"))
+    }),
     // Deterministic corpus mixing + splits: per-language keep rates
     // (mixing weights) and disjoint train/val/test assignment, both pure
     // functions of md5(salt||doc_id) — reproducible at any partitioning,
@@ -2677,6 +2735,39 @@ object SparkEntry {
          |WHERE rn = 1 AND op <> 'd' AND repo = 'repo05'
          |  AND CAST(regexp_extract(path, 'f([0-9]+)', 1) AS int) % 100 = 5
          |  AND CAST(regexp_extract(path, 'f([0-9]+)', 1) AS int) < 100000""".stripMargin,
+
+    // q13 with a declared DEFAULT: pre-evolution winners read -1, not null.
+    "q125_cdc_schema_default" ->
+      s"""$cte
+         |SELECT repo, path, commit, lang, content,
+         |       CASE WHEN lsn > (SELECT max(lsn) // 2 FROM ev0) THEN CAST(length(content) AS BIGINT) ELSE -1 END AS n_chars
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |  FROM ev0) t
+         |WHERE rn = 1 AND op <> 'd'""".stripMargin,
+
+    // the DataFrame-keyed lookup equals the fold restricted to the key
+    // predicate (3/4 of the live keys — above the lookupMany cap at the
+    // driver's scale).
+    "q126_cdc_lookup_join" ->
+      s"""$cte
+         |SELECT repo, path, commit, lang, content FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |  FROM ev) t
+         |WHERE rn = 1 AND op <> 'd'
+         |  AND CAST(regexp_extract(path, 'f([0-9]+)', 1) AS int) % 4 <> 0""".stripMargin,
+
+    // the streamed state carries the post-processor chain's outputs, in
+    // declared order, for exactly the LWW winners.
+    "q127_cdc_post_processors" ->
+      s"""$cte
+         |SELECT repo, path, commit,
+         |       sha256(concat('s1', lang)) AS lang_hash,
+         |       substr(content, 1, 40) AS content
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |  FROM ev) t
+         |WHERE rn = 1 AND op <> 'd'""".stripMargin,
     "q114_dsir" ->
       """WITH w AS (
         |  SELECT doc_id, lang = 'en' AS t,

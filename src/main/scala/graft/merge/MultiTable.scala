@@ -34,14 +34,19 @@ import graft.table.LakeTable
   */
 object MultiTable {
 
-  /** A captured table: name (route value), primary key, layout. The
+  /** A captured table: name (route value), primary key, layout, and an
+    * ordered per-table post-processor chain (the
+    * `processors/PostProcessorRegistry.java:29` analog — see
+    * [[graft.streaming.CdcPipeline.start]]'s `postProcessors` doc),
+    * applied to the table's routed slice before its apply. The
     * `Tables`/`TableSchema` analog — schema itself lives in the table's
     * commit log and evolves per batch.
     */
   final case class TableDef(
       name: String,
       keyCols: Seq[String] = Envelope.keyCols,
-      numBuckets: Int = 32)
+      numBuckets: Int = 32,
+      postProcessors: Seq[DataFrame => DataFrame] = Nil)
 
   /** `message.key.columns` custom key mapper — `Key.CustomKeyMapper`
     * semantics (`debezium-connector-common/src/main/java/io/debezium/
@@ -117,7 +122,14 @@ object MultiTable {
     * at ~170k rows/table-batch, where local mode's shared cores make
     * concurrency pure scheduler contention — keep parallelism = 1 for a
     * FEW LARGE tables on a single machine; a cluster's idle executor
-    * slots restore the win there. Failure semantics:
+    * slots restore the win there. Note also (round-3 ADVICE) that every
+    * per-table state read serializes briefly on the JVM-global
+    * serial-listing conf flip (`LakeTable.withSerialListing`, held for
+    * the wrapped read), so the realized speedup sits below the thread
+    * count even in the driver-latency-bound regime; the flip guards a
+    * session-global conf and cannot be scoped per-read without cloning
+    * a session per table (not worth a catalog+listener clone per
+    * microbatch). Failure semantics:
     * every table still attempts its apply (no half-skipped catalog), then
     * the first failure in catalog order is rethrown.
     */
@@ -134,7 +146,8 @@ object MultiTable {
     val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
     def applyOne(d: TableDef): CdcApply.BatchResult = {
       val slice = cached.where(col(routeCol) === d.name).drop(routeCol)
-      CdcApply.applyBatch(spark, registry(d.name), slice, batchId, salt,
+      val processed = d.postProcessors.foldLeft(slice)((df, p) => p(df))
+      CdcApply.applyBatch(spark, registry(d.name), processed, batchId, salt,
         writeMetrics, fenceByWatermark, cacheBatch = false)
     }
     try {

@@ -66,6 +66,20 @@ object CdcPipeline {
     *        `views`. For `left_outer` views the right base must have a
     *        first commit before left rows appear (see
     *        [[graft.table.JoinView.maintain]]'s schema-only-commit note).
+    * @param postProcessors ordered per-record post-processing chain,
+    *        applied to each microbatch's FLATTENED rows (after envelope
+    *        unwrap, before the engine apply) — the user-pluggable,
+    *        ordered registry the reference wires through
+    *        `processors/PostProcessorRegistry.java:29` /
+    *        `PostProcessorConfig` (studied, not copied: there it
+    *        instantiates `PostProcessor` classes from config and calls
+    *        them per emitted record; here each element is a declarative
+    *        `DataFrame => DataFrame`, so reselect, column converters,
+    *        masking, or any custom hook compose in configured order and
+    *        stay inside Catalyst — one fused plan, not N per-record
+    *        passes). The chain must preserve the envelope's key/ordering
+    *        columns; it runs in BOTH the batch-replay and streaming
+    *        paths via this entry point.
     */
   def start(
       spark: SparkSession,
@@ -78,7 +92,8 @@ object CdcPipeline {
       signalChannel: Option[String] = None,
       maxBytesPerTrigger: Option[String] = None,
       views: Seq[MaterializedView.DerivedView] = Nil,
-      joinViews: Seq[graft.table.JoinView.DerivedJoinView] = Nil): StreamingQuery = {
+      joinViews: Seq[graft.table.JoinView.DerivedJoinView] = Nil,
+      postProcessors: Seq[DataFrame => DataFrame] = Nil): StreamingQuery = {
     val reader = spark.readStream.schema(Envelope.schema())
     val env = maxBytesPerTrigger
       .fold(reader.option("maxFilesPerTrigger", maxFilesPerTrigger))(b =>
@@ -200,7 +215,8 @@ object CdcPipeline {
           }
         }
         val flat = Envelope.unwrap(envBatch).drop("__deleted")
-        CdcApply.applyBatch(sp, table, flat, batchId, salt,
+        val processed = postProcessors.foldLeft(flat)((d, p) => p(d))
+        CdcApply.applyBatch(sp, table, processed, batchId, salt,
           fenceByWatermark = orderedInput)
         views.foreach(v => MaterializedView.maintain(sp, table, v))
         // join views catch BOTH their bases up (version-pair fenced), so

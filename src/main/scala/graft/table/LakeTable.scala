@@ -378,12 +378,14 @@ final class LakeTable(
       val df = withSerialListing(spark) {
         spark.read.schema(written).parquet(fs.map(f => s"$root/${f.path}"): _*)
       }
-      // Align to the current table schema: null-fill added columns, upcast
-      // widened ones (Avro-style promotion; Parquet mergeSchema alone does
-      // not widen types — SURVEY.md §7.3).
+      // Align to the current table schema: default- or null-fill added
+      // columns (SchemaEvolution.missingFill — a declared DEFAULT reads
+      // back for pre-evolution files), upcast widened ones (Avro-style
+      // promotion; Parquet mergeSchema alone does not widen types —
+      // SURVEY.md §7.3).
       val cols = target.fields.map { f =>
         if (written.fieldNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
+        else SchemaEvolution.missingFill(f).as(f.name)
       }
       df.select(cols.toIndexedSeq: _*)
     }
@@ -516,7 +518,7 @@ final class LakeTable(
       val have = df.schema.fieldNames.toSet
       df.select(target.fields.toIndexedSeq.map { f =>
         if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
+        else SchemaEvolution.missingFill(f).as(f.name)
       }: _*)
     }
     def live(ci: CommitInfo, buckets: Set[Int]): DataFrame =
@@ -591,7 +593,7 @@ final class LakeTable(
   def lookupMany(spark: SparkSession, keys: Seq[Seq[Any]]): Option[DataFrame] = {
     require(keys.nonEmpty, "lookupMany needs at least one key")
     require(keys.size <= LakeTable.MaxLookupKeys,
-      s"lookupMany caps at ${LakeTable.MaxLookupKeys} keys — semi-join a keys DataFrame instead")
+      s"lookupMany caps at ${LakeTable.MaxLookupKeys} keys — use lookupJoin(spark, keysDf) instead")
     keys.foreach { key =>
       require(key.size == keyCols.size, s"key must match $keyCols")
       require(key.forall(_ != null), "lookup key elements must be non-null")
@@ -644,6 +646,55 @@ final class LakeTable(
             keyCols.zip(key).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _))
           .reduce(_ || _))
           .where(col("op") =!= Envelope.OpDelete))
+    }
+  }
+
+  /** Above-cap batched lookup — the tool [[lookupMany]]'s cap points at
+    * (round-3 VERDICT item 6): live rows for an ARBITRARY keys DataFrame
+    * (distributed, any size), via a bucket-pruned state semi-join.
+    *
+    * `keys` must carry exactly the table's key columns (castable types;
+    * rows with null key elements are dropped — the engine quarantines
+    * null keys, so state cannot hold them). Bucket pruning: each key's
+    * bucket is computed EXECUTOR-side with the same Murmur3-pmod as
+    * [[bucketCol]] (after casting to the table's key types, so the hash
+    * bytes match), and the DISTINCT buckets collected — a bounded
+    * ≤ numBuckets-element driver list, independent of key count — so
+    * buckets no key maps to are never scanned. Within the touched
+    * buckets the LWW-resolved state SEMI-joins the keys frame: only
+    * matching live rows survive, nothing from the keys side widens the
+    * output, duplicates in `keys` are free. Catalyst/AQE picks the join
+    * strategy (a small keys frame broadcasts; a huge one shuffles
+    * O(touched buckets' state + keys) — the right cost for a
+    * million-key backfill probe).
+    *
+    * Per-key FILE-level admission (zone maps + membership evidence)
+    * needs driver-known key values and does not apply here — at
+    * ≤ [[LakeTable.MaxLookupKeys]] keys [[lookupMany]] remains the
+    * sharper (zero-scan-capable) tool. Option contract: None = the
+    * table is empty or no requested bucket holds any file; Some(df) may
+    * still be empty.
+    */
+  def lookupJoin(spark: SparkSession, keys: DataFrame): Option[DataFrame] = {
+    require(keys.columns.sorted.toSeq == keyCols.sorted,
+      s"keys frame must carry exactly the key columns $keyCols, got ${keys.columns.toSeq}")
+    lastCommit().flatMap { ci =>
+      val schema = ci.schema
+      val cast = keys.na.drop(keyCols)
+        .select(keyCols.map(c => col(c).cast(schema(c).dataType).as(c)): _*)
+      val buckets = cast
+        .select(pmod(hash(keyCols.map(col): _*), lit(numBuckets)).as("__b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      if (buckets.isEmpty) None
+      else {
+        val scanCi = ci.copy(files = ci.files.filter(f => buckets.contains(f.bucket)))
+        // isHead=false for the same reason as lookupMany: a pruned file
+        // set must not evict the merge path's shared bucketed-state
+        // registration.
+        resolved(spark, scanCi, Some(buckets), isHead = false)
+          .map(_.where(col("op") =!= Envelope.OpDelete)
+            .join(cast, keyCols, "left_semi"))
+      }
     }
   }
 
@@ -749,8 +800,13 @@ final class LakeTable(
         evidenceMemo.clear()
         evidenceMemoBytes.set(0L)
       }
-      if (evidenceMemo.put(rel, loaded) == null)
-        evidenceMemoBytes.addAndGet(evidenceBytes(loaded))
+      // replacement-aware accounting (round-3 ADVICE): a reload with a
+      // superset of columns REPLACES the entry — subtract the old entry's
+      // bytes and add the new one's, or the counter drifts below reality
+      // and the MaxEvidenceMemoBytes bound silently weakens
+      val prev = evidenceMemo.put(rel, loaded)
+      evidenceMemoBytes.addAndGet(
+        evidenceBytes(loaded) - (if (prev == null) 0L else evidenceBytes(prev)))
       loaded
     }
   }

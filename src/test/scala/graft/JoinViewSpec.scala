@@ -212,6 +212,136 @@ class JoinViewSpec extends SparkSpec {
     checkCascade()
   }
 
+  /** Shuffle bytes written during `action` (same stable-polling pattern
+    * as [[SparkSpec.recordsRead]]); wall time barely moves in local mode,
+    * but on a cluster the exchange is network-bound — bytes moved is the
+    * honest scale observable.
+    */
+  private def shuffleBytes(action: => Unit): Long = {
+    val n = new java.util.concurrent.atomic.AtomicLong
+    val meter = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        n.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(meter)
+    try {
+      action
+      var prev = -1L; var stable = 0; var waited = 0
+      while (stable < 3 && waited < 8000) {
+        val cur = n.get
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        Thread.sleep(250); waited += 250
+      }
+    } finally spark.sparkContext.removeSparkListener(meter)
+    n.get
+  }
+
+  test("multi-version catch-up: one commit per base range, state identical to per-commit maintenance") {
+    // scenario A: maintain after EVERY base advance (per-version steps of
+    // rounds 1-3); scenario B: same events, ONE maintain at the end (the
+    // round-4 range fold). Both must equal the direct join; B must have
+    // paid exactly one commit per side.
+    val a = mkView(); val b = mkView()
+    Seq(a, b).foreach { jv =>
+      def adv(lsns: Range, startId: Long): Unit = {
+        CdcPipeline.replay(spark, leftEvents(lsns).toDF(), jv.left,
+          numBatches = 2, startBatchId = startId, writeMetrics = false)
+        CdcPipeline.replay(spark, rightEvents(lsns).toDF(), jv.right,
+          numBatches = 2, startBatchId = startId, writeMetrics = false)
+        if (jv eq a) JoinView.maintain(spark, jv) // A: per-advance catch-up
+      }
+      adv(1 to 60, 0); adv(61 to 120, 2)
+    }
+    JoinView.maintain(spark, b) // B: one catch-up over 4 versions per base
+    assert(viewRows(b) === directJoin(b), "range fold diverged from the direct join")
+    assert(viewRows(b) === viewRows(a), "range fold diverged from per-version maintenance")
+    assert(b.view.commitVersions().size === 2,
+      s"a 4-version-lag catch-up must commit once per base, got ${b.view.commitVersions().size}")
+    assert(a.view.commitVersions().size > 2, "positive control: per-advance maintenance commits more")
+    assert(JoinView.decode(b.view.lastCommit().get.batchId) === (4L, 4L))
+  }
+
+  test("crash mid-catch-up: resuming from the left range's commit completes the right range only") {
+    val jv = mkView()
+    CdcPipeline.replay(spark, leftEvents(1 to 60).toDF(), jv.left, 2, writeMetrics = false)
+    CdcPipeline.replay(spark, rightEvents(1 to 60).toDF(), jv.right, 2, writeMetrics = false)
+    JoinView.maintain(spark, jv)
+    // left advances and its range commits; the "crash" happens before the
+    // right side ever advances — the view durably holds the mid-pair
+    // state (laHead, vbOld), exactly what a crash between the two range
+    // applies leaves behind
+    CdcPipeline.replay(spark, leftEvents(61 to 120).toDF(), jv.left,
+      numBatches = 2, startBatchId = 2, writeMetrics = false)
+    JoinView.maintain(spark, jv)
+    assert(JoinView.decode(jv.view.lastCommit().get.batchId) === (4L, 2L))
+    // recovery: right advances, maintain folds ONLY the right range
+    CdcPipeline.replay(spark, rightEvents(61 to 120).toDF(), jv.right,
+      numBatches = 2, startBatchId = 2, writeMetrics = false)
+    val before = jv.view.commitVersions().size
+    JoinView.maintain(spark, jv)
+    assert(jv.view.commitVersions().size === before + 1, "resume must cost one commit")
+    assert(JoinView.decode(jv.view.lastCommit().get.batchId) === (4L, 4L))
+    assert(viewRows(jv) === directJoin(jv), "resumed view diverged")
+  }
+
+  test("counterpart rebuilt below the reflected version fails loudly instead of folding against empty") {
+    val jv = mkView()
+    CdcPipeline.replay(spark, leftEvents(1 to 60).toDF(), jv.left, 2, writeMetrics = false)
+    CdcPipeline.replay(spark, rightEvents(1 to 60).toDF(), jv.right, 2, writeMetrics = false)
+    JoinView.maintain(spark, jv) // view reflects (2, 2)
+    // rebuild the right base IN PLACE: head regresses to 1 < reflected 2
+    graft.core.Fs.deleteTree(java.nio.file.Paths.get(jv.right.root))
+    val rebuilt = new LakeTable(jv.right.root, numBuckets = 2, keyCols = Seq("lang"))
+    CdcPipeline.replay(spark, rightEvents(1 to 30).toDF(), rebuilt, 1, writeMetrics = false)
+    // left advances, so maintain MUST fold left deltas against right@2 —
+    // which no longer exists; round-3 ADVICE: this used to read as an
+    // empty counterpart and silently corrupt the view
+    CdcPipeline.replay(spark, leftEvents(61 to 120).toDF(), jv.left,
+      numBatches = 2, startBatchId = 2, writeMetrics = false)
+    val ex = intercept[IllegalStateException](JoinView.maintain(spark, jv))
+    assert(ex.getMessage.contains("rebuild"))
+  }
+
+  test("large-delta fold semi-join-prunes the counterpart: scanned once, never shuffled") {
+    // counterpart (left) = 20k rows with ~1 KB payloads; delta (right
+    // bootstrap step 2) = 1500 distinct join values > MaxJoinValuePushdown,
+    // so the literal-isin path is OFF and the fold must take the
+    // broadcast-semi-join prune. The honest scale observable: shuffle
+    // bytes during the fold stay far below the counterpart's size (the
+    // pruned probe is the only wide thing that moves).
+    assert(1500 > JoinView.MaxJoinValuePushdown)
+    val root = Files.createTempDirectory("jv-prune").toString
+    val jv = DerivedJoinView(
+      view = new LakeTable(s"$root/view", numBuckets = 4,
+        keyCols = Seq("l_repo", "l_path", "r_lang")),
+      left = new LakeTable(s"$root/left", numBuckets = 4),
+      right = new LakeTable(s"$root/right", numBuckets = 2, keyCols = Seq("lang")),
+      leftOn = "lang", rightOn = "lang",
+      leftCols = Seq("repo", "path", "lang", "content"),
+      rightCols = Seq("lang", "owner"))
+    val pad = "x" * 1024
+    val bigLeft = (1 to 20000).map(i =>
+      FlatEvent(s"repo$i", s"f$i.txt", f"c$i%010d", s"L$i", s"$pad-$i", "c",
+        i % 4, i.toLong, 1700000000000L + i))
+    CdcPipeline.replay(spark, bigLeft.toDF(), jv.left, 1, writeMetrics = false)
+    // right v1: one row (gets the left fold + a small right fold done
+    // cheaply, outside the measured window)
+    CdcPipeline.replay(spark, Seq(DimEvent("L1", "team0", "c0000000001", "u", 0, 1L,
+      1700000000001L)).toDF(), jv.right, 1, writeMetrics = false)
+    JoinView.maintain(spark, jv)
+    // right v2: 1500 fresh join values — the measured large-delta fold
+    val dimWave = (1 to 1500).map(i =>
+      DimEvent(s"L$i", s"team${i % 7}", f"c${1000 + i}%010d", "u", i % 2, 1000L + i,
+        1700000001000L + i))
+    CdcPipeline.replay(spark, dimWave.toDF(), jv.right, numBatches = 1,
+      startBatchId = 1, writeMetrics = false)
+    val moved = shuffleBytes(JoinView.maintain(spark, jv))
+    assert(viewRows(jv) === directJoin(jv), "pruned large-delta fold diverged")
+    val cpBytes = 20000L * 1024L
+    assert(moved < cpBytes / 3,
+      f"large-delta fold moved $moved%,d shuffle bytes — the ~${cpBytes}%,d-byte counterpart leaked into an exchange")
+  }
+
   test("expired history below the reflected version fails loudly (rebuild contract)") {
     val jv = mkView()
     CdcPipeline.replay(spark, leftEvents(1 to 60).toDF(), jv.left, 2, writeMetrics = false)
