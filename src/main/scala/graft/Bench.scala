@@ -38,13 +38,15 @@ import graft.table.LakeTable
   *     [[calibrate]]; sizing from the overhead-capped average rate made
   *     calm-window legs overhead-dominated and under-read efficiency);
   *  1. scaling pairs (the ≥0.8 north-rule criterion) — N and 4N legs
-  *     INTERLEAVED; round 1 unconditional, round 2 unless pairs already
-  *     ate half the budget (run-C lesson), extra rounds until ≤0.45,
-  *     then a FIRST batch of adaptive extras (≤0.55) while the baseline
-  *     window still holds; leg inputs sized so an N leg runs ~30 s at
-  *     the DAMPED sizing rate (min(marginal, 4×avg) — a lucky calm probe
-  *     epoch must not oversize legs for a contended window), capped at
-  *     baseEvents/2. Every leg runs
+  *     INTERLEAVED; the first TWO rounds are unconditional so every leg
+  *     of every pair banks its 2+2 interleaved reps (round-3 driver
+  *     artifact: the 1→4 pair lost its second 4N rep to a half-budget
+  *     hard stop and reported an under-sampled 0.419), extra rounds
+  *     until ≤0.45, then a FIRST batch of adaptive extras (≤0.55) while
+  *     the baseline window still holds; leg inputs sized so an N leg
+  *     runs ~22 s at the DAMPED sizing rate (min(marginal, 4×avg) — a
+  *     lucky calm probe epoch must not oversize legs for a contended
+  *     window), capped at baseEvents/2. Every leg runs
   *     full-size AND quarter-size back-to-back in one session: the slope
   *     between them is the leg's MARGINAL per-event rate, and
   *     `marginal_efficiency` (slope ratio) is the estimator of record
@@ -57,7 +59,7 @@ import graft.table.LakeTable
   *     Quarter (not half) size: +25% wall per leg instead of +50% with a
   *     LARGER slope denominator — the round-3 validation run spent 52%
   *     of budget on half-sized pairs and starved the streaming stage;
-  *  2. query sweep (≤0.78, floor max(15% of budget, 1.5 s × query
+  *  2. query sweep (≤0.78, floor max(15% of budget, 2 s × query
   *     count)): every SparkEntry query on `SPARK_GRAFT_SF_DIR`, ordered
   *     CHEAP-FIRST by the costs recorded in `query_costs.json` (persisted
   *     every run, committed with the repo) so the sub-second majority
@@ -77,7 +79,7 @@ import graft.table.LakeTable
   *     sec applied at `local[cpus]`, input sized ~50 s at the probe rate
   *     (calm windows reproduce the old 16 M sizing; contended windows
   *     shrink it instead of starving the run);
-  *  5. state-heavy merge A/B (entry <0.82): fast vs merge-on-read vs
+  *  5. state-heavy merge A/B (entry <0.86): fast vs merge-on-read vs
   *     legacy union+reduce with shuffle-bytes meter — BOUNDED (~2-3 min
   *     from the damped rate), so it runs before the open-ended extras;
   *  6. final adaptive pair extras (≤0.94): cheap 4N re-samples of the
@@ -749,12 +751,18 @@ object Bench {
     // round is the one mistake the deadlines cannot undo. Both legs of a
     // pair use the SAME input, so sizing never changes the efficiency
     // metric — only its noise, absorbed by best-of reps.
-    val targetLegSec = math.max(10.0, math.min(60.0, budgetS / 40.0))
+    // budget/55 ≈ 22 s at the default 1200 s budget (was /40 = 30 s): run
+    // Q's contended window spent 55% of budget on the now-unconditional
+    // 2+2 pair rounds and squeezed the sweep to 123/126 — smaller legs
+    // buy the sweep its slot back at the cost of slope-denominator noise
+    // the best-of reps absorb.
+    val targetLegSec = math.max(10.0, math.min(60.0, budgetS / 55.0))
     def pairEvents(n: Int): Long = clamp(rateAt(n) * targetLegSec, 100000L, baseEvents / 2)
     val pairs = (scaling match {
       case "0"   => Nil
       case "all" => Seq((2, 8), (1, 4), (4, 16), (8, 32))
       case "28"  => Seq((2, 8)) // single-pair local evidence hunts
+      case "14"  => Seq((1, 4))
       case _     => Seq((2, 8), (1, 4))
     }).map { case (n, n4) => new PairState(n, n4, pairEvents(n)) }
     pairStates = pairs
@@ -793,19 +801,25 @@ object Bench {
     val qSession = session(cpus)
     val allQueries = SparkEntry.queries.toSeq.sortBy(_._1)
     // The sweep's slot is guaranteed AND scales with the surface: ≥ the
-    // larger of 15% of budget and 1.5 s × query count (round-3 lesson:
-    // the flat 15% was sized for 69 cheap queries; at 123 queries with a
-    // heavy tail it starved under contention). The driver's kill margin
-    // is ≥2× the budget, so a bounded overshoot beats missing timings.
-    val qSlotMs = math.max(budgetS * 150L, allQueries.size * 1500L)
+    // larger of 15% of budget and 2 s × query count (round-3 lesson: the
+    // flat 15% was sized for 69 cheap queries; at 123 queries with a
+    // heavy tail it starved under contention — and run Q showed 1.5 s × N
+    // still dropped the 3 most expensive tail pipelines in an 8×-slowed
+    // window). The driver's kill margin is ≥2× the budget, so a bounded
+    // overshoot beats missing timings.
+    val qSlotMs = math.max(budgetS * 150L, allQueries.size * 2000L)
     val qDeadline = math.max(deadlineAt(0.78), System.currentTimeMillis() + qSlotMs)
     // Per-query cap: generous (the heaviest pipeline measured 40.8 s under
     // ~10× contention), purely a runaway guard so one wedged query cannot
     // silently convert the rest of the sweep into -2s.
     val qTimeoutMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_MS", "180000").toLong
-    val qPool = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
-      val t = new Thread(r, "graft-bench-sweep"); t.setDaemon(true); t
-    })
+    def freshQPool() = java.util.concurrent.Executors.newSingleThreadExecutor(
+      (r: Runnable) => { val t = new Thread(r, "graft-bench-sweep"); t.setDaemon(true); t })
+    // replaced after every timeout: the cancelled worker may linger in
+    // non-interruptible code (e.g. a streaming awaitTermination whose jobs
+    // are outside the caller's job group), and a single-thread pool would
+    // then charge the NEXT query's clock with the predecessor's hang
+    var qPool = freshQPool()
     val loadedCosts = loadQueryCosts()
     // ordering uses ANY priors (ranks transfer across SFs); the delta
     // block only same-SF ones
@@ -834,6 +848,8 @@ object Bench {
               case _: java.util.concurrent.TimeoutException =>
                 qSession.sparkContext.cancelJobGroup(s"sweep:$name")
                 fut.cancel(true)
+                qPool.shutdownNow()
+                qPool = freshQPool()
                 System.err.println(s"[bench] query $name TIMED OUT after ${qTimeoutMs / 1000} s")
                 -3.0
               case e: Throwable =>
@@ -891,7 +907,7 @@ object Bench {
     // a plateaued window and ate this stage's slot by 9 s); the A/B is
     // bounded (~2-3 min sized from the damped rate) while extras are
     // open-ended, so the bounded stage goes first.
-    if (sys.env.getOrElse("SPARK_GRAFT_STATE_HEAVY", "1") == "1" && elapsedFrac < 0.82) {
+    if (sys.env.getOrElse("SPARK_GRAFT_STATE_HEAVY", "1") == "1" && elapsedFrac < 0.86) {
       val s = session(cpus, aqe = false, shufflePartitions = Some(NumBuckets))
       try {
         val stateEv = clamp(sizingThr * 12.0, 500000L, baseEvents)

@@ -78,8 +78,10 @@ object CdcPipeline {
     *        masking, or any custom hook compose in configured order and
     *        stay inside Catalyst — one fused plan, not N per-record
     *        passes). The chain must preserve the envelope's key/ordering
-    *        columns; it runs in BOTH the batch-replay and streaming
-    *        paths via this entry point.
+    *        columns. Batch callers compose the same functions directly
+    *        on the frame they pass to [[replay]]/`applyBatch` — the
+    *        hooks are plain DataFrame transforms, so no separate
+    *        registry is needed there.
     */
   def start(
       spark: SparkSession,
