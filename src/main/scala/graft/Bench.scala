@@ -438,7 +438,7 @@ object Bench {
       // Calm-epoch gate: the quarter-size slope point doubles as a
       // contention probe, so run it FIRST. A small wall >1.6× the best
       // small wall this leg has ever measured means the current epoch is
-      // contended — spending ~30 s on the full rep now buys a sample
+      // contended — spending ~20-30 s on the full rep now buys a sample
       // best-of discards anyway (contention only subtracts). Sleep
       // briefly and re-probe, bounded to 2 retries (~10-15 s worst case,
       // a third of a doomed rep): host contention epochs last seconds,
@@ -484,7 +484,7 @@ object Bench {
     * harness's own rule is ≥2 interleaved reps per leg, so both pairs
     * now bank their 2+2 BEFORE any lower-priority stage). The old
     * starvation risk this hard stop guarded against is covered
-    * elsewhere: legs are damp-sized (~30 s target at the floor rate)
+    * elsewhere: legs are damp-sized (~22 s target at the floor rate)
     * and the query sweep's slot now scales with the query count.
     */
   private def pairBaseline(
@@ -590,7 +590,10 @@ object Bench {
 
   private def saveQueryCosts(
       prior: Map[String, Double], measured: Seq[(String, Double)], sfDir: String): Unit =
-    try {
+    // nothing measured (QUERIES=0 hunt, fully skipped sweep) → keep the
+    // file untouched: a cross-SF no-measurement run would otherwise wipe
+    // the committed driver priors down to a bare __sf_id entry
+    if (measured.exists(_._2 > 0)) try {
       // a different dataset's priors are dropped on write — the merged
       // file must stay internally comparable for the next run's deltas
       val sameSf = prior.get(SfIdKey).contains(sfId(sfDir))
@@ -744,11 +747,12 @@ object Bench {
     def rateAt(c: Int): Double = sizingThr * math.min(1.0, c / 10.0)
 
     // Stage 1: scaling pairs FIRST — the ≥0.8 criterion must survive any
-    // window. Leg input sized so the slow N leg runs ~budget/40 s at the
-    // probe rate (30 s at the default 1200 s budget), capped at HALF the
+    // window. Leg input sized so the slow N leg runs ~22 s (budget/55)
+    // at the damped rate, capped at HALF the
     // configured base: the budget pays the untimed log generation too
     // (roughly doubling each leg's wall), and an oversized mandatory
-    // round is the one mistake the deadlines cannot undo. Both legs of a
+    // round is the one mistake the deadlines cannot undo — doubly so now
+    // that the first two rounds are unconditional. Both legs of a
     // pair use the SAME input, so sizing never changes the efficiency
     // metric — only its noise, absorbed by best-of reps.
     // budget/55 ≈ 22 s at the default 1200 s budget (was /40 = 30 s): run

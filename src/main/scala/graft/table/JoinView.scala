@@ -151,6 +151,20 @@ object JoinView {
       s"rightCols must include the right key columns ${jv.right.keyCols}")
     val laHead = jv.left.lastCommit().map(_.version).getOrElse(0L)
     val rbHead = jv.right.lastCommit().map(_.version).getOrElse(0L)
+    // Head-regression guard, BOTH sides (review finding on the round-3
+    // ADVICE fix: the in-step counterpart check alone cannot see a
+    // STEPPING base rebuilt below the view's reflected version — its
+    // fold either never runs, silently no-oping forever, or commits a
+    // batchId below the fence; and a rebuilt base that re-advances past
+    // the reflected version would fold the NEW table's feed onto state
+    // reflecting the OLD one). A base rebuilt in place invalidates the
+    // view — fail loudly, never no-op or corrupt.
+    jv.view.lastCommit().map(c => decode(c.batchId)).foreach { case (rva, rvb) =>
+      if (laHead < rva || rbHead < rvb)
+        throw new IllegalStateException(
+          s"join view reflects ($rva, $rvb) but base heads are ($laHead, $rbHead) — " +
+            "a base was rebuilt below the reflected version; rebuild the view")
+    }
     if (laHead == 0L || rbHead == 0L) return
     if (jv.joinType == "left_outer") {
       val rs = jv.right.lastCommit().get.schema

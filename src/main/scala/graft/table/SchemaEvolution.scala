@@ -41,9 +41,27 @@ object SchemaEvolution {
     * e.g. `"-1"`, `"'unknown'"`): rows written BEFORE this column existed
     * read the default instead of null. Use when evolving:
     * `df.select(col("*"), withDefault(length(col("c")), "n", "-1"))`.
+    *
+    * The default is validated EAGERLY (parseable + foldable): it is
+    * burned into the commit log's schema and evaluated by every later
+    * read, so `withDefault(..., "unknown")` — a bare column reference
+    * where `"'unknown'"` was meant — must fail here at declaration, not
+    * brick every subsequent snapshot of committed data. The reference
+    * enforces the same shape: `defaultValueExpression` is a literal
+    * rendering, never a computed column.
     */
-  def withDefault(c: Column, name: String, defaultSql: String): Column =
+  def withDefault(c: Column, name: String, defaultSql: String): Column = {
+    // parse with the Catalyst parser directly: Spark 4's functions.expr
+    // defers parsing into the session, so its Column wraps an unparsed
+    // marker that cannot answer foldable here
+    val parsed = scala.util.Try(
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(defaultSql))
+    require(parsed.isSuccess, s"default for $name does not parse as SQL: '$defaultSql'")
+    require(scala.util.Try(parsed.get.foldable).getOrElse(false),
+      s"default for $name must be a literal/constant-foldable expression, got '$defaultSql' " +
+        "(string literals need SQL quotes: \"'unknown'\")")
     c.as(name, new MetadataBuilder().putString(DefaultKey, defaultSql).build())
+  }
 
   /** The field's declared default expression, if any. */
   def defaultOf(f: StructField): Option[String] =

@@ -212,30 +212,6 @@ class JoinViewSpec extends SparkSpec {
     checkCascade()
   }
 
-  /** Shuffle bytes written during `action` (same stable-polling pattern
-    * as [[SparkSpec.recordsRead]]); wall time barely moves in local mode,
-    * but on a cluster the exchange is network-bound — bytes moved is the
-    * honest scale observable.
-    */
-  private def shuffleBytes(action: => Unit): Long = {
-    val n = new java.util.concurrent.atomic.AtomicLong
-    val meter = new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        n.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    }
-    spark.sparkContext.addSparkListener(meter)
-    try {
-      action
-      var prev = -1L; var stable = 0; var waited = 0
-      while (stable < 3 && waited < 8000) {
-        val cur = n.get
-        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
-        Thread.sleep(250); waited += 250
-      }
-    } finally spark.sparkContext.removeSparkListener(meter)
-    n.get
-  }
-
   test("multi-version catch-up: one commit per base range, state identical to per-commit maintenance") {
     // scenario A: maintain after EVERY base advance (per-version steps of
     // rounds 1-3); scenario B: same events, ONE maintain at the end (the
@@ -297,6 +273,25 @@ class JoinViewSpec extends SparkSpec {
     // which no longer exists; round-3 ADVICE: this used to read as an
     // empty counterpart and silently corrupt the view
     CdcPipeline.replay(spark, leftEvents(61 to 120).toDF(), jv.left,
+      numBatches = 2, startBatchId = 2, writeMetrics = false)
+    val ex = intercept[IllegalStateException](JoinView.maintain(spark, jv))
+    assert(ex.getMessage.contains("rebuild"))
+  }
+
+  test("a STEPPING base rebuilt below the reflected version fails loudly too") {
+    // review finding on the counterpart guard: the rebuilt base can also
+    // be the STEPPING side — its fold would silently never run (head <
+    // reflected → zero steps, batchId-fenced forever) while the OTHER
+    // side's folds land on state reflecting the old table. The
+    // maintain-level head-regression guard covers both sides.
+    val jv = mkView()
+    CdcPipeline.replay(spark, leftEvents(1 to 60).toDF(), jv.left, 2, writeMetrics = false)
+    CdcPipeline.replay(spark, rightEvents(1 to 60).toDF(), jv.right, 2, writeMetrics = false)
+    JoinView.maintain(spark, jv) // view reflects (2, 2)
+    graft.core.Fs.deleteTree(java.nio.file.Paths.get(jv.left.root))
+    val rebuilt = new LakeTable(jv.left.root, numBuckets = 4)
+    CdcPipeline.replay(spark, leftEvents(1 to 30).toDF(), rebuilt, 1, writeMetrics = false)
+    CdcPipeline.replay(spark, rightEvents(61 to 120).toDF(), jv.right,
       numBatches = 2, startBatchId = 2, writeMetrics = false)
     val ex = intercept[IllegalStateException](JoinView.maintain(spark, jv))
     assert(ex.getMessage.contains("rebuild"))

@@ -68,6 +68,23 @@ class SchemaDefaultsSpec extends SparkSpec {
     assert(v2post.select("rank").distinct().as[Long].collect().toSeq == Seq(7L))
   }
 
+  test("malformed defaults fail at declaration, never at read time") {
+    // the default is burned into the commit log and evaluated by every
+    // later read — an unquoted string (a bare column reference) or a
+    // computed expression must be rejected HERE, not brick snapshots
+    val ex1 = intercept[IllegalArgumentException](
+      SchemaEvolution.withDefault(lit("x"), "origin", "unknown")) // meant "'unknown'"
+    assert(ex1.getMessage.contains("foldable"))
+    intercept[IllegalArgumentException](
+      SchemaEvolution.withDefault(lit(1L), "n", "length(content)")) // row-dependent
+    intercept[IllegalArgumentException](
+      SchemaEvolution.withDefault(lit(1L), "n", "NOT ( VALID")) // unparseable
+    // valid literal / constant-foldable forms pass
+    SchemaEvolution.withDefault(lit(1L), "n", "-1")
+    SchemaEvolution.withDefault(lit("a"), "s", "'unknown'")
+    SchemaEvolution.withDefault(lit(5), "m", "CAST('5' AS INT)")
+  }
+
   test("undeclared defaults keep null-fill semantics (q13 compatibility)") {
     val t = mkTable()
     CdcApply.applyBatch(spark, t, batch(1 to 8), 0L, writeMetrics = false)

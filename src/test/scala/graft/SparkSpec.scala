@@ -10,21 +10,20 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = () // shared session; never stop it
 
-  /** Input records actually READ by `action`, via a task-metrics
-    * listener — the observable for driver-side file/row-group pruning (a
-    * pruned file schedules no task, so its rows never reach
-    * inputMetrics). The listener bus posts asynchronously, so the counter
-    * is polled until stable instead of sleeping a fixed time — a slow bus
-    * would otherwise UNDERCOUNT and let an upper-bound pruning assertion
-    * pass vacuously. Callers asserting `recordsRead(...) <= bound` should
-    * pair it with a positive control (`> 0` on a read that must scan) so
-    * a broken meter is detectable.
+  /** Sum of `metric` over the task metrics of every stage completed
+    * during `action`. The listener bus posts asynchronously, so the
+    * counter is polled until stable instead of sleeping a fixed time — a
+    * slow bus would otherwise UNDERCOUNT and let an upper-bound
+    * assertion pass vacuously. Callers asserting `<= bound` should pair
+    * it with a positive control (`> 0` on work that must register) so a
+    * broken meter is detectable.
     */
-  protected def recordsRead(action: => Unit): Long = {
+  protected def taskMetric(metric: org.apache.spark.executor.TaskMetrics => Long)(
+      action: => Unit): Long = {
     val n = new java.util.concurrent.atomic.AtomicLong
     val meter = new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        n.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.recordsRead)
+        n.addAndGet(metric(sc.stageInfo.taskMetrics))
     }
     spark.sparkContext.addSparkListener(meter)
     try {
@@ -38,6 +37,20 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sparkContext.removeSparkListener(meter)
     n.get
   }
+
+  /** Input records actually READ by `action` — the observable for
+    * driver-side file/row-group pruning (a pruned file schedules no
+    * task, so its rows never reach inputMetrics).
+    */
+  protected def recordsRead(action: => Unit): Long =
+    taskMetric(_.inputMetrics.recordsRead)(action)
+
+  /** Shuffle bytes written during `action` — wall time barely moves in
+    * local mode, but on a cluster the exchange is network-bound, so
+    * bytes moved is the honest scale observable.
+    */
+  protected def shuffleBytes(action: => Unit): Long =
+    taskMetric(_.shuffleWriteMetrics.bytesWritten)(action)
 }
 
 object SparkSpec {
