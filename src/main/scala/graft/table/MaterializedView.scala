@@ -46,22 +46,29 @@ object MaterializedView {
       measureAlias: String)
 
   /** Catch a derived view table up to the base table's head — the
-    * streaming-IVM loop. One [[refreshEvents]]+apply per missing base
-    * version; the view table's commit `batchId` IS the base version it
-    * reflects, so the catch-up is crash-safe by construction: a crash
-    * between the base commit and the view commit just leaves the view one
-    * version behind, and the next call (or the next microbatch) replays
-    * exactly the missing segments, fenced by the view's own batchId.
-    * Per-version folding keeps the signed-count algebra exact (a
-    * multi-version feed carries one diff PER version pair per key). An
-    * empty view table bootstraps itself: the first segment's feed is all
-    * inserts, so no separate build step exists. Maintenance commits on
-    * the base (compaction, rebucket) diff to zero feed rows and advance
-    * the view with an empty metadata-only commit.
+    * streaming-IVM loop. ONE [[refreshEvents]]+apply folds the WHOLE lag
+    * range `(viewV, baseV]` (round 4, same O(1)-commits-per-catch-up
+    * contract as [[JoinView.maintain]]): the signed-delta algebra is
+    * LINEAR, so the range feed — the concatenation of per-version diffs
+    * — nets exactly like sequential per-version folds (a key updated
+    * v1→v2→v3 contributes −m₁+m₂ −m₂+m₃ = −m₁+m₃; an insert-then-delete
+    * nets to zero and [[delta]] drops the group). The view table's
+    * commit `batchId` IS the base version it reflects, so the catch-up
+    * is crash-safe by construction: a crash
+    * between the base commit and the view commit just leaves the view
+    * behind, and the next call (or the next microbatch) folds exactly
+    * the missing window, fenced by the view's own batchId. An
+    * empty view table bootstraps itself: the horizon segment's feed is
+    * all inserts, so no separate build step exists. Maintenance commits
+    * on the base (compaction, rebucket) diff to zero feed rows and
+    * advance the view with an empty metadata-only commit. MIN/MAX views
+    * ([[refreshMax]]) stay per-version by contract — the extremum is
+    * not distributive under deletes and its suspect recount reads the
+    * base AT the folded version.
     */
   def maintain(spark: SparkSession, base: LakeTable, dv: DerivedView): Unit = {
     val baseV = base.lastCommit().map(_.version).getOrElse(0L)
-    var viewV = dv.table.lastCommit().map(_.batchId).getOrElse(0L)
+    val viewV = dv.table.lastCommit().map(_.batchId).getOrElse(0L)
     // Retention check for a NON-EMPTY view: every version from the view's
     // own position to head must still be retained. If snapshot expiry
     // dropped any, the change feed would pair the horizon commit against
@@ -80,9 +87,8 @@ object MaterializedView {
             s"(missing commits ${missing.mkString(", ")} of $baseV) — " +
             "rebuild the view from scratch")
     }
-    while (viewV < baseV) {
-      val v = viewV + 1
-      base.changeFeed(spark, v - 1, v).foreach { feed =>
+    if (viewV < baseV) {
+      base.changeFeed(spark, viewV, baseV).foreach { feed =>
         val viewCols = dv.groupCols ++ Seq("n_rows", dv.measureAlias)
         val state = dv.table.snapshot(spark)
           .map(_.select(viewCols.map(col): _*))
@@ -93,11 +99,10 @@ object MaterializedView {
               .withColumn(dv.measureAlias, lit(0L))
           }
         val ev = refreshEvents(state, feed, dv.groupCols, dv.measure, dv.measureAlias,
-          version = v, numParts = dv.table.numBuckets)
-        graft.merge.CdcApply.applyBatch(spark, dv.table, ev, batchId = v,
+          version = baseV, numParts = dv.table.numBuckets)
+        graft.merge.CdcApply.applyBatch(spark, dv.table, ev, batchId = baseV,
           writeMetrics = false)
       }
-      viewV = v
     }
   }
 

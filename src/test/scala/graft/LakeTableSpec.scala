@@ -881,6 +881,35 @@ class LakeTableSpec extends SparkSpec {
       "restore must undo the truncate on the MoR read path too")
   }
 
+  test("derived view multi-version catch-up: one commit folds the whole lag, equals per-commit maintenance") {
+    import graft.table.MaterializedView
+    // two identical bases advanced 4 versions; view A maintained after
+    // every base commit, view B ONCE at the end (round-4 range fold —
+    // the signed-delta algebra telescopes across the multi-version feed)
+    val log = randomLog(59, 320)
+    val halves = log.grouped(80).toSeq
+    val baseA = new LakeTable(tmp(), numBuckets = 4)
+    val baseB = new LakeTable(tmp(), numBuckets = 4)
+    val vtA = new LakeTable(tmp(), numBuckets = 2, keyCols = Seq("repo"))
+    val vtB = new LakeTable(tmp(), numBuckets = 2, keyCols = Seq("repo"))
+    val dvA = MaterializedView.DerivedView(vtA, Seq("repo"), length(col("content")), "total_chars")
+    val dvB = MaterializedView.DerivedView(vtB, Seq("repo"), length(col("content")), "total_chars")
+    halves.zipWithIndex.foreach { case (h, i) =>
+      CdcApply.applyBatch(spark, baseA, h.toDF(), batchId = i, writeMetrics = false)
+      MaterializedView.maintain(spark, baseA, dvA)
+      CdcApply.applyBatch(spark, baseB, h.toDF(), batchId = i, writeMetrics = false)
+    }
+    MaterializedView.maintain(spark, baseB, dvB)
+    def rows(vt: LakeTable): Set[(String, Long, Long)] = vt.snapshot(spark).get
+      .select("repo", "n_rows", "total_chars").as[(String, Long, Long)].collect().toSet
+    assert(rows(vtB) === rows(vtA), "range fold diverged from per-commit maintenance")
+    assert(rows(vtB).nonEmpty)
+    assert(vtB.commitVersions().size === 1,
+      s"a ${halves.size}-version lag must fold in ONE view commit, got ${vtB.commitVersions().size}")
+    assert(vtA.commitVersions().size === halves.size, "positive control")
+    assert(vtB.lastCommit().get.batchId === halves.size.toLong)
+  }
+
   test("derived view maintenance fails loudly when history expired past the view's version") {
     import graft.table.MaterializedView
     val base = new LakeTable(tmp(), numBuckets = 4)
