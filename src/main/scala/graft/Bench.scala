@@ -542,7 +542,12 @@ object Bench {
     // target pair's estimate, the window has a contention ceiling and
     // further samples only burn the later stages' budget (run-D lesson:
     // 12 fruitless extras ate the state-heavy slot).
-    while (extra < maxExtras && stale < 2 && bestEff < 0.82 &&
+    // Stop at 0.806, a hair above the ≥0.8 rule: the best-of estimator is
+    // monotone non-decreasing in samples, so a recorded 0.806+ cannot
+    // regress — while chasing the old 0.82 margin burned ~2 extra legs
+    // after run V's stage-1b extras had already landed 0.818, budget the
+    // query sweep then lost under a 10×-contended window.
+    while (extra < maxExtras && stale < 2 && bestEff < 0.806 &&
         System.currentTimeMillis() < deadlineMs) {
       val p = pairs.filter(_.measured).maxBy(_.bestEff)
       val before = p.bestEff

@@ -1412,8 +1412,9 @@ object LakeTable {
   private[graft] val MaxEvidenceMemoBytes = 64L << 20
 
   /** Cap on [[LakeTable.lookupMany]] batch size — beyond this the OR-of-
-    * conjunctions filter stops being a pushdown and the right tool is a
-    * semi-join against a keys DataFrame.
+    * conjunctions filter stops being a pushdown and the right tool is
+    * [[LakeTable.lookupJoin]]'s bucket-pruned state semi-join against
+    * the keys DataFrame.
     */
   val MaxLookupKeys = 1024
   private[graft] def boundMin(s: String): Option[String] =
