@@ -507,6 +507,80 @@ object SparkEntry {
         col("r_repo"), col("r_lang"))
     }),
 
+    // FULL-OUTER join-view maintenance (round-5, VERDICT item 4): the
+    // dimension drops repos with digit % 3 == 0 (those left rows ride
+    // null-extended, the left_outer machinery) AND carries extra '#x'
+    // dimension rows no left row ever matches (those ride with NoPartner
+    // LEFT keys — the right_outer machinery, exercised in the same fold).
+    // The maintained view must equal the direct FULL JOIN of the final
+    // LWW states across interleaved catch-up points.
+    "q128_cdc_full_join_view" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-fjv").toString
+      val log = ChangeLog.flat(s, dir)
+      val left = new LakeTable(s"$root/left", numBuckets = 8)
+      val right = new LakeTable(s"$root/right", numBuckets = 4, keyCols = Seq("repo"))
+      val view = new LakeTable(s"$root/view", numBuckets = 8,
+        keyCols = Seq("l_repo", "l_path", "r_repo"))
+      val jv = JoinView.DerivedJoinView(view, left, right,
+        leftOn = "repo", rightOn = "repo",
+        leftCols = Seq("repo", "path", "lang", "content"),
+        rightCols = Seq("repo", "lang"),
+        joinType = "full_outer")
+      val dimBase = log.where(col("op") =!= Envelope.OpDelete &&
+          pmod(regexp_extract(col("repo"), "([0-9]+)", 1).cast("int"), lit(3)) =!= 0)
+        .select(col("repo"), col("lang"), col("commit"), lit("u").as("op"),
+          col("part"), col("lsn"), col("ts_ms"))
+      val dim = dimBase.unionByName(
+        dimBase.where(pmod(regexp_extract(col("repo"), "([0-9]+)", 1).cast("int"), lit(3)) === 1)
+          .withColumn("repo", concat(col("repo"), lit("#x"))))
+      val mid = maxLsn(log) / 2
+      CdcPipeline.replay(s, log.where(col("lsn") <= mid), left,
+        numBatches = 1, writeMetrics = false)
+      CdcPipeline.replay(s, dim.where(col("lsn") <= mid), right,
+        numBatches = 1, writeMetrics = false)
+      JoinView.maintain(s, jv)
+      CdcPipeline.replay(s, log.where(col("lsn") > mid), left,
+        numBatches = 1, startBatchId = 1, writeMetrics = false)
+      CdcPipeline.replay(s, dim.where(col("lsn") > mid), right,
+        numBatches = 1, startBatchId = 1, writeMetrics = false)
+      JoinView.maintain(s, jv)
+      jv.nullExtended(view.snapshot(s).get).select(
+        col("l_repo"), col("l_path"), col("l_lang"), col("l_content"),
+        col("r_repo"), col("r_lang"))
+    }),
+
+    // AVG + COUNT DISTINCT derived views (round-5, VERDICT item 5): the
+    // per-repo average is the free sum/count quotient of the standard IVM
+    // view; the distinct-lang count is a SECOND-LEVEL view — per
+    // (repo, lang) signed multiplicities maintained by the same linear
+    // fold, aggregated O(live pairs) at read. Both caught up across
+    // interleaved base versions, never rescanning the base.
+    "q129_cdc_ivm_avg_distinct" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-ivmad").toString
+      val table = new LakeTable(root, numBuckets = 16)
+      val avgDv = MaterializedView.DerivedView(
+        new LakeTable(s"$root/avg", numBuckets = 4, keyCols = Seq("repo")),
+        Seq("repo"), length(col("content")), "total_chars")
+      val langDv = MaterializedView.distinctView(
+        new LakeTable(s"$root/langs", numBuckets = 4, keyCols = Seq("repo", "lang")),
+        Seq("repo"), "lang")
+      val log = ChangeLog.flat(s, dir)
+      val mid = maxLsn(log) / 2
+      CdcPipeline.replay(s, log.where(col("lsn") <= mid), table, numBatches = 2, salt = 4)
+      MaterializedView.maintain(s, table, avgDv)
+      MaterializedView.maintain(s, table, langDv)
+      CdcPipeline.replay(s, log.where(col("lsn") > mid), table,
+        numBatches = 2, startBatchId = 2, salt = 4)
+      MaterializedView.maintain(s, table, avgDv)
+      MaterializedView.maintain(s, table, langDv)
+      val avgView = MaterializedView.withAvg(
+        avgDv.table.snapshot(s).get.select("repo", "n_rows", "total_chars"),
+        "total_chars", "avg_chars")
+      val langs = MaterializedView.distinctCounts(
+        langDv.table.snapshot(s).get, Seq("repo"), "n_langs")
+      avgView.join(langs, Seq("repo"))
+    }),
+
     // Batched point lookup (`LakeTable.lookupMany`): a deterministic key
     // set (repo05's every-100th file, doc ids below 100k) served in ONE
     // scan, pruned to the union of the keys' admissible files (zone maps
@@ -805,12 +879,16 @@ object SparkEntry {
         round(tdp.Quantize.int8MaxAbsError(col("embedding")), 6).as("max_err6"),
         (tdp.Quantize.int8MaxAbsError(col("embedding")) <=
           tdp.Quantize.int8Scale(col("embedding")) / 2 + lit(1e-12)).as("bound_ok"))),
-    // FieldToEmbedding SMT: append a deterministic hash-projection
-    // embedding of the text field (fake model, real plumbing); output
-    // quantized to 1e-6 for engine-exact comparison.
+    // FieldToEmbedding SMT through the MODEL SPI (round-5): the factory
+    // registry resolves the configured model ("hash" — the deterministic
+    // fake, bit-identical to its codegen'd column twin) and runs batched
+    // per-partition inference; output quantized to 1e-6 for engine-exact
+    // comparison. A real model = one more ModelFactory, same pipeline.
     "q41_field_to_embedding" -> ((s, dir) =>
-      operators.AiSmt.fieldToEmbedding(
-        Corpus.documents(s, dir).select(col("doc_id"), col("text")), "text", dims = 16)
+      operators.AiSmt.fieldToEmbeddingSpi(
+        Corpus.documents(s, dir).select(col("doc_id"), col("text")), "text",
+        config = Map(operators.AiSmt.ModelConfig.Model -> "hash",
+          operators.AiSmt.ModelConfig.Dims -> "16"))
         .select(col("doc_id"),
           to_json(transform(col("embedding"), x => floor(x * 1000000).cast("long"))).as("emb_q6"))),
     // FieldToDocling analog: fixed-window document chunking with
@@ -2725,6 +2803,46 @@ object SparkEntry {
          |SELECT st.repo AS l_repo, st.path AS l_path, st.lang AS l_lang, st.content AS l_content,
          |       dim.repo AS r_repo, dim.lang AS r_lang
          |FROM st LEFT JOIN dim ON st.repo = dim.repo""".stripMargin,
+
+    // The maintained FULL-OUTER view equals the direct FULL JOIN of the
+    // final states (dimension: digit % 3 != 0 repos, plus '#x' rows no
+    // left row matches).
+    "q128_cdc_full_join_view" ->
+      s"""$cte
+         |, st AS (
+         |  SELECT repo, path, lang, content FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |    FROM ev) t
+         |  WHERE rn = 1 AND op <> 'd')
+         |, dim0 AS (
+         |  SELECT repo, lang FROM (
+         |    SELECT repo, lang, row_number() OVER (PARTITION BY repo ORDER BY commit DESC, lsn DESC) AS rn
+         |    FROM ev WHERE op <> 'd'
+         |      AND CAST(regexp_extract(repo, '([0-9]+)', 1) AS int) % 3 <> 0) t
+         |  WHERE rn = 1)
+         |, dim AS (
+         |  SELECT repo, lang FROM dim0
+         |  UNION ALL
+         |  SELECT repo || '#x' AS repo, lang FROM dim0
+         |  WHERE CAST(regexp_extract(repo, '([0-9]+)', 1) AS int) % 3 = 1)
+         |SELECT st.repo AS l_repo, st.path AS l_path, st.lang AS l_lang, st.content AS l_content,
+         |       dim.repo AS r_repo, dim.lang AS r_lang
+         |FROM st FULL JOIN dim ON st.repo = dim.repo""".stripMargin,
+
+    // AVG = the sum/count quotient; COUNT DISTINCT = the size of the
+    // value-level state — both must equal the direct aggregate of the
+    // converged LWW state.
+    "q129_cdc_ivm_avg_distinct" ->
+      s"""$cte
+         |SELECT repo, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       CAST(SUM(length(content)) AS BIGINT) AS total_chars,
+         |       CAST(SUM(length(content)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars,
+         |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+         |  FROM ev) t
+         |WHERE rn = 1 AND op <> 'd'
+         |GROUP BY repo""".stripMargin,
 
     // Batched point lookup equals the fold restricted to the key set.
     "q123_cdc_multi_lookup" ->

@@ -191,6 +191,144 @@ object MultiTable {
           }
         }))
 
+  // ------------------------------------------------------------------
+  // Catalog-level ATOMIC visibility (round-5, VERDICT item 6).
+  //
+  // Per-table applies are exactly-once PER TABLE (per-topic offsets, the
+  // reference's model), so a crash between two tables' commits of one
+  // source batch leaves the catalog momentarily inconsistent — table A
+  // shows the batch, table B does not — until the replayed microbatch
+  // self-heals it. The reference's transaction-metadata + transactional
+  // sink pairing (`pipeline/txmetadata/TransactionMonitor.java` BEGIN/END
+  // markers consumed by a sink that buffers until END) implies
+  // all-or-nothing per source transaction. The Spark-native analog: one
+  // tiny CAS-published catalog manifest per batch, recording every
+  // table's committed version — written ONLY after all per-table applies
+  // landed. Catalog-level readers resolve each table AT its recorded
+  // version (time travel — zero data movement), so the half-committed
+  // window exposes NEITHER table's new state, and the manifest flips
+  // BOTH in at once. Writers keep per-table fencing untouched: a
+  // replayed batch re-applies as per-table no-ops, then re-publishes the
+  // (idempotent) manifest.
+  //
+  // Retention contract: atomic reads time-travel to the recorded
+  // versions, so per-table `expireSnapshots` must keep at least the
+  // catalog head's versions (they ARE the heads unless a writer is
+  // mid-batch, so any keepLast ≥ 1 plus no expiry concurrent with an
+  // in-flight batch satisfies it).
+  // ------------------------------------------------------------------
+
+  /** One catalog manifest: the per-table commit versions visible at and
+    * after source batch `batchId`.
+    */
+  final case class CatalogCommit(seq: Long, batchId: Long, versions: Map[String, Long])
+
+  private def catalogDir(registry: Registry): java.nio.file.Path =
+    java.nio.file.Paths.get(registry.root, "_catalog")
+
+  /** All catalog manifests, oldest first. */
+  def catalogCommits(registry: Registry): Seq[CatalogCommit] = {
+    val dir = catalogDir(registry)
+    if (!java.nio.file.Files.isDirectory(dir)) return Nil
+    val files = {
+      val s = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.matches("c\\d+\\.json"))
+          .sortBy(_.getFileName.toString)
+      } finally s.close()
+    }
+    files.map { p =>
+      val text = java.nio.file.Files.readString(p)
+      val seq = """"seq"\s*:\s*(\d+)""".r.findFirstMatchIn(text).get.group(1).toLong
+      val batchId = """"batchId"\s*:\s*(-?\d+)""".r.findFirstMatchIn(text).get.group(1).toLong
+      val vs = """"([^"]+)"\s*:\s*(\d+)""".r.findAllMatchIn(
+        text.substring(text.indexOf("versions"))).map(m => m.group(1) -> m.group(2).toLong).toMap
+      CatalogCommit(seq, batchId, vs)
+    }
+  }
+
+  def lastCatalogCommit(registry: Registry): Option[CatalogCommit] =
+    catalogCommits(registry).lastOption
+
+  /** Publish the catalog manifest for `batchId`: every table's CURRENT
+    * head version, CAS-published (createLink fails loudly on a lost
+    * race, the [[graft.table.LakeTable.commit]] pattern). Idempotent per
+    * batch: a replayed batch whose applies all no-op'd publishes a
+    * manifest with identical versions (readers can't tell), and a batch
+    * already recorded at the head is skipped entirely.
+    */
+  def commitCatalog(registry: Registry, batchId: Long): CatalogCommit = {
+    val last = lastCatalogCommit(registry)
+    val versions = registry.defs.map(d =>
+      d.name -> registry(d.name).lastCommit().map(_.version).getOrElse(0L)).toMap
+    last match {
+      case Some(c) if c.batchId == batchId && c.versions == versions => return c
+      case _ =>
+    }
+    val seq = last.map(_.seq + 1).getOrElse(1L)
+    val cc = CatalogCommit(seq, batchId, versions)
+    val dir = catalogDir(registry)
+    java.nio.file.Files.createDirectories(dir)
+    val vJson = versions.toSeq.sortBy(_._1)
+      .map { case (n, v) => s""""$n":$v""" }.mkString("{", ",", "}")
+    val json = s"""{"seq":$seq,"batchId":$batchId,"versions":$vJson}"""
+    val target = dir.resolve(f"c$seq%020d.json")
+    val tmp = dir.resolve(f".c$seq%020d.json.tmp")
+    java.nio.file.Files.writeString(tmp, json)
+    try {
+      java.nio.file.Files.createLink(target, tmp)
+      java.nio.file.Files.delete(tmp)
+    } catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmp)
+        throw new java.util.ConcurrentModificationException(
+          s"catalog seq $seq was committed concurrently — single-writer contract violated", e)
+      case _: UnsupportedOperationException =>
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    cc
+  }
+
+  /** [[applyBatch]] + catalog manifest: per-table exactly-once applies,
+    * then ONE atomic catalog publish. A crash anywhere before the
+    * publish leaves atomic readers on the previous manifest (neither
+    * table's new state visible); the checkpoint-replayed batch re-applies
+    * as per-table no-ops and publishes the missing manifest.
+    */
+  def applyBatchAtomic(
+      spark: SparkSession,
+      registry: Registry,
+      batch: DataFrame,
+      routeCol: String,
+      batchId: Long,
+      salt: Int = 1,
+      writeMetrics: Boolean = false,
+      fenceByWatermark: Boolean = true,
+      parallelism: Int = 1): Map[String, CdcApply.BatchResult] = {
+    val res = applyBatch(spark, registry, batch, routeCol, batchId, salt,
+      writeMetrics, fenceByWatermark, parallelism)
+    commitCatalog(registry, batchId)
+    res
+  }
+
+  /** Atomic catalog read: each table resolved AT the version the latest
+    * catalog manifest records (never its possibly-further-ahead head).
+    * None before the first manifest. Tables at recorded version 0 (no
+    * commit when the manifest was published) contribute nothing.
+    */
+  def snapshotAllAtomic(spark: SparkSession, registry: Registry): Option[DataFrame] =
+    lastCatalogCommit(registry).flatMap { cc =>
+      val parts = registry.defs.flatMap { d =>
+        cc.versions.get(d.name).filter(_ > 0L).flatMap(v =>
+          registry(d.name).snapshotAt(spark, v)
+            .map(_.withColumn("sink_table", lit(d.name))))
+      }
+      parts.reduceOption(_.unionByName(_, allowMissingColumns = true))
+    }
+
   /** Schema-change events across the catalog: one row per commit that
     * changed a table's schema, tagged with the table name — the
     * schema-change-topic feed that `transforms/SchemaChangeEventFilter.java`

@@ -253,7 +253,8 @@ object CdcPipeline {
       salt: Int = 1,
       maxFilesPerTrigger: Int = 16,
       orderedInput: Boolean = false,
-      parallelism: Int = 1): StreamingQuery = {
+      parallelism: Int = 1,
+      atomicCatalog: Boolean = false): StreamingQuery = {
     val env = spark.readStream.schema(Envelope.schema())
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inputDir)
@@ -264,8 +265,16 @@ object CdcPipeline {
         val sp = envBatch.sparkSession
         val flat = Envelope.unwrap(envBatch).drop("__deleted")
           .withColumn("__route", expr(routeExpr))
-        graft.merge.MultiTable.applyBatch(sp, registry, flat, "__route", batchId,
-          salt, fenceByWatermark = orderedInput, parallelism = parallelism)
+        // atomicCatalog: publish one catalog manifest after all tables'
+        // applies, giving catalog-level readers all-or-nothing batch
+        // visibility (MultiTable.snapshotAllAtomic) — the reference's
+        // txmetadata + transactional-sink pairing, lake-native.
+        if (atomicCatalog)
+          graft.merge.MultiTable.applyBatchAtomic(sp, registry, flat, "__route", batchId,
+            salt, fenceByWatermark = orderedInput, parallelism = parallelism)
+        else
+          graft.merge.MultiTable.applyBatch(sp, registry, flat, "__route", batchId,
+            salt, fenceByWatermark = orderedInput, parallelism = parallelism)
         ()
       }
       .start()

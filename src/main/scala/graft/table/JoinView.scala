@@ -40,6 +40,18 @@ import org.apache.spark.sql.functions._
   * empty-because-missing counterpart state would corrupt the view
   * silently (round-3 ADVICE).
   *
+  * Outer joins: `left_outer`, `right_outer` and `full_outer` views carry
+  * the PRESERVED side's partnerless rows with [[NoPartner]] sentinel keys
+  * in the other side's key slots and null payload. The sentinel machinery
+  * is symmetric in the two sides (one code path, §[[step]]): when the
+  * STEPPING side is preserved, its delta rows without a partner in the
+  * reflected counterpart state assert/retract their own sentinel rows
+  * (per-row version order); when the COUNTERPART side is preserved, the
+  * stepping range's partner-count TRANSITIONS against its two endpoint
+  * states kill / re-birth the counterpart's sentinel rows (range-final
+  * order). `full_outer` emits both groups in the same fold and the
+  * view's LWW resolves them exactly like sequential per-version folds.
+  *
   * Scale shape: each fold shuffles O(Δ ⋈ partners). The counterpart
   * snapshot is NOT shuffled — the delta side is broadcast when its
   * distinct join values fit [[JoinView.MaxJoinValuePushdown]], and that
@@ -81,20 +93,23 @@ object JoinView {
     */
   val MaxBroadcastPruneValues = 100000L
 
-  /** Null-extension sentinel for `left_outer` views: the right-key slot
-    * of a partnerless row (a view key column cannot be NULL — the engine
-    * quarantines malformed keys). NUL sorts before every real string and
-    * cannot appear in a sane key; [[DerivedJoinView.nullExtended]]
-    * translates it back to SQL NULL for consumers.
+  /** Null-extension sentinel for outer views: the key slot of the
+    * NON-preserved side in a partnerless row (a view key column cannot be
+    * NULL — the engine quarantines malformed keys). NUL sorts before
+    * every real string and cannot appear in a sane key;
+    * [[DerivedJoinView.nullExtended]] translates it back to SQL NULL for
+    * consumers.
     */
   val NoPartner = "\u0000"
 
   /** A derived join-view table: `view` must be keyed by the l_/r_-prefixed
     * base keys, and `leftCols`/`rightCols` (the carried data columns) must
     * include the respective base's key columns. `joinType`: "inner"
-    * (default) or "left_outer" (unmatched left rows ride with
-    * [[NoPartner]] right keys and null right payload; requires
-    * string-typed right key columns for the sentinel).
+    * (default), "left_outer", "right_outer" or "full_outer" — outer
+    * variants carry the preserved side's unmatched rows with
+    * [[NoPartner]] keys and null payload in the other side's slots, and
+    * require string-typed key columns on that other side (the sentinel's
+    * slot type).
     */
   final case class DerivedJoinView(
       view: LakeTable,
@@ -106,18 +121,25 @@ object JoinView {
       rightCols: Seq[String],
       applySalt: Int = 1,
       joinType: String = "inner") {
-    require(joinType == "inner" || joinType == "left_outer",
-      s"joinType must be inner or left_outer, got $joinType")
+    require(Seq("inner", "left_outer", "right_outer", "full_outer").contains(joinType),
+      s"joinType must be inner, left_outer, right_outer or full_outer, got $joinType")
+    /** Left rows survive partnerless (left/full outer). */
+    val preservesLeft: Boolean = joinType == "left_outer" || joinType == "full_outer"
+    /** Right rows survive partnerless (right/full outer). */
+    val preservesRight: Boolean = joinType == "right_outer" || joinType == "full_outer"
     val leftKeyCols: Seq[String] = left.keyCols.map("l_" + _)
     val rightKeyCols: Seq[String] = right.keyCols.map("r_" + _)
     val payloadCols: Seq[String] = leftCols.map("l_" + _) ++ rightCols.map("r_" + _)
 
-    /** SQL-shaped read of a `left_outer` view: sentinel right keys back
-      * to NULL (what a LEFT JOIN would have produced).
+    /** SQL-shaped read of an outer view: sentinel keys back to NULL (what
+      * the equivalent LEFT/RIGHT/FULL JOIN would have produced).
       */
-    def nullExtended(df: DataFrame): DataFrame =
-      rightKeyCols.foldLeft(df)((d, c) =>
+    def nullExtended(df: DataFrame): DataFrame = {
+      val sentinelSlots =
+        (if (preservesLeft) rightKeyCols else Nil) ++ (if (preservesRight) leftKeyCols else Nil)
+      sentinelSlots.foldLeft(df)((d, c) =>
         d.withColumn(c, when(col(c) === NoPartner, lit(null).cast("string")).otherwise(col(c))))
+    }
   }
 
   /** The view commit's `batchId` encodes the reflected base-version pair
@@ -135,12 +157,12 @@ object JoinView {
   /** Catch the view up to both base heads. Left steps first (against the
     * reflected right version), then right steps (against the new left
     * head); each step is one exactly-once engine apply. No-op until both
-    * bases have a first commit — which for `left_outer` means left rows
-    * appear (null-extended) only once the RIGHT table exists too: the
-    * sentinel payload needs the right schema, which only a commit
-    * carries. A dimension expected to stay empty for a while should make
+    * bases have a first commit — which for outer views means preserved
+    * rows appear (null-extended) only once the OTHER table exists too:
+    * the sentinel payload needs the other schema, which only a commit
+    * carries. A side expected to stay empty for a while should make
     * a schema-only first commit (an empty batch through the engine);
-    * from then on an empty right behaves exactly like a LEFT JOIN.
+    * from then on an empty side behaves exactly like the SQL outer join.
     */
   def maintain(spark: SparkSession, jv: DerivedJoinView): Unit = {
     require(jv.view.keyCols == jv.leftKeyCols ++ jv.rightKeyCols,
@@ -166,12 +188,16 @@ object JoinView {
             "a base was rebuilt below the reflected version; rebuild the view")
     }
     if (laHead == 0L || rbHead == 0L) return
-    if (jv.joinType == "left_outer") {
-      val rs = jv.right.lastCommit().get.schema
-      jv.right.keyCols.foreach(k => require(
-        rs(k).dataType == org.apache.spark.sql.types.StringType,
-        s"left_outer needs string right key columns for the sentinel; $k is ${rs(k).dataType}"))
+    // The sentinel occupies the NON-preserved side's key slots, so those
+    // key columns must be strings.
+    def requireStringKeys(t: LakeTable, side: String): Unit = {
+      val sch = t.lastCommit().get.schema
+      t.keyCols.foreach(k => require(
+        sch(k).dataType == org.apache.spark.sql.types.StringType,
+        s"${jv.joinType} needs string $side key columns for the sentinel; $k is ${sch(k).dataType}"))
     }
+    if (jv.preservesLeft) requireStringKeys(jv.right, "right")
+    if (jv.preservesRight) requireStringKeys(jv.left, "left")
     val (va, vb) = jv.view.lastCommit().map(c => decode(c.batchId)).getOrElse((0L, 0L))
     checkRetention(jv.left, "left", va, laHead)
     checkRetention(jv.right, "right", vb, rbHead)
@@ -223,6 +249,14 @@ object JoinView {
     val (baseOn, otherOn) = if (leftStep) (jv.leftOn, jv.rightOn) else (jv.rightOn, jv.leftOn)
     val (basePre, otherPre) = if (leftStep) ("l_", "r_") else ("r_", "l_")
     val (baseCols, otherCols) = if (leftStep) (jv.leftCols, jv.rightCols) else (jv.rightCols, jv.leftCols)
+    // Which sides' partnerless rows survive, seen from this step:
+    // stepping side preserved → its delta's partnerless rows assert/
+    // retract their own sentinel rows; counterpart preserved → the
+    // stepping range's partner-count transitions kill/re-birth the
+    // counterpart's sentinel rows (and the stepping delta's keys must be
+    // guarded against the reserved sentinel value).
+    val stepPreserved = if (leftStep) jv.preservesLeft else jv.preservesRight
+    val otherPreserved = if (leftStep) jv.preservesRight else jv.preservesLeft
     // Counterpart-version integrity (round-3 ADVICE): checkRetention only
     // validates each side's own (reflected, head] window, so a counterpart
     // REBUILT in place — head regressed below the version this view
@@ -237,18 +271,38 @@ object JoinView {
     base.changeFeed(spark, fromV, toV).foreach { feed =>
       val baseSel = (baseCols :+ baseOn).distinct
       val otherSel = (otherCols :+ otherOn).distinct
+      // Reserved-sentinel guard, FUSED into the delta projection (round-4
+      // VERDICT item 2 — this used to be a per-fold `limit(1).count()`
+      // driver round-trip): a REAL stepping-side key equal to NoPartner
+      // would collide with the counterpart's sentinel view keys and
+      // silently corrupt the view under LWW, so the guarded key columns
+      // raise inside the row projection — zero extra jobs, still loud
+      // (surfaces as a SparkException from the first job that
+      // materializes the delta; the persisted cache materializes ALL
+      // delta columns on the joinVals scan below, so coverage is total).
+      val guardedKeys: Set[String] =
+        if (otherPreserved) base.keyCols.toSet else Set.empty
+      def guarded(c: String): Column = {
+        val raw = col(c)
+        if (guardedKeys(c))
+          when(raw === NoPartner, raise_error(lit(
+            s"$basePre$c contains the reserved NoPartner sentinel (\\u0000) — " +
+              s"a ${jv.joinType} view cannot represent it"))).otherwise(raw)
+        else raw
+      }
       // Persist the delta: the change feed is a full-outer version diff
       // recomputed on every execution, and the delta is read twice (the
       // driver-side join-value collect, then the view-event apply).
       val delta = feed.select(
-        baseSel.map(c => col(c).as(s"$basePre$c")) :+ col("_change_type") :+ col("_commit_version"): _*)
+        baseSel.map(c => guarded(c).as(s"$basePre$c")) :+ col("_change_type") :+ col("_commit_version"): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var prunedProbe: Option[DataFrame] = None
       try {
         // counterpart at the reflected version; schema from its head
         // commit when the version pre-dates the first commit (empty state)
-        val cp0 = other.snapshotAt(spark, otherV).getOrElse(
-          emptyDf(spark, other.lastCommit().get.schema))
+        val otherSchema = other.lastCommit().get.schema
+        val baseSchema = base.lastCommit().get.schema
+        val cp0 = other.snapshotAt(spark, otherV).getOrElse(emptyDf(spark, otherSchema))
         val cp = cp0.select(otherSel.map(c => col(c).as(s"$otherPre$c")): _*)
         // driver-known join values: broadcast the (small) delta and prune
         // the counterpart scan to row groups that can hold a partner
@@ -299,104 +353,90 @@ object JoinView {
         val retracts = ev(joined.where(col("_change_type").isin(minusTypes: _*)), "d", 0L)
         val upserts = ev(joined.where(col("_change_type").isin(plusTypes: _*)), "u", 1L)
 
-        // left_outer: null-extension events. A partnerless left row rides
-        // with NoPartner right keys + null right payload; this block emits
-        // the sentinel-row births and deaths the pair events don't cover.
-        val outer: Seq[DataFrame] =
-          if (jv.joinType != "left_outer") Nil
-          else {
-            val rSchema = jv.right.lastCommit().get.schema
-            // a df holding l_-prefixed left columns → sentinel payload;
-            // `withVersion` keeps the row's `_commit_version` so the
-            // default per-row ordering applies (left-step deltas), while
-            // range-wide partner-transition events (right step, no
-            // per-row version) pass an explicit range order instead
-            def sentinel(df: DataFrame, op: String, off: Long,
-                withVersion: Boolean): DataFrame = {
-              val payload = jv.leftCols.map(c => col(s"l_$c")) ++ jv.rightCols.map { c =>
-                val t = rSchema(c).dataType
-                if (jv.right.keyCols.contains(c)) lit(NoPartner).cast(t).as(s"r_$c")
-                else lit(null).cast(t).as(s"r_$c")
-              }
-              if (withVersion)
-                ev(df.select(payload :+ col("_commit_version"): _*), op, off)
-              else
-                ev(df.select(payload: _*), op, off, _ => lit(rangeOrd))
-            }
-            if (leftStep) {
-              // left rows whose (pre/post) join value has NO partner in
-              // the reflected right state: preimages/deletes retract their
-              // sentinel row, postimages/inserts (re)assert it. probe ⊆ cp
-              // never drops a row matching the delta's own values, so the
-              // anti-join is exact.
-              val anti = delta.join(probe,
-                col(s"$basePre$baseOn") === col(s"$otherPre$otherOn"), "left_anti")
-              Seq(
-                sentinel(anti.where(col("_change_type").isin(minusTypes: _*)), "d", 0L,
-                  withVersion = true),
-                sentinel(anti.where(col("_change_type").isin(plusTypes: _*)), "u", 1L,
-                  withVersion = true))
-            } else {
-              // Reserved-sentinel guard: a REAL right key equal to
-              // NoPartner would collide with sentinel view keys and
-              // silently corrupt the view under LWW. Every right row
-              // enters through a right-step delta (including the
-              // bootstrap all-insert feed), so this one cheap gate
-              // covers all data — fail loudly, never corrupt.
-              val badSentinel = delta.where(
-                jv.right.keyCols.map(k => col(s"$basePre$k") === NoPartner).reduce(_ || _))
-                .limit(1).count()
-              require(badSentinel == 0L,
-                "right key data contains the reserved NoPartner sentinel (\\u0000) — " +
-                  "a left_outer view cannot represent it")
-              // partner-count TRANSITIONS of the stepping (right) base,
-              // computed range-wide against the fold's two ENDPOINT
-              // states: a join value gaining its FIRST partner relative
-              // to state@fromV kills its left partners' sentinel rows; a
-              // value losing its LAST partner relative to state@toV
-              // re-births them. Intermediate churn (gain-then-lose,
-              // lose-then-gain inside the range) nets out exactly like
-              // the per-version folds: both endpoint memberships agree →
-              // no event (and none needed); endpoints disagree → the
-              // off-0 kill / off-1 rebirth pair at the range's final
-              // order resolves to the correct survivor. Endpoint states
-              // are isin-pruned to the delta's values when small,
-              // semi-join-pruned otherwise — O(touched values), not
-              // O(right table).
-              def vals(types: Seq[String]) =
-                delta.where(col("_change_type").isin(types: _*))
-                  .select(col(s"$basePre$baseOn").as("__jv")).distinct()
-              def stateOn(version: Long): DataFrame = {
-                val st = base.snapshotAt(spark, version).getOrElse(emptyDf(spark, rSchema))
-                val on = st.select(col(baseOn).as("__on"))
-                if (small) on.where(col("__on").isInCollection(joinVals))
-                else on.join(pruneVals, col("__on") === col("__prune"), "left_semi")
-              }
-              val firstVals = vals(plusTypes).join(stateOn(fromV),
-                col("__jv") === col("__on"), "left_anti")
-              val lastVals = vals(minusTypes).join(stateOn(toV),
-                col("__jv") === col("__on"), "left_anti")
-              // probe, not cp: first/last values ⊆ the delta's join
-              // values, so the pruned left read serves them exactly —
-              // O(touched row groups), never a second full left scan.
-              // Broadcast only under the same small-delta guard as the
-              // pair join (a bootstrap right feed can carry millions of
-              // distinct values).
-              def leftPartners(values: DataFrame) = {
-                val vs = if (small) broadcast(values) else values
-                probe.join(vs, col(s"$otherPre$otherOn") === col("__jv"))
-              }
-              Seq(
-                sentinel(leftPartners(firstVals), "d", 0L, withVersion = false),
-                sentinel(leftPartners(lastVals), "u", 1L, withVersion = false))
-            }
+        // Outer-join null-extension events. A partnerless preserved row
+        // rides with NoPartner keys + null payload in the other side's
+        // slots; these blocks emit the sentinel-row births and deaths the
+        // pair events don't cover. `full_outer` takes both blocks in the
+        // same fold.
+        val outer = Seq.newBuilder[DataFrame]
+        // sentinel payload: `realPre`-prefixed columns carried from `df`,
+        // the other side's columns sentinel (NoPartner for its keys, null
+        // otherwise) typed from its table schema
+        def sentinelPayload(realPre: String, realCols: Seq[String],
+            nullSide: LakeTable, nullPre: String, nullCols: Seq[String],
+            nullSchema: org.apache.spark.sql.types.StructType): Seq[Column] = {
+          val real = realCols.map(c => col(s"$realPre$c"))
+          val sent = nullCols.map { c =>
+            val t = nullSchema(c).dataType
+            if (nullSide.keyCols.contains(c)) lit(NoPartner).cast(t).as(s"$nullPre$c")
+            else lit(null).cast(t).as(s"$nullPre$c")
           }
+          // ev() selects payloadCols by name, so order here is free
+          real ++ sent
+        }
+        if (stepPreserved) {
+          // stepping rows whose (pre/post) join value has NO partner in
+          // the reflected counterpart state: preimages/deletes retract
+          // their sentinel row, postimages/inserts (re)assert it.
+          // probe ⊆ cp never drops a row matching the delta's own values,
+          // so the anti-join is exact.
+          val payload = sentinelPayload(basePre, baseCols, other, otherPre, otherCols, otherSchema)
+          val anti = delta.join(probe,
+            col(s"$basePre$baseOn") === col(s"$otherPre$otherOn"), "left_anti")
+          def antiEv(types: Seq[String], op: String, off: Long): DataFrame =
+            ev(anti.where(col("_change_type").isin(types: _*))
+              .select(payload :+ col("_commit_version"): _*), op, off)
+          outer += antiEv(minusTypes, "d", 0L)
+          outer += antiEv(plusTypes, "u", 1L)
+        }
+        if (otherPreserved) {
+          // partner-count TRANSITIONS of the STEPPING base, computed
+          // range-wide against the fold's two ENDPOINT states: a join
+          // value gaining its FIRST partner relative to state@fromV kills
+          // its counterpart partners' sentinel rows; a value losing its
+          // LAST partner relative to state@toV re-births them.
+          // Intermediate churn (gain-then-lose, lose-then-gain inside the
+          // range) nets out exactly like the per-version folds: both
+          // endpoint memberships agree → no event (and none needed);
+          // endpoints disagree → the off-0 kill / off-1 rebirth pair at
+          // the range's final order resolves to the correct survivor.
+          // Endpoint states are isin-pruned to the delta's values when
+          // small, semi-join-pruned otherwise — O(touched values), not
+          // O(stepping table).
+          val payload = sentinelPayload(otherPre, otherCols, base, basePre, baseCols, baseSchema)
+          def vals(types: Seq[String]) =
+            delta.where(col("_change_type").isin(types: _*))
+              .select(col(s"$basePre$baseOn").as("__jv")).distinct()
+          def stateOn(version: Long): DataFrame = {
+            val st = base.snapshotAt(spark, version).getOrElse(emptyDf(spark, baseSchema))
+            val on = st.select(col(baseOn).as("__on"))
+            if (small) on.where(col("__on").isInCollection(joinVals))
+            else on.join(pruneVals, col("__on") === col("__prune"), "left_semi")
+          }
+          val firstVals = vals(plusTypes).join(stateOn(fromV),
+            col("__jv") === col("__on"), "left_anti")
+          val lastVals = vals(minusTypes).join(stateOn(toV),
+            col("__jv") === col("__on"), "left_anti")
+          // probe, not cp: first/last values ⊆ the delta's join
+          // values, so the pruned counterpart read serves them exactly —
+          // O(touched row groups), never a second full counterpart scan.
+          // Broadcast only under the same small-delta guard as the
+          // pair join (a bootstrap feed can carry millions of
+          // distinct values).
+          def partnerEv(values: DataFrame, op: String, off: Long): DataFrame = {
+            val vs = if (small) broadcast(values) else values
+            ev(probe.join(vs, col(s"$otherPre$otherOn") === col("__jv"))
+              .select(payload: _*), op, off, _ => lit(rangeOrd))
+          }
+          outer += partnerEv(firstVals, "d", 0L)
+          outer += partnerEv(lastVals, "u", 1L)
+        }
 
         // applySalt > 1: a HOT join value (one dimension row matching many
         // rows) concentrates its pairs in few view keys' buckets — the
         // engine's salted pre-reduce flattens that skew before the merge.
         graft.merge.CdcApply.applyBatch(spark, jv.view,
-          (Seq(retracts, upserts) ++ outer).reduce(_ unionAll _),
+          (Seq(retracts, upserts) ++ outer.result()).reduce(_ unionAll _),
           batchId = batchId, salt = jv.applySalt, writeMetrics = false)
       } finally {
         delta.unpersist()

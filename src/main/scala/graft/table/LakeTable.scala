@@ -94,7 +94,8 @@ final class LakeTable(
     val autoCompactDepth: Int = 0,
     val maxFileRows: Long = 0L,
     val bloomKeyNdv: Int = 0,
-    val writerOptions: Map[String, String] = Map.empty) {
+    val writerOptions: Map[String, String] = Map.empty,
+    val commitStore: Option[CommitStore] = None) {
   require(!(sortedBuckets && mergeOnRead),
     "sortedBuckets needs the ≤1-file-per-bucket CoW invariant (Spark only " +
       "reports bucket sort order for single-file buckets); merge-on-read stacks files")
@@ -102,6 +103,13 @@ final class LakeTable(
     "sortedBuckets needs the ≤1-file-per-bucket CoW invariant; " +
       "maxFileRows splits a bucket write into size-bounded files")
   private def commitsDir: Path = Paths.get(root, "_commits")
+
+  /** The commit log's storage backend (schema history + offset store in
+    * one — see [[CommitStore]]); file-backed under `_commits/` unless a
+    * backend was injected. DATA files always live under `root` — the
+    * seam covers metadata, like the reference's storage modules.
+    */
+  private val store: CommitStore = commitStore.getOrElse(new FileCommitStore(commitsDir))
 
   /** Bucket assignment — a pure function of the key, never stored.
     * IDENTICAL to Spark's native bucketing / HashPartitioning partition-id
@@ -113,14 +121,14 @@ final class LakeTable(
     pmod(hash(keyCols.map(col): _*), lit(numBuckets))
 
   def lastCommit(): Option[CommitInfo] =
-    commitPaths().lastOption.map(materialize).map(validateLayout)
+    commitNames().lastOption.map(materialize).map(validateLayout)
 
   /** All commits, oldest first — the table's history / schema log. NOT
     * layout-validated: history may span a [[rebucket]] (time travel and the
     * schema log read old layouts through the layout-independent aligned
     * read; [[bucketedState]] refuses them itself).
     */
-  def commits(): Seq[CommitInfo] = commitPaths().map(materialize)
+  def commits(): Seq[CommitInfo] = commitNames().map(materialize)
 
   /** Commit versions present, decoded from FILENAMES only (`v%020d.json`)
     * — no JSON parse; the cheap existence probe for history-dependent
@@ -128,8 +136,7 @@ final class LakeTable(
     * maintainer's retention check).
     */
   def commitVersions(): Seq[Long] =
-    commitPaths().map(p =>
-      p.getFileName.toString.stripPrefix("v").stripSuffix(".json").toLong)
+    commitNames().map(_.stripPrefix("v").stripSuffix(".json").toLong)
 
   /** Fail fast on a bucket-layout mismatch of the HEAD commit: `bucketCol`
     * is a pure function of `numBuckets`, so an instance opened with the
@@ -158,10 +165,8 @@ final class LakeTable(
     try s.iterator().asScala.toSeq finally s.close()
   }
 
-  private def commitPaths(): Seq[Path] =
-    listDir(commitsDir)
-      .filter(_.getFileName.toString.matches("v\\d+\\.json"))
-      .sortBy(_.getFileName.toString)
+  private def commitNames(): Seq[String] =
+    store.listNames().filter(_.matches("v\\d+\\.json")).sorted
 
   /** Resolve a commit file to a materialized CommitInfo, folding delta
     * commits onto their base (chain length < [[LakeTable.FullManifestEvery]]
@@ -170,14 +175,14 @@ final class LakeTable(
     */
   private val resolved = new java.util.concurrent.ConcurrentHashMap[Long, CommitInfo]()
 
-  private def materialize(p: Path): CommitInfo =
-    LakeTable.parse(Files.readString(p)) match {
+  private def materialize(name: String): CommitInfo =
+    LakeTable.parse(store.read(name)) match {
       case Right(full) =>
         resolved.put(full.version, full); trimMemo(full.version); full
       case Left(d) =>
         Option(resolved.get(d.version)).getOrElse {
           val base = Option(resolved.get(d.base)).getOrElse(
-            materialize(commitsDir.resolve(f"v${d.base}%020d.json")))
+            materialize(f"v${d.base}%020d.json"))
           val files = base.files.filterNot(f => d.removedPaths.contains(f.path)) ++ d.added
           val ci = CommitInfo(d.version, d.batchId, d.watermark, d.fence, d.schemas, d.schemaIdx, files, d.numBuckets, d.tsMs)
           resolved.put(ci.version, ci); trimMemo(ci.version); ci
@@ -297,33 +302,22 @@ final class LakeTable(
     // patches copy an old CommitInfo; their commit is still a new event).
     val ci = (if (ci0.numBuckets > 0) ci0 else ci0.copy(numBuckets = numBuckets))
       .copy(tsMs = System.currentTimeMillis())
-    Files.createDirectories(commitsDir)
-    val target = commitsDir.resolve(f"v${ci.version}%020d.json")
-    val tmp = commitsDir.resolve(f".v${ci.version}%020d.json.tmp")
     val json = prev match {
       case Some(p) if p.version == ci.version - 1 && ci.version % LakeTable.FullManifestEvery != 0 =>
         LakeTable.toDeltaJson(ci, p)
       case _ => LakeTable.toJson(ci)
     }
-    Files.writeString(tmp, json)
-    // Publish via createLink — the POSIX compare-and-swap: link creation
-    // atomically FAILS if the version already exists, so a lost racing
+    // Publish via the store's CAS create — the backend-native
+    // compare-and-swap (FileCommitStore: POSIX createLink, which
+    // atomically FAILS if the version already exists), so a lost racing
     // writer (two drivers both computing version = head+1) errors loudly
-    // instead of silently replacing the winner's commit (rename() — what
-    // ATOMIC_MOVE maps to on Linux — would clobber it). Where links are
-    // unsupported, fall back to the move and rely on the single-writer
-    // contract alone.
-    try {
-      Files.createLink(target, tmp)
-      Files.delete(tmp)
-    } catch {
-      case e: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
+    // instead of silently replacing the winner's commit.
+    try store.create(f"v${ci.version}%020d.json", json)
+    catch {
+      case e: CommitStore.AlreadyExists =>
         throw new java.util.ConcurrentModificationException(
           s"version ${ci.version} was committed concurrently — " +
             "single-writer contract violated (this writer must re-read the head)", e)
-      case _: UnsupportedOperationException =>
-        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
     }
     resolved.put(ci.version, ci)
     trimMemo(ci.version)
@@ -494,10 +488,9 @@ final class LakeTable(
     // commits in (from, to] and each one's predecessor — a per-microbatch
     // consumer (the streaming view maintainer) stays O(window), not
     // O(total commit history), per call.
-    val entries = commitPaths()
+    val entries = commitNames()
     if (entries.isEmpty) return None
-    def versionOf(p: Path): Long =
-      p.getFileName.toString.stripPrefix("v").stripSuffix(".json").toLong
+    def versionOf(n: String): Long = n.stripPrefix("v").stripSuffix(".json").toLong
     val vs = entries.map(versionOf)
     val headV = vs.last
     val idxInRange = vs.indices.filter(i => vs(i) > fromVersion && vs(i) <= toVersion)
@@ -1137,35 +1130,32 @@ final class LakeTable(
 
   def expireSnapshots(keepLast: Int = 1): (Int, Int) = {
     require(keepLast >= 1, "must retain at least the head commit")
-    val paths = commitPaths()
+    val names = commitNames()
     // Tagged versions clamp the expiry horizon: everything from the oldest
     // tag forward is retained, so a tag keeps its commit readable (and the
     // incremental-manifest chain above it intact) for as long as it lives.
-    val vOf: Path => Long =
-      p => "v(\\d+)".r.findFirstMatchIn(p.getFileName.toString).get.group(1).toLong
+    val vOf: String => Long =
+      n => "v(\\d+)".r.findFirstMatchIn(n).get.group(1).toLong
     val taggedFloor = tags().values.minOption
     val keepCount = taggedFloor match {
-      case Some(fl) => math.max(keepLast, paths.count(p => vOf(p) >= fl))
+      case Some(fl) => math.max(keepLast, names.count(n => vOf(n) >= fl))
       case None     => keepLast
     }
-    if (paths.size <= keepCount) return (0, 0)
-    val (drop, keep) = paths.splitAt(paths.size - keepCount)
+    if (names.size <= keepCount) return (0, 0)
+    val (drop, keep) = names.splitAt(names.size - keepCount)
     // Materialize the horizon commit and persist it as a full manifest so
     // it no longer depends on an expiring base (atomic replace — readers
     // may resolve commits concurrently).
     val horizon = materialize(keep.head)
-    val tmp = keep.head.resolveSibling("." + keep.head.getFileName.toString + ".tmp")
-    Files.writeString(tmp, LakeTable.toJson(horizon))
-    Files.move(tmp, keep.head, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    store.replace(keep.head, LakeTable.toJson(horizon))
     val retained: Set[String] =
       keep.map(materialize).flatMap(_.files.map(_.path)).toSet
     val dropped = drop.map(materialize)
     val dead = dropped.flatMap(_.files.map(_.path)).toSet -- retained
-    // Commit files FIRST, data second: a crash in between leaves orphan
+    // Commit entries FIRST, data second: a crash in between leaves orphan
     // data (cleaned by removeOrphanFiles) — never a resolvable commit
     // pointing at deleted parquet.
-    drop.foreach(Files.deleteIfExists(_))
+    drop.foreach(store.delete)
     dead.foreach(p => Files.deleteIfExists(Paths.get(root, p)))
     resolved.clear() // memo may hold expired versions
     (drop.size, dead.size)
@@ -1182,7 +1172,7 @@ final class LakeTable(
   def removeOrphanFiles(olderThanMs: Long = 0L): Int = {
     val dataDir = Paths.get(root, "data")
     if (!Files.isDirectory(dataDir)) return 0
-    val referenced: Set[String] = commitPaths().map(materialize)
+    val referenced: Set[String] = commitNames().map(materialize)
       .flatMap(_.files.map(_.path)).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     var n = 0

@@ -60,6 +60,23 @@ object SchemaEvolution {
     require(scala.util.Try(parsed.get.foldable).getOrElse(false),
       s"default for $name must be a literal/constant-foldable expression, got '$defaultSql' " +
         "(string literals need SQL quotes: \"'unknown'\")")
+    // Foldable is not enough (round-4 ADVICE): current_timestamp()/now()
+    // are foldable-per-query but evaluate differently on EVERY read, so
+    // pre-evolution rows would read a drifting "default" per snapshot —
+    // contradicting the burned-into-the-commit-log determinism the doc
+    // promises. The robust test: the expression must EVALUATE eagerly,
+    // context-free, right here — query-time expressions (CurrentTimestamp
+    // and friends are Unevaluable placeholders the optimizer substitutes
+    // per query) and anything non-deterministic throw, true constants
+    // (literals, arithmetic, casts of literals) evaluate fine.
+    val constantAcrossQueries = scala.util.Try {
+      parsed.get.deterministic && {
+        parsed.get.eval(org.apache.spark.sql.catalyst.expressions.EmptyRow); true
+      }
+    }.getOrElse(false)
+    require(constantAcrossQueries,
+      s"default for $name must be constant across queries, got '$defaultSql' " +
+        "(current_timestamp()/now()-style query-time expressions would drift per read)")
     c.as(name, new MetadataBuilder().putString(DefaultKey, defaultSql).build())
   }
 

@@ -150,6 +150,77 @@ class JoinViewSpec extends SparkSpec {
       "L9 rows must ride null-extended via the left-step anti path")
   }
 
+  // 4 dimension keys: L3 never appears on the left (leftEvents use L0-L2),
+  // so it exercises the preserved-right partnerless paths
+  private def rightEventsWide(lsns: Range): Seq[DimEvent] = lsns.map { i =>
+    val op = if (i > 100 && i % 3 == 1 && i > 110) "d" else "u"
+    DimEvent(s"L${i % 4}", s"team${i % 5}", f"c$i%010d", op, i % 2, i.toLong,
+      1700000000000L + i)
+  }
+
+  test("right-outer join view: partnerless dimension rows ride with NoPartner left keys") {
+    val jv = mkView("right_outer")
+    def check(label: String): Unit = {
+      JoinView.maintain(spark, jv)
+      assert(viewRows(jv) === directJoin(jv), s"$label: view diverged from the direct RIGHT JOIN")
+    }
+    CdcPipeline.replay(spark, leftEvents(1 to 60).toDF(), jv.left, 2, writeMetrics = false)
+    CdcPipeline.replay(spark, rightEventsWide(1 to 60).toDF(), jv.right, 2, writeMetrics = false)
+    check("both bases at part 1")
+    assert(viewRows(jv).exists(r => r.take(4).forall(_ == null) && r(4) == "L3"),
+      "the L3 dimension row must ride null-extended (no left partner)")
+    CdcPipeline.replay(spark, leftEvents(61 to 120).toDF(), jv.left,
+      numBatches = 2, startBatchId = 2, writeMetrics = false)
+    check("left advanced (pair churn against preserved right)")
+    CdcPipeline.replay(spark, rightEventsWide(61 to 120).toDF(), jv.right,
+      numBatches = 2, startBatchId = 2, writeMetrics = false)
+    check("right advanced (right-step anti path for partnerless dim rows)")
+  }
+
+  test("full-outer join view equals the direct FULL JOIN through partner transitions on both sides") {
+    val jv = mkView("full_outer")
+    def check(label: String): Unit = {
+      JoinView.maintain(spark, jv)
+      assert(viewRows(jv) === directJoin(jv), s"$label: view diverged from the direct FULL JOIN")
+    }
+    CdcPipeline.replay(spark, leftEvents(1 to 60).toDF(), jv.left, 2, writeMetrics = false)
+    CdcPipeline.replay(spark, rightEventsWide(1 to 60).toDF(), jv.right, 2, writeMetrics = false)
+    check("bootstrap")
+    assert(viewRows(jv).exists(r => r.take(4).forall(_ == null)),
+      "right-sentinel rows must be present (L3 has no left partner)")
+    CdcPipeline.replay(spark, leftEvents(61 to 120).toDF(), jv.left,
+      numBatches = 2, startBatchId = 2, writeMetrics = false)
+    CdcPipeline.replay(spark, rightEventsWide(61 to 120).toDF(), jv.right,
+      numBatches = 2, startBatchId = 2, writeMetrics = false)
+    check("both advanced (pair + sentinel churn, both preserved sides)")
+    // L3's FIRST left partner arrives through a LEFT step → the right-side
+    // sentinel rows must die via the left-step partner transitions
+    val l3 = (1 to 6).map(i =>
+      FlatEvent.mk(("repoL3", s"p$i.txt"), 300L + i, "u").copy(lang = "L3"))
+    CdcPipeline.replay(spark, l3.toDF(), jv.left,
+      numBatches = 1, startBatchId = 4, writeMetrics = false)
+    check("left step kills the right-side sentinels (first partner)")
+    assert(!viewRows(jv).exists(r => r.take(4).forall(_ == null) && r(4) == "L3"),
+      "L3's sentinel rows must be gone once a left partner exists")
+    // deleting them again removes L3's LAST partner through a LEFT step →
+    // the right-side sentinels must re-birth
+    val l3d = (1 to 6).map(i =>
+      FlatEvent.mk(("repoL3", s"p$i.txt"), 400L + i, "d").copy(lang = "L3"))
+    CdcPipeline.replay(spark, l3d.toDF(), jv.left,
+      numBatches = 1, startBatchId = 5, writeMetrics = false)
+    check("left step re-births the right-side sentinels (last partner death)")
+    assert(viewRows(jv).exists(r => r.take(4).forall(_ == null) && r(4) == "L3"),
+      "L3 must ride null-extended again after its last partner died")
+    // orphan lang on the left: the left-side anti path in the same view
+    val l9 = (1 to 6).map(i =>
+      FlatEvent.mk(("repoL9", s"p$i.txt"), 500L + i, "u").copy(lang = "L9"))
+    CdcPipeline.replay(spark, l9.toDF(), jv.left,
+      numBatches = 1, startBatchId = 6, writeMetrics = false)
+    check("left anti path (L9 partnerless)")
+    assert(viewRows(jv).exists(r => r(2) == "L9" && r.drop(4).forall(_ == null)),
+      "L9 rows must ride null-extended via the left-step anti path")
+  }
+
   test("re-maintain is a no-op: steps are batchId-fenced, files untouched") {
     val jv = mkView()
     CdcPipeline.replay(spark, leftEvents(1 to 60).toDF(), jv.left, 2, writeMetrics = false)

@@ -1265,6 +1265,74 @@ class LakeTableSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("commit-log storage seam: the engine is green against the in-memory backend") {
+    // the commit log (schema history + offset store) reads/writes through
+    // CommitStore; swapping the file backend for the in-memory one must
+    // change NOTHING about engine semantics — replay, fences, time
+    // travel, change feed and expiry all run through the seam
+    val log = randomLog(53, 400)
+    val table = new LakeTable(tmp(), numBuckets = 4,
+      commitStore = Some(new graft.table.InMemoryCommitStore))
+    CdcPipeline.replay(spark, log.toDF(), table, numBatches = 4, writeMetrics = false)
+    assert(tableState(table) === foldOracle(log))
+    // the metadata genuinely lives in the backend, not on disk
+    assert(!Files.isDirectory(java.nio.file.Paths.get(table.root, "_commits")),
+      "in-memory backend must not write _commits/ files")
+    // exactly-once fence still holds
+    val r = CdcApply.applyBatch(spark, table,
+      log.take(100).toDF(), batchId = 0, writeMetrics = false)
+    assert(!r.committed && r.reason == "batchId-fenced")
+    // history surface through the seam
+    assert(table.commitVersions() === (1L to 4L))
+    assert(table.snapshotAt(spark, 2L).nonEmpty)
+    assert(table.changeFeed(spark, 2L, 4L).nonEmpty)
+    val (droppedCommits, _) = table.expireSnapshots(keepLast = 2)
+    assert(droppedCommits === 2 && table.commitVersions() === (3L to 4L))
+    assert(tableState(table) === foldOracle(log), "state intact after seam-routed expiry")
+  }
+
+  test("avg + count-distinct views: range-fold catch-up equals the direct aggregate at every point") {
+    // lang varies per event so updates CHANGE a key's lang — the
+    // value-level state must track distinct-value births and deaths, not
+    // just row counts
+    val log = randomLog(47, 600).zipWithIndex.map { case (e, i) => e.copy(lang = s"k${i % 3}") }
+    val base = new LakeTable(tmp(), numBuckets = 8)
+    val avgDv = MaterializedView.DerivedView(
+      new LakeTable(tmp(), numBuckets = 4, keyCols = Seq("repo")),
+      Seq("repo"), length(col("content")), "total_chars")
+    val langDv = MaterializedView.distinctView(
+      new LakeTable(tmp(), numBuckets = 4, keyCols = Seq("repo", "lang")),
+      Seq("repo"), "lang")
+    def checkPoint(label: String): Unit = {
+      MaterializedView.maintain(spark, base, avgDv)
+      MaterializedView.maintain(spark, base, langDv)
+      val m = length(col("content")).cast("long")
+      val want = base.snapshot(spark).get.groupBy("repo")
+        .agg(count(lit(1)).as("n_rows"), sum(m).as("total_chars"),
+          (sum(m).cast("double") / count(lit(1)).cast("double")).as("avg_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .as[(String, Long, Long, Double, Long)].collect().toSet
+      val got = MaterializedView.withAvg(
+          avgDv.table.snapshot(spark).get.select("repo", "n_rows", "total_chars"),
+          "total_chars", "avg_chars")
+        .join(MaterializedView.distinctCounts(
+          langDv.table.snapshot(spark).get, Seq("repo"), "n_langs"), Seq("repo"))
+        .as[(String, Long, Long, Double, Long)].collect().toSet
+      assert(got === want, s"$label: derived avg/distinct views diverged from the direct aggregate")
+    }
+    // wave 1: two base commits folded by ONE maintain (range fold), then
+    // wave 2 — catch-up parity at every interleaved point
+    CdcPipeline.replay(spark, log.take(300).toDF(), base, numBatches = 2, writeMetrics = false)
+    checkPoint("after wave 1 (2-version range fold)")
+    CdcPipeline.replay(spark, log.drop(300).toDF(), base,
+      numBatches = 2, startBatchId = 2, writeMetrics = false)
+    checkPoint("after wave 2")
+    // the distinct state holds per-(repo, lang) multiplicities — the
+    // distinct count is O(live pairs), never a base rescan
+    val pairs = langDv.table.snapshot(spark).get
+    assert(pairs.where(col("n_rows") <= 0L).count() === 0, "dead value rows must be deleted")
+  }
+
   test("materialized max/min view: optimistic delta + suspect recount equals direct rebuild") {
     val log = randomLog(43, 600)
     val table = new LakeTable(tmp(), numBuckets = 8)

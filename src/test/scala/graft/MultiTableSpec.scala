@@ -119,6 +119,70 @@ class MultiTableSpec extends SparkSpec {
       assert(reg(d.name).lastCommit().get.version === versions(d.name), s"table ${d.name} moved"))
   }
 
+  test("atomic catalog commit: a crash between two tables' commits exposes neither, recovery exposes both") {
+    val log = (1 to 300).map { i =>
+      FlatEvent.mk((s"repo${i % 4}", s"p${i % 7}.txt"), i.toLong, Seq("c", "u", "u", "d")(i % 4))
+    }
+    val reg = new Registry(Files.createTempDirectory("multi-atomic").toString, Seq(
+      TableDef("kv", Seq("repo", "path"), numBuckets = 4),
+      TableDef("heads", Seq("repo"), numBuckets = 2)))
+    val routed = log.toDF().withColumn("route",
+      when(pmod(regexp_extract(col("repo"), "([0-9]+)", 1).cast("int"), lit(2)) === 0, "kv")
+        .otherwise("heads"))
+    def atomicState(): Map[String, Set[(String, String, String)]] =
+      MultiTable.snapshotAllAtomic(spark, reg)
+        .map(_.select("sink_table", "repo", "path", "commit").collect()
+          .groupBy(_.getString(0))
+          .map { case (t, rows) =>
+            t -> rows.map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
+          })
+        .getOrElse(Map.empty)
+
+    // before the first manifest, atomic readers see NOTHING (no torn
+    // bootstrap), even though per-table heads may exist
+    MultiTable.applyBatch(spark, reg, routed.where(col("lsn") <= 100), "route", 0)
+    assert(MultiTable.snapshotAllAtomic(spark, reg).isEmpty,
+      "no manifest yet → atomic read must be empty")
+    MultiTable.commitCatalog(reg, 0)
+    val afterB0 = atomicState()
+    assert(afterB0.nonEmpty)
+
+    // CRASH SIMULATION for batch 1: only the kv table's apply lands —
+    // the writer dies before heads' apply and before the manifest
+    val slice1 = routed.where(col("lsn") > 100 && col("route") === "kv").drop("route")
+    graft.merge.CdcApply.applyBatch(spark, reg("kv"), slice1, batchId = 1, writeMetrics = false)
+    // non-atomic (head) read sees the torn state...
+    val headCounts = MultiTable.snapshotAll(spark, reg).get
+      .groupBy("sink_table").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ...but the atomic read still reflects batch 0 for BOTH tables
+    assert(atomicState() === afterB0,
+      "half-committed batch leaked into the atomic catalog read")
+    assert(MultiTable.lastCatalogCommit(reg).get.batchId === 0L)
+
+    // RECOVERY: the checkpoint-replayed batch re-applies (kv no-ops on
+    // its fence, heads commits) and publishes the manifest — both tables
+    // flip in together
+    val r = MultiTable.applyBatchAtomic(spark, reg, routed.where(col("lsn") > 100), "route", 1)
+    assert(!r("kv").committed && r("kv").reason == "batchId-fenced",
+      "kv must fence the replayed batch, not double-apply")
+    assert(r("heads").committed)
+    assert(MultiTable.lastCatalogCommit(reg).get.batchId === 1L)
+    val finalAtomic = MultiTable.snapshotAllAtomic(spark, reg).get
+      .groupBy("sink_table").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(finalAtomic === headCounts.updated("heads",
+      foldBy(log.filter(_.repo.drop(4).toInt % 2 == 1), (_: FlatEvent).repo).size.toLong),
+      "recovered atomic read must expose the full batch for both tables")
+    // and it now equals the direct fold of the whole log per table
+    val kvWant = foldBy(log.filter(_.repo.drop(4).toInt % 2 == 0), (e: FlatEvent) => (e.repo, e.path))
+    assert(finalAtomic("kv") === kvWant.size.toLong)
+
+    // idempotent re-publish: same batch, same versions → same manifest
+    val seqBefore = MultiTable.lastCatalogCommit(reg).get.seq
+    MultiTable.commitCatalog(reg, 1)
+    assert(MultiTable.lastCatalogCommit(reg).get.seq === seqBefore,
+      "re-publishing an identical manifest must not append a new one")
+  }
+
   test("schema evolution stays per-table: a slice that routes zero rows does not evolve") {
     val reg = new Registry(Files.createTempDirectory("multi-evo").toString, Seq(
       TableDef("a", Seq("repo", "path"), 2),

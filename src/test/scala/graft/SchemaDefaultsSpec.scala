@@ -79,10 +79,19 @@ class SchemaDefaultsSpec extends SparkSpec {
       SchemaEvolution.withDefault(lit(1L), "n", "length(content)")) // row-dependent
     intercept[IllegalArgumentException](
       SchemaEvolution.withDefault(lit(1L), "n", "NOT ( VALID")) // unparseable
+    // query-time expressions are foldable PER QUERY but drift per read —
+    // pre-evolution rows would read a different "default" every snapshot
+    // (round-4 ADVICE); they must be rejected at declaration too
+    Seq("current_timestamp", "current_timestamp()", "now()", "current_date",
+      "rand()", "uuid()").foreach { bad =>
+      intercept[IllegalArgumentException](
+        SchemaEvolution.withDefault(lit(1L), "n", bad))
+    }
     // valid literal / constant-foldable forms pass
     SchemaEvolution.withDefault(lit(1L), "n", "-1")
     SchemaEvolution.withDefault(lit("a"), "s", "'unknown'")
     SchemaEvolution.withDefault(lit(5), "m", "CAST('5' AS INT)")
+    SchemaEvolution.withDefault(lit(1L), "t", "TIMESTAMP '2024-01-01 00:00:00'")
   }
 
   test("undeclared defaults keep null-fill semantics (q13 compatibility)") {

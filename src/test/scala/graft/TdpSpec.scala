@@ -539,6 +539,44 @@ class TdpSpec extends SparkSpec {
     assert(e.where(to_json(col("embedding")) =!= to_json(col("e2"))).count() === 0)
   }
 
+  test("model SPI: hash model == codegen column bitwise; batch-size-invariant; second model switches") {
+    import graft.operators.AiSmt
+    val docs = corpus.select(col("doc_id"), col("text"))
+    // 1. SPI hash model must be BIT-identical to the codegen'd column
+    //    twin — swapping the column path for the SPI path (q41) changes
+    //    nothing observable
+    val viaColumn = AiSmt.fieldToEmbedding(docs, "text", dims = 16)
+      .select(col("doc_id"), to_json(col("embedding")).as("e"))
+    val viaSpi = AiSmt.fieldToEmbeddingSpi(docs, "text",
+      config = Map(AiSmt.ModelConfig.Dims -> "16"))
+      .select(col("doc_id"), to_json(col("embedding")).as("e"))
+    assert(viaColumn.join(viaSpi.withColumnRenamed("e", "e2"), "doc_id")
+      .where(col("e") =!= col("e2")).count() === 0,
+      "SPI hash model diverged from the codegen column")
+    // 2. batched inference must be batch-size-invariant (the contract a
+    //    remote/ONNX model must also satisfy): 1 vs 7 vs 1000 per batch
+    val base = viaSpi.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    Seq("1", "7", "1000").foreach { bs =>
+      val got = AiSmt.fieldToEmbeddingSpi(docs, "text",
+        config = Map(AiSmt.ModelConfig.Dims -> "16", AiSmt.ModelConfig.BatchSize -> bs))
+        .select(col("doc_id"), to_json(col("embedding")).as("e"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(got === base, s"batch size $bs changed the output")
+    }
+    // 3. the registry actually switches models: the second fake produces
+    //    different (but unit-norm, deterministic) vectors
+    val uni = AiSmt.fieldToEmbeddingSpi(docs, "text",
+      config = Map(AiSmt.ModelConfig.Model -> "unigram", AiSmt.ModelConfig.Dims -> "16"))
+    val uniRows = uni.select(col("doc_id"), to_json(col("embedding")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(uniRows.exists { case (k, v) => base(k) != v }, "unigram model must differ from hash")
+    assert(uni.where(size(col("embedding")) =!= 16).count() === 0)
+    // 4. unknown model name fails loudly at plan time
+    intercept[IllegalArgumentException] {
+      AiSmt.fieldToEmbeddingSpi(docs, "text", config = Map(AiSmt.ModelConfig.Model -> "nope"))
+    }
+  }
+
   test("FieldToChunks: fixed windows reassemble to the original text, indices dense") {
     import graft.operators.AiSmt
     val docs = Corpus.documents(spark, sf).select(col("doc_id"), col("text"))
