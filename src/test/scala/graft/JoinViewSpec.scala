@@ -221,6 +221,23 @@ class JoinViewSpec extends SparkSpec {
       "L9 rows must ride null-extended via the left-step anti path")
   }
 
+  test("reserved-sentinel guard is fused into the fold projection and still fails loudly") {
+    // a REAL right key equal to the NoPartner sentinel would collide with
+    // sentinel view keys under LWW; the guard now lives INSIDE the delta
+    // projection (codegen'd raise_error — no per-fold count job), so it
+    // must surface as a loud job failure when such a key steps
+    val jv = mkView("left_outer")
+    CdcPipeline.replay(spark, leftEvents(1 to 24).toDF(), jv.left, 1, writeMetrics = false)
+    val poisoned = rightEvents(1 to 24) :+
+      DimEvent(JoinView.NoPartner, "teamX", f"c${99L}%010d", "u", 0, 99L, 1700000000099L)
+    CdcPipeline.replay(spark, poisoned.toDF(), jv.right, 1, writeMetrics = false)
+    val ex = intercept[Throwable](JoinView.maintain(spark, jv))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("NoPartner")),
+      s"guard must fail loudly on a reserved-sentinel key; got: ${messages(ex).mkString(" | ")}")
+  }
+
   test("re-maintain is a no-op: steps are batchId-fenced, files untouched") {
     val jv = mkView()
     CdcPipeline.replay(spark, leftEvents(1 to 60).toDF(), jv.left, 2, writeMetrics = false)
