@@ -980,7 +980,12 @@ object Bench {
     // (calm: ~16 M, the round-1/2 comparable). First rep mandatory — now
     // bounded by construction.
     if (headlineOn) {
-      val headlineEv = clamp(sizingThr * 50.0, 1000000L, baseEvents * 2)
+      // SPARK_GRAFT_HEADLINE_EVENTS pins the headline input exactly —
+      // for scale-point runs (e.g. the ~10× sf1-equivalent log) where
+      // the contention-damped sizing must not shrink the point being
+      // measured. Unset = normal probe-rate sizing.
+      val headlineEv = sys.env.get("SPARK_GRAFT_HEADLINE_EVENTS").map(_.toLong)
+        .getOrElse(clamp(sizingThr * 50.0, 1000000L, baseEvents * 2))
       val (hSec, hThr) = measuredReplay(headlineEv, cpus, reps, deadlineAt(0.88))
       replayRes = Some((headlineEv, hSec, hThr))
       emit("partial")
@@ -995,7 +1000,10 @@ object Bench {
     if (sys.env.getOrElse("SPARK_GRAFT_STATE_HEAVY", "1") == "1" && elapsedFrac < 0.86) {
       val s = session(cpus, aqe = false, shufflePartitions = Some(NumBuckets))
       try {
-        val stateEv = clamp(sizingThr * 12.0, 500000L, baseEvents)
+        // SPARK_GRAFT_STATE_EVENTS pins the preloaded state size for
+        // scale-point runs (see SPARK_GRAFT_HEADLINE_EVENTS).
+        val stateEv = sys.env.get("SPARK_GRAFT_STATE_EVENTS").map(_.toLong)
+          .getOrElse(clamp(sizingThr * 12.0, 500000L, baseEvents))
         val (batchEv, nb) = (math.max(stateEv / 32, 10000L), 6)
         val (_, thrFast, mbFast) = stateHeavy(s, stateEv, batchEv, nb, legacy = false)
         System.err.println(f"[bench] state-heavy fast: $thrFast%.0f ev/s, $mbFast%.1f MB shuffled")
