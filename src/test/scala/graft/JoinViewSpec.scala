@@ -221,6 +221,55 @@ class JoinViewSpec extends SparkSpec {
       "L9 rows must ride null-extended via the left-step anti path")
   }
 
+  test("randomized interleavings: every outer variant equals the direct join at every catch-up") {
+    // adversarial coverage for the symmetric sentinel machinery: random
+    // waves on both sides (updates + deletes, join values appearing and
+    // dying on either side), random catch-up points — the maintained
+    // view must equal the direct join EVERY time, for every variant
+    val rnd = new scala.util.Random(11)
+    for (joinType <- Seq("left_outer", "right_outer", "full_outer")) {
+      val jv = mkView(joinType)
+      var batch = 0L
+      var lsn = 100L
+      def leftWave(n: Int): Unit = if (n > 0) {
+        val evs = (1 to n).map { _ =>
+          lsn += 1
+          val key = (s"repo${rnd.nextInt(3)}", s"p${rnd.nextInt(4)}.txt")
+          val op = if (rnd.nextInt(4) == 0) "d" else "u"
+          FlatEvent.mk(key, lsn, op).copy(lang = s"L${rnd.nextInt(5)}")
+        }
+        CdcPipeline.replay(spark, evs.toDF(), jv.left,
+          numBatches = 1, startBatchId = batch, writeMetrics = false)
+        batch += 1
+      }
+      def rightWave(n: Int): Unit = if (n > 0) {
+        val evs = (1 to n).map { _ =>
+          lsn += 1
+          val op = if (rnd.nextInt(5) == 0) "d" else "u"
+          DimEvent(s"L${rnd.nextInt(6)}", s"team${rnd.nextInt(4)}", f"c$lsn%010d",
+            op, rnd.nextInt(2), lsn, 1700000000000L + lsn)
+        }
+        CdcPipeline.replay(spark, evs.toDF(), jv.right,
+          numBatches = 1, startBatchId = batch, writeMetrics = false)
+        batch += 1
+      }
+      leftWave(10 + rnd.nextInt(20)); rightWave(8 + rnd.nextInt(12))
+      var checked = 0
+      for (round <- 1 to 5) {
+        leftWave(rnd.nextInt(25)); rightWave(rnd.nextInt(15))
+        // rounds 3 and 5 always check (≥2 catch-up points per variant);
+        // other rounds randomly, so some catch-ups fold multi-wave lags
+        if (rnd.nextInt(2) == 0 || round == 3 || round == 5) {
+          JoinView.maintain(spark, jv)
+          assert(viewRows(jv) === directJoin(jv),
+            s"$joinType diverged from the direct join at round $round")
+          checked += 1
+        }
+      }
+      assert(checked >= 2, s"$joinType: test must exercise multiple catch-up points")
+    }
+  }
+
   test("reserved-sentinel guard is fused into the fold projection and still fails loudly") {
     // a REAL right key equal to the NoPartner sentinel would collide with
     // sentinel view keys under LWW; the guard now lives INSIDE the delta
