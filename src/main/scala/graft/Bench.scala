@@ -640,18 +640,31 @@ object Bench {
     savePairWalls()
   }
 
-  /** Accumulated marginal efficiency of a pair from the cross-run minima
-    * (None when either leg has no recorded walls or a slope is
-    * non-positive). Returns (slopeN, slope4, eff, repsN, reps4).
+  /** Accumulated marginal efficiency of a pair from the cross-run minima.
+    * The per-event slope is a property of the JOB, not of the leg size
+    * used to measure it, so the estimator reads the BEST-COVERED grid
+    * point for this (N, 4N) pair — most banked reps first (min of the
+    * two legs' counts), tie-broken toward this run's own leg size — and
+    * reports WHICH point it used (`events` in the emitted block). A
+    * window whose damped sizing lands on a thinly-sampled point thus
+    * still quotes the converged evidence instead of an unconverged
+    * 2-3-rep slope. Returns (events, slopeN, slope4, eff, repsN, reps4).
     */
-  private def accumulatedEff(p: PairState, sfid: Double): Option[(Double, Double, Double, Int, Int)] =
-    for {
-      (fN, sN, rN) <- pairWalls.get(wallKey(p.n, p.ev, p.evSmall, sfid))
-      (f4, s4, r4) <- pairWalls.get(wallKey(p.n4, p.ev, p.evSmall, sfid))
-      slopeN = if (fN > sN * 1.05) (p.ev - p.evSmall) / (fN - sN) else 0.0
-      slope4 = if (f4 > s4 * 1.05) (p.ev - p.evSmall) / (f4 - s4) else 0.0
-      if slopeN > 0 && slope4 > 0
-    } yield (slopeN, slope4, slope4 / slopeN / 4.0, rN, r4)
+  private def accumulatedEff(p: PairState, sfid: Double): Option[(Long, Double, Double, Double, Int, Int)] = {
+    val candidates = LegGrid.flatMap { ev =>
+      val evS = math.max(ev / 4, 50000L)
+      for {
+        (fN, sN, rN) <- pairWalls.get(wallKey(p.n, ev, evS, sfid))
+        (f4, s4, r4) <- pairWalls.get(wallKey(p.n4, ev, evS, sfid))
+        slopeN = if (fN > sN * 1.05) (ev - evS) / (fN - sN) else 0.0
+        slope4 = if (f4 > s4 * 1.05) (ev - evS) / (f4 - s4) else 0.0
+        if slopeN > 0 && slope4 > 0
+      } yield (ev, slopeN, slope4, slope4 / slopeN / 4.0, rN, r4)
+    }
+    candidates.sortBy { case (ev, _, _, _, rN, r4) =>
+      (-math.min(rN, r4), if (ev == p.ev) 0 else 1)
+    }.headOption
+  }
 
   /** Per-query cost priors (name → seconds), persisted across runs at
     * `SPARK_GRAFT_QUERY_COSTS` (default `query_costs.json` in the working
@@ -792,8 +805,8 @@ object Bench {
             // run of this exact leg job — the converged calm estimate,
             // with the contributing rep counts for weight
             val acc = accumulatedEff(p, currentSfId).fold("") {
-              case (sN, s4, eff, rN, r4) =>
-                f""","marginal_thr_n_acc":$sN%.0f,"marginal_thr_4n_acc":$s4%.0f,"marginal_efficiency_accumulated":$eff%.3f,"acc_reps_n":$rN,"acc_reps_4n":$r4"""
+              case (accEv, sN, s4, eff, rN, r4) =>
+                f""","acc_events":$accEv,"marginal_thr_n_acc":$sN%.0f,"marginal_thr_4n_acc":$s4%.0f,"marginal_efficiency_accumulated":$eff%.3f,"acc_reps_n":$rN,"acc_reps_4n":$r4"""
             }
             f"""{"n_cores":${p.n},"n4_cores":${p.n4},"events":${p.ev},"thr_n":${p.thrN}%.0f,"thr_4n":${p.thr4}%.0f,"efficiency":${p.eff}%.3f$marg$acc,"reps_n":${p.repsN},"reps_4n":${p.reps4}}"""
           }.mkString(""","scaling_pairs":[""", ",", "]")
@@ -815,8 +828,8 @@ object Bench {
           // so cross-run minima converge to the calm measurement)
           val bestAcc = pairStates.filter(_.measured)
             .flatMap(p => accumulatedEff(p, currentSfId).map(a => (p, a)))
-            .sortBy(-_._2._3).headOption.fold("") { case (p, (_, _, eff, rN, r4)) =>
-              f""","accumulated":{"n_cores":${p.n},"n4_cores":${p.n4},"events":${p.ev},"marginal_efficiency":$eff%.3f,"reps_n":$rN,"reps_4n":$r4,"estimator":"cross-run min walls (pair_walls.json, BASELINE.md)"}"""
+            .sortBy(-_._2._4).headOption.fold("") { case (p, (accEv, _, _, eff, rN, r4)) =>
+              f""","accumulated":{"n_cores":${p.n},"n4_cores":${p.n4},"events":$accEv,"marginal_efficiency":$eff%.3f,"reps_n":$rN,"reps_4n":$r4,"estimator":"cross-run min walls (pair_walls.json, BASELINE.md)"}"""
             }
           ps + f""","scaling_best":{"n_cores":${best.n},"n4_cores":${best.n4},"efficiency":${best.eff}%.3f$bestMarg}$bestAcc"""
         }
