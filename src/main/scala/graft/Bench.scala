@@ -1080,7 +1080,10 @@ object Bench {
     // already sampled. SPARK_GRAFT_HEADLINE=0 skips streaming AND
     // headline (local pair-evidence hunts only; the driver runs default).
     val headlineOn = sys.env.getOrElse("SPARK_GRAFT_HEADLINE", "1") != "0"
-    if (headlineOn && System.currentTimeMillis() < deadlineAt(0.82)) {
+    // entry gate 0.85 (was 0.82): the sweep's grace window can now run to
+    // 0.93, and this bounded stage is the only streaming-path evidence —
+    // the driver's kill margin (≥2× budget) covers the overshoot
+    if (headlineOn && System.currentTimeMillis() < deadlineAt(0.85)) {
       val streamEv = clamp(sizingThr * 15.0, 200000L, baseEvents)
       val s = session(cpus, aqe = false, shufflePartitions = Some(NumBuckets))
       try {
@@ -1114,7 +1117,8 @@ object Bench {
     // a plateaued window and ate this stage's slot by 9 s); the A/B is
     // bounded (~2-3 min sized from the damped rate) while extras are
     // open-ended, so the bounded stage goes first.
-    if (sys.env.getOrElse("SPARK_GRAFT_STATE_HEAVY", "1") == "1" && elapsedFrac < 0.86) {
+    // entry gate 0.90 (was 0.86): same grace-window reasoning as streaming
+    if (sys.env.getOrElse("SPARK_GRAFT_STATE_HEAVY", "1") == "1" && elapsedFrac < 0.90) {
       val s = session(cpus, aqe = false, shufflePartitions = Some(NumBuckets))
       try {
         // SPARK_GRAFT_STATE_EVENTS pins the preloaded state size for
