@@ -223,43 +223,57 @@ object MultiTable {
     */
   final case class CatalogCommit(seq: Long, batchId: Long, versions: Map[String, Long])
 
-  private def catalogDir(registry: Registry): java.nio.file.Path =
-    java.nio.file.Paths.get(registry.root, "_catalog")
+  /** Catalog manifests retained after each publish: each manifest is
+    * SELF-CONTAINED (full per-table version map), so older ones serve
+    * audit only — retention bounds both the directory and any full fold.
+    */
+  val KeepCatalogManifests = 64
 
-  /** All catalog manifests, oldest first. */
+  /** The catalog's manifest store: the same [[graft.table.CommitStore]]
+    * seam the commit log publishes through (one CAS implementation, not
+    * a second copy of the tmp+createLink dance).
+    */
+  private def catalogStore(registry: Registry): graft.table.CommitStore =
+    new graft.table.FileCommitStore(java.nio.file.Paths.get(registry.root, "_catalog"))
+
+  private val CatalogName = "c(\\d+)\\.json".r
+  private def parseCatalog(text: String): CatalogCommit = {
+    val seq = """"seq"\s*:\s*(\d+)""".r.findFirstMatchIn(text).get.group(1).toLong
+    val batchId = """"batchId"\s*:\s*(-?\d+)""".r.findFirstMatchIn(text).get.group(1).toLong
+    val vs = """"([^"]+)"\s*:\s*(\d+)""".r.findAllMatchIn(
+      text.substring(text.indexOf("versions"))).map(m => m.group(1) -> m.group(2).toLong).toMap
+    CatalogCommit(seq, batchId, vs)
+  }
+  private def catalogNames(store: graft.table.CommitStore): Seq[String] =
+    store.listNames().filter(CatalogName.matches).sorted
+
+  /** All RETAINED catalog manifests, oldest first. */
   def catalogCommits(registry: Registry): Seq[CatalogCommit] = {
-    val dir = catalogDir(registry)
-    if (!java.nio.file.Files.isDirectory(dir)) return Nil
-    val files = {
-      val s = java.nio.file.Files.list(dir)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.toSeq
-          .filter(_.getFileName.toString.matches("c\\d+\\.json"))
-          .sortBy(_.getFileName.toString)
-      } finally s.close()
-    }
-    files.map { p =>
-      val text = java.nio.file.Files.readString(p)
-      val seq = """"seq"\s*:\s*(\d+)""".r.findFirstMatchIn(text).get.group(1).toLong
-      val batchId = """"batchId"\s*:\s*(-?\d+)""".r.findFirstMatchIn(text).get.group(1).toLong
-      val vs = """"([^"]+)"\s*:\s*(\d+)""".r.findAllMatchIn(
-        text.substring(text.indexOf("versions"))).map(m => m.group(1) -> m.group(2).toLong).toMap
-      CatalogCommit(seq, batchId, vs)
-    }
+    val store = catalogStore(registry)
+    catalogNames(store).map(n => parseCatalog(store.read(n)))
   }
 
-  def lastCatalogCommit(registry: Registry): Option[CatalogCommit] =
-    catalogCommits(registry).lastOption
+  /** Head manifest only — one name listing + ONE file read, however many
+    * manifests are retained (the per-microbatch hot path of
+    * `startRouted(atomicCatalog = true)` must not fold the history).
+    */
+  def lastCatalogCommit(registry: Registry): Option[CatalogCommit] = {
+    val store = catalogStore(registry)
+    catalogNames(store).lastOption.map(n => parseCatalog(store.read(n)))
+  }
 
   /** Publish the catalog manifest for `batchId`: every table's CURRENT
-    * head version, CAS-published (createLink fails loudly on a lost
-    * race, the [[graft.table.LakeTable.commit]] pattern). Idempotent per
+    * head version, CAS-published through the [[graft.table.CommitStore]]
+    * seam (create fails loudly on a lost race, the
+    * [[graft.table.LakeTable.commit]] pattern). Idempotent per
     * batch: a replayed batch whose applies all no-op'd publishes a
     * manifest with identical versions (readers can't tell), and a batch
-    * already recorded at the head is skipped entirely.
+    * already recorded at the head is skipped entirely. Manifests older
+    * than [[KeepCatalogManifests]] are pruned after a successful publish
+    * (each manifest is self-contained; the head is never touched).
     */
   def commitCatalog(registry: Registry, batchId: Long): CatalogCommit = {
+    val store = catalogStore(registry)
     val last = lastCatalogCommit(registry)
     val versions = registry.defs.map(d =>
       d.name -> registry(d.name).lastCommit().map(_.version).getOrElse(0L)).toMap
@@ -269,26 +283,18 @@ object MultiTable {
     }
     val seq = last.map(_.seq + 1).getOrElse(1L)
     val cc = CatalogCommit(seq, batchId, versions)
-    val dir = catalogDir(registry)
-    java.nio.file.Files.createDirectories(dir)
     val vJson = versions.toSeq.sortBy(_._1)
       .map { case (n, v) => s""""$n":$v""" }.mkString("{", ",", "}")
-    val json = s"""{"seq":$seq,"batchId":$batchId,"versions":$vJson}"""
-    val target = dir.resolve(f"c$seq%020d.json")
-    val tmp = dir.resolve(f".c$seq%020d.json.tmp")
-    java.nio.file.Files.writeString(tmp, json)
-    try {
-      java.nio.file.Files.createLink(target, tmp)
-      java.nio.file.Files.delete(tmp)
-    } catch {
-      case e: java.nio.file.FileAlreadyExistsException =>
-        java.nio.file.Files.deleteIfExists(tmp)
+    try store.create(f"c$seq%020d.json",
+      s"""{"seq":$seq,"batchId":$batchId,"versions":$vJson}""")
+    catch {
+      case e: graft.table.CommitStore.AlreadyExists =>
         throw new java.util.ConcurrentModificationException(
           s"catalog seq $seq was committed concurrently — single-writer contract violated", e)
-      case _: UnsupportedOperationException =>
-        java.nio.file.Files.move(tmp, target,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
+    val names = catalogNames(store)
+    if (names.size > KeepCatalogManifests)
+      names.dropRight(KeepCatalogManifests).foreach(store.delete)
     cc
   }
 
@@ -318,13 +324,30 @@ object MultiTable {
     * catalog manifest records (never its possibly-further-ahead head).
     * None before the first manifest. Tables at recorded version 0 (no
     * commit when the manifest was published) contribute nothing.
+    *
+    * A recorded version that NO LONGER EXISTS (snapshot expiry dropped
+    * it, or the table was rebuilt in place) fails loudly — silently
+    * omitting the whole table would hand the reader a frame missing all
+    * of that table's rows under an "atomic" label (same contract as
+    * [[graft.table.JoinView]]'s counterpart guard: per-table
+    * `expireSnapshots` must retain at least the catalog head's
+    * versions, see the retention note above).
     */
   def snapshotAllAtomic(spark: SparkSession, registry: Registry): Option[DataFrame] =
     lastCatalogCommit(registry).flatMap { cc =>
       val parts = registry.defs.flatMap { d =>
-        cc.versions.get(d.name).filter(_ > 0L).flatMap(v =>
-          registry(d.name).snapshotAt(spark, v)
-            .map(_.withColumn("sink_table", lit(d.name))))
+        cc.versions.get(d.name).filter(_ > 0L).map { v =>
+          val t = registry(d.name)
+          if (!t.commitVersions().contains(v))
+            throw new IllegalStateException(
+              s"catalog manifest records ${d.name}@$v which no longer exists " +
+                s"(head ${t.lastCommit().map(_.version).getOrElse(0L)}) — " +
+                "snapshot expiry outran the catalog head or the table was rebuilt; " +
+                "re-publish the catalog (commitCatalog) after the next batch")
+          // an existing version with a legitimately EMPTY state reads as
+          // no rows — contribute nothing, exactly like version 0
+          t.snapshotAt(spark, v).map(_.withColumn("sink_table", lit(d.name)))
+        }.toSeq.flatten
       }
       parts.reduceOption(_.unionByName(_, allowMissingColumns = true))
     }

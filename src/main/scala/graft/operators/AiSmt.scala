@@ -172,10 +172,10 @@ object AiSmt {
       field: String,
       outCol: String = "embedding",
       config: Map[String, String] = Map.empty): DataFrame = {
-    val factory = modelFactories.getOrElse(
-      config.getOrElse(ModelConfig.Model, "hash"),
+    val modelName = config.getOrElse(ModelConfig.Model, "hash")
+    val factory = modelFactories.getOrElse(modelName,
       throw new IllegalArgumentException(
-        s"unknown ${ModelConfig.Model} '${config.get(ModelConfig.Model)}'; " +
+        s"unknown ${ModelConfig.Model} '$modelName'; " +
           s"have ${modelFactories.keys.mkString(", ")}"))
     factory.validate(config)
     val model = factory.model(config)
@@ -185,9 +185,16 @@ object AiSmt {
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
+        // NULL text → an array of NULL components, matching the codegen
+        // column twin exactly (each component is md5(concat(..., null))
+        // = null, so hashEmbedding yields array(null × dims), not a null
+        // array) — the bit-identity contract covers null rows too, not
+        // just the non-null corpus
         val texts = batch.map(r => Option(r.getString(idx)).getOrElse(""))
         val vecs = model.embed(texts)
-        batch.lazyZip(vecs).map((r, v) => Row.fromSeq(r.toSeq :+ v.toSeq))
+        val nullVec: Seq[Any] = Seq.fill(model.dims)(null)
+        batch.lazyZip(vecs).map((r, v) =>
+          Row.fromSeq(r.toSeq :+ (if (r.isNullAt(idx)) nullVec else v.toSeq)))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }

@@ -63,8 +63,10 @@ object CdcPipeline {
     *        bases up (this table is typically one side; the other may
     *        move out-of-band), fenced by the version-PAIR encoded in the
     *        view's commit batchId — crash healing is identical to
-    *        `views`. For `left_outer` views the right base must have a
-    *        first commit before left rows appear (see
+    *        `views`. For outer views (`left_outer`/`right_outer`/
+    *        `full_outer`) BOTH bases need a first commit before preserved
+    *        rows appear null-extended — the sentinel payload needs the
+    *        other side's schema (see
     *        [[graft.table.JoinView.maintain]]'s schema-only-commit note).
     * @param postProcessors ordered per-record post-processing chain,
     *        applied to each microbatch's FLATTENED rows (after envelope

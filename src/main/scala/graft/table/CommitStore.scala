@@ -82,6 +82,7 @@ final class FileCommitStore(dir: Path) extends CommitStore {
   }
 
   override def replace(name: String, content: String): Unit = {
+    Files.createDirectories(dir)
     val target = dir.resolve(name)
     val tmp = dir.resolve(s".$name.tmp")
     Files.writeString(tmp, content)

@@ -1093,6 +1093,17 @@ final class LakeTable(
   private def refsDir: Path = Paths.get(root, "_refs")
   private val refName = "[A-Za-z0-9][A-Za-z0-9._-]*".r
 
+  /** Refs go through the SAME storage seam as the commit log (round-5
+    * review finding: a non-file backend otherwise left retention-affecting
+    * metadata — the tagged-version expiry clamp reads [[tags]] — on local
+    * disk where other hosts cannot see it). With an injected backend the
+    * entries live alongside the commits, namespaced `ref_<name>.json`
+    * (the commit-name filter `v\d+\.json` cannot collide); the file
+    * default keeps its own `_refs/` directory.
+    */
+  private val refsStore: CommitStore = commitStore.getOrElse(new FileCommitStore(refsDir))
+  private def refEntry(name: String): String = s"ref_$name.json"
+
   /** Pin `version` under `name`. Tags are immutable by default — retagging
     * an existing name requires `replace = true` (the Iceberg
     * replace-tag distinction).
@@ -1100,28 +1111,32 @@ final class LakeTable(
   def tag(name: String, version: Long, replace: Boolean = false): Unit = {
     require(refName.matches(name), s"invalid tag name '$name'")
     require(commitVersions().contains(version), s"no commit at version $version")
-    val p = refsDir.resolve(s"$name.json")
-    require(replace || !Files.exists(p), s"tag '$name' exists (use replace = true)")
-    Files.createDirectories(refsDir)
-    val tmp = p.resolveSibling(s".$name.json.tmp")
-    Files.writeString(tmp, s"""{"name":"$name","version":$version,"tsMs":${System.currentTimeMillis()}}""")
-    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val json = s"""{"name":"$name","version":$version,"tsMs":${System.currentTimeMillis()}}"""
+    if (replace) refsStore.replace(refEntry(name), json)
+    else
+      try refsStore.create(refEntry(name), json)
+      catch {
+        case e: CommitStore.AlreadyExists =>
+          throw new IllegalArgumentException(
+            s"requirement failed: tag '$name' exists (use replace = true)", e)
+      }
   }
 
   def tags(): Map[String, Long] =
-    if (!Files.isDirectory(refsDir)) Map.empty
-    else listDir(refsDir).filter(_.getFileName.toString.endsWith(".json"))
-      .filterNot(_.getFileName.toString.startsWith("."))
-      .map { p =>
-        val o = LakeTable.mapper.readTree(Files.readString(p))
+    refsStore.listNames()
+      .filter(n => n.startsWith("ref_") && n.endsWith(".json"))
+      .map { n =>
+        val o = LakeTable.mapper.readTree(refsStore.read(n))
         o.get("name").asText() -> o.get("version").asLong()
       }.toMap
 
   def dropTag(name: String): Boolean = {
     // same validation as tag(): a separator-bearing name would resolve
-    // outside _refs/ and delete arbitrary json (e.g. a commit file)
+    // outside the ref namespace and delete arbitrary json (e.g. a commit)
     require(refName.matches(name), s"invalid tag name '$name'")
-    Files.deleteIfExists(refsDir.resolve(s"$name.json"))
+    val existed = refsStore.listNames().contains(refEntry(name))
+    refsStore.delete(refEntry(name))
+    existed
   }
 
   /** Time travel by name: `VERSION AS OF '<tag>'`. */

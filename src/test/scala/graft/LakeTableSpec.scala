@@ -1286,8 +1286,18 @@ class LakeTableSpec extends SparkSpec {
     assert(table.commitVersions() === (1L to 4L))
     assert(table.snapshotAt(spark, 2L).nonEmpty)
     assert(table.changeFeed(spark, 2L, 4L).nonEmpty)
+    // tags ride the seam too (round-5 review): in-memory backend keeps
+    // them off disk, and the expiry clamp sees them
+    table.tag("seam-keep", 2L)
+    assert(!Files.isDirectory(java.nio.file.Paths.get(table.root, "_refs")),
+      "in-memory backend must not write _refs/ files")
+    assert(table.snapshotAtTag(spark, "seam-keep").nonEmpty)
+    val (dropped0, _) = table.expireSnapshots(keepLast = 1)
+    assert(dropped0 === 1 && table.commitVersions() === (2L to 4L),
+      "tagged version must clamp seam-routed expiry")
+    assert(table.dropTag("seam-keep") && table.tags().isEmpty)
     val (droppedCommits, _) = table.expireSnapshots(keepLast = 2)
-    assert(droppedCommits === 2 && table.commitVersions() === (3L to 4L))
+    assert(droppedCommits === 1 && table.commitVersions() === (3L to 4L))
     assert(tableState(table) === foldOracle(log), "state intact after seam-routed expiry")
   }
 

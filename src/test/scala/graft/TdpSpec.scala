@@ -571,10 +571,24 @@ class TdpSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(uniRows.exists { case (k, v) => base(k) != v }, "unigram model must differ from hash")
     assert(uni.where(size(col("embedding")) =!= 16).count() === 0)
-    // 4. unknown model name fails loudly at plan time
-    intercept[IllegalArgumentException] {
+    // 4. unknown model name fails loudly at plan time, naming the model
+    val exU = intercept[IllegalArgumentException] {
       AiSmt.fieldToEmbeddingSpi(docs, "text", config = Map(AiSmt.ModelConfig.Model -> "nope"))
     }
+    assert(exU.getMessage.contains("'nope'"))
+    // 5. NULL text parity: the column twin yields an array of null
+    //    components (concat-null propagation per component); the SPI
+    //    must match — not a null array, not an embedding of ""
+    val withNull = docs.limit(3).unionAll(
+      docs.limit(1).select(col("doc_id") + 900000000L as "doc_id", lit(null).cast("string").as("text")))
+    val colNull = AiSmt.fieldToEmbedding(withNull, "text", dims = 16)
+      .select(col("doc_id"), to_json(col("embedding")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val spiNull = AiSmt.fieldToEmbeddingSpi(withNull, "text",
+      config = Map(AiSmt.ModelConfig.Dims -> "16"))
+      .select(col("doc_id"), to_json(col("embedding")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(spiNull === colNull, "SPI must match the column twin on NULL text too")
   }
 
   test("FieldToChunks: fixed windows reassemble to the original text, indices dense") {
